@@ -6,9 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Every implemented query, assembled from the per-area modules. */
-  private[graft] def registry: Seq[Q] = Seq(
-    analytics.CoreQueries
-  ).flatMap(_.all)
+  private[graft] def registry: Seq[Q] = {
+    val qs = Seq(
+      analytics.CoreQueries,
+      transform.RefCoreQueries,
+      manifest.ManifestQueries
+    ).flatMap(_.all)
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

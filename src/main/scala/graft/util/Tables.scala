@@ -11,6 +11,14 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with a usable timestamp: the file stores TIMESTAMP(NANOS),
+    * which the session reads as a nanos LONG (GraftSession sets
+    * spark.sql.legacy.parquet.nanosAsLong); surface micros TimestampType.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** Order-independent exact sum of a double expression: route through
     * DECIMAL so partial-aggregation order (which differs between Spark
     * executors and the DuckDB oracle) cannot perturb the result, then

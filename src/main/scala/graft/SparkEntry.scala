@@ -9,6 +9,7 @@ object SparkEntry {
   private[graft] def registry: Seq[Q] = {
     val qs = Seq(
       analytics.CoreQueries,
+      analytics.AnalyticsQueries,
       transform.RefCoreQueries,
       manifest.ManifestQueries
     ).flatMap(_.all)

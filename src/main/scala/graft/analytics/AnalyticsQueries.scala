@@ -1,0 +1,363 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.{Q, QueryModule}
+import graft.util.Tables._
+
+/** The analytics surface the reference delegates to Power BI
+  * (reference `static/report.html:2`; SURVEY.md §2.5): distinct,
+  * rollup/cube, window functions, top-k, sessionization, set ops,
+  * join shapes, sort/limit.
+  *
+  * Scale notes are per-query; the common theme is: one shuffle per
+  * logical re-keying, partial aggregation before every exchange, and
+  * window partitions keyed on bounded-cardinality columns so no single
+  * partition exceeds executor memory at 100 TB.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** DISTINCT — hash-aggregate based dedup of a projection. Spark plans
+    * this as partial+final HashAggregate (map-side dedup before the
+    * shuffle), which is exactly the scalable form.
+    */
+  val distinctQ = Q(
+    "q_distinct",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer ORDER BY c_mktsegment, c_nationkey""")
+  )
+
+  /** COUNT(DISTINCT) per group — Spark expands this to a two-phase
+    * partial-distinct aggregate (dedup before the shuffle). The
+    * HLL-sketch form (`approx_count_distinct`, constant memory at any
+    * cardinality — what you'd use at 100 TB) returns engine-specific
+    * estimates, so it's asserted in AnalyticsSpec instead of here.
+    */
+  val approxDistinct = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** ROLLUP — hierarchical subtotals region → nation → grand total.
+    * Catalyst expands rollup into a single Expand + aggregate (one
+    * shuffle, not one job per level). NULL group keys are coalesced to
+    * 'ALL' for deterministic ordering against the oracle.
+    */
+  val rollupQ = Q(
+    "q_rollup",
+    (s, dir) => {
+      val joined = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("region"), col("nation"))
+    },
+    Some("""
+      SELECT coalesce(r_name, 'ALL') AS region,
+             coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region, nation""")
+  )
+
+  /** CUBE — all grouping-set combinations of (segment, nation-of-
+    * customer). Same single Expand+aggregate plan as rollup.
+    */
+  val cubeQ = Q(
+    "q_cube",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("segment"), col("nation"))
+    },
+    Some("""
+      SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE(c_mktsegment, n_name)
+      ORDER BY segment, nation""")
+  )
+
+  /** Window ranking — rank/dense_rank/row_number of suppliers within
+    * nation by account-balance band. Bands (floor(bal/1000)) create
+    * real ties so rank != row_number; row_number carries a unique
+    * tiebreak for determinism. One shuffle on the partition key.
+    */
+  val windowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val balK = floor(col("s_acctbal") / 1000).cast(LongType)
+      val wRank = Window.partitionBy(col("s_nationkey")).orderBy(balK.desc)
+      val wRow =
+        Window.partitionBy(col("s_nationkey")).orderBy(balK.desc, col("s_suppkey"))
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"), col("s_nationkey"), balK.as("bal_k"),
+          rank().over(wRank).as("rnk"),
+          dense_rank().over(wRank).as("drnk"),
+          row_number().over(wRow).cast(LongType).as("rn"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_nationkey,
+             CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_k,
+             rank() OVER (PARTITION BY s_nationkey
+                          ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT) DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY s_nationkey
+                          ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT) DESC) AS drnk,
+             CAST(row_number() OVER (PARTITION BY s_nationkey
+                          ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT) DESC, s_suppkey)
+                  AS BIGINT) AS rn
+      FROM supplier ORDER BY s_nationkey, s_suppkey""")
+  )
+
+  /** Window frame — running total of order value per customer
+    * (ROWS UNBOUNDED PRECEDING .. CURRENT ROW over a fully-ordered
+    * frame). The sum rides DECIMAL so the running value is exact and
+    * order-independent of engine internals.
+    */
+  val windowFrame = Q(
+    "q_window_frame",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Per-group top-k — the scalable top-k idiom: row_number inside each
+    * partition then filter k, so only k rows per group survive the
+    * window stage (vs a global sort). At 100 TB this is the only form
+    * that doesn't materialize the full sorted table.
+    */
+  val topK = Q(
+    "q_topk",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer)
+      WHERE rn <= 5 ORDER BY c_mktsegment, rn""")
+  )
+
+  /** Sessionization — lag/lead gap detection on the event stream: a new
+    * session starts after a >30 min silence; sessions-per-user via a
+    * running flag sum. Partitioned by user (bounded per-user history);
+    * the streaming twin is session_window in graft.streaming.
+    */
+  val sessionize = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(
+          col("user_id"),
+          when(
+            lag(col("ts"), 1).over(w).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+            1).otherwise(0).as("new_s"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("new_s")).cast(LongType).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM e GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** Set operations — symmetric difference of two customer key sets via
+    * UNION / INTERSECT / EXCEPT. Spark plans set ops as aggregates or
+    * left-semi/anti joins on the full row — no special operator needed.
+    */
+  val setOps = Q(
+    "q_setops",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      a.union(b).distinct()
+        .except(a.intersect(b))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      EXCEPT
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      ORDER BY c_custkey""")
+  )
+
+  /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
+    * grow with SF, so broadcast is impossible at scale; the merge hint
+    * pins the plan Spark would choose there (shuffle both sides on the
+    * key, sort, merge). Locally AQE would broadcast 15k orders — the
+    * hint keeps the bench measuring the 100-TB-shaped plan.
+    */
+  val joinSmj = Q(
+    "q_join_smj",
+    (s, dir) => {
+      val o = t(s, dir, "orders").hint("merge")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Left-semi join — existence check without fact duplication (the
+    * relational form of the reference's id-membership test,
+    * `__init__.py:532-533` kept-side). Semi joins ship only the join
+    * key of the probe side — no payload shuffle.
+    */
+  val semiJoin = Q(
+    "q_semi_join",
+    (s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  )
+
+  /** Range (theta) join — bucket assignment by value range. The bucket
+    * table is tiny and broadcast, so the non-equi predicate is evaluated
+    * as a broadcast nested-loop join — the correct plan when one side is
+    * bounded; a band/binning column + equi-join is the rewrite when both
+    * sides are large.
+    */
+  val rangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val buckets = t(s, dir, "region")
+        .select(
+          col("r_regionkey").as("bucket"),
+          (col("r_regionkey") * 2000).cast(DoubleType).as("lo"),
+          ((col("r_regionkey") + 1) * 2000).cast(DoubleType).as("hi"))
+      t(s, dir, "customer")
+        .join(
+          broadcast(buckets),
+          col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT bucket, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN (SELECT r_regionkey AS bucket,
+                   CAST(r_regionkey * 2000 AS DOUBLE) AS lo,
+                   CAST((r_regionkey + 1) * 2000 AS DOUBLE) AS hi
+            FROM region) b
+        ON c_acctbal >= lo AND c_acctbal < hi
+      GROUP BY bucket ORDER BY bucket""")
+  )
+
+  /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
+    * per-partition top-N then a single driver-side merge of N·P rows —
+    * never a full global sort.
+    */
+  val sortLimit = Q(
+    "q_sort_limit",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+  )
+
+  override def all: Seq[Q] = Seq(
+    distinctQ, approxDistinct, rollupQ, cubeQ, windowRank, windowFrame,
+    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit)
+}

@@ -16,8 +16,10 @@ object CoreQueries extends QueryModule {
   /** Flagship (SURVEY §7.2): the reference's "pharmacy EOBs for the demo
     * patient since a date, enriched from a dim" (ref
     * `FetchBulkData/__init__.py:466-528`) transposed: date+quantity filter
-    * on the fact, broadcast-joined to the `part` dim, grouped revenue.
-    * Broadcast is explicit: `part` is always the small side at any SF.
+    * on the fact, joined to the `part` dim, grouped revenue.
+    * No broadcast hint: `part` grows with SF (~20B rows at 100 TB), so a
+    * forced broadcast OOMs there — AQE picks broadcast-vs-SMJ from
+    * runtime size stats (still BHJ at every local SF).
     */
   val flagship = Q(
     "q_flagship",
@@ -25,7 +27,7 @@ object CoreQueries extends QueryModule {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1998-01-01") && col("l_quantity") > 5)
       val p = t(s, dir, "part")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_items"),

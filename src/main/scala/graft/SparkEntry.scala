@@ -11,7 +11,9 @@ object SparkEntry {
       analytics.CoreQueries,
       analytics.AnalyticsQueries,
       transform.RefCoreQueries,
-      manifest.ManifestQueries
+      manifest.ManifestQueries,
+      text.TextQueries,
+      similarity.SimilarityQueries
     ).flatMap(_.all)
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

@@ -1,0 +1,241 @@
+package graft.similarity
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.{Q, QueryModule}
+import graft.util.Tables._
+
+/** Similarity search and near-duplicate detection — the operators a
+  * 100 TB training-data pipeline runs after exact dedup: brute-force
+  * cosine top-k (baseline), shingle-join Jaccard, MinHash+LSH banding,
+  * and SimHash signatures.
+  *
+  * Scale shapes: nothing here is all-pairs over the corpus. Candidate
+  * generation is always a key-grouped join (shingle, band signature, or
+  * LSH bucket); the bounded query set is broadcast; signatures are
+  * per-row expressions plus one hash aggregation.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles per document — the blocking key for
+    * the Jaccard and MinHash queries. Built with posexplode + lead so
+    * the shingling is one window pass per doc (oracle mirrors it with
+    * unnest + lead).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
+
+  /** Oracle-side twin of [[shingles]] as a CTE body. */
+  private val shinglesSql = """
+      tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS s,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS ok
+        FROM tok),
+      sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE ok)"""
+
+  /** Brute-force cosine top-k — the correctness baseline for ANN. The
+    * bounded query set (5 vectors) is broadcast against the corpus:
+    * corpus never shuffles, cost is one linear scan per batch of
+    * queries. Norms are precomputed per side before the join. The
+    * 100 TB path is q_ann_lsh (bucketed candidates, same scoring).
+    * sim is rounded to 6dp on both sides; ranking uses the unrounded
+    * value + vec_id tiebreak (identical float ops → identical order).
+    */
+  val cosineTopK = Q(
+    "q_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn(
+          "nrm",
+          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val q = emb.select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("q_id") < 5)
+      val scored = emb
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn(
+          "dot",
+          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim", col("dot") / (col("nrm") * col("qnrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+      p AS (
+        SELECT n.vec_id, q.q_id,
+               list_sum(list_transform(list_zip(n.v, q.qv),
+                                       z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (n.nrm * q.qnrm) AS sim
+        FROM n CROSS JOIN q WHERE n.vec_id != q.q_id),
+      r AS (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM p)
+      SELECT q_id, vec_id, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 10 ORDER BY q_id, rn""")
+  )
+
+  /** N-gram Jaccard near-dup — candidate pairs come from a self-join ON
+    * THE SHINGLE (inverted-index blocking): only documents sharing at
+    * least one 3-gram ever meet, so cost is Σ bucket² over shingle
+    * buckets, not corpus². Jaccard is kept integral
+    * (10·|A∩B| >= |A∪B| ⇔ J >= 0.1) so the oracle compare is exact.
+    */
+  val ngramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+        .withColumn("n_union", col("na") + col("nb") - col("c"))
+        .filter(col("c") * 10 >= col("n_union"))
+        .select(col("id1"), col("id2"), col("c").as("n_inter"), col("n_union"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, c AS n_inter, na.n + nb.n - c AS n_union
+      FROM i
+      JOIN cnt na ON na.doc_id = id1
+      JOIN cnt nb ON nb.doc_id = id2
+      WHERE c * 10 >= na.n + nb.n - c
+      ORDER BY id1, id2""")
+  )
+
+  /** MinHash + LSH banding — 8 md5-derived minhashes per doc, folded
+    * into 4 bands of 2; documents sharing any band signature become
+    * candidate pairs via an equi-join on (band, signature). This is the
+    * sub-quadratic near-dup path: at 100 TB the only shuffles are
+    * (doc × seed) → min and the band-bucket join; no pair is ever
+    * scored unless it collides.
+    */
+  val minhashLsh = Q(
+    "q_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val seeds = sh.sparkSession.range(8).toDF("seed")
+      val mh = sh
+        .crossJoin(broadcast(seeds))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("mh"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr("seed div 2").as("band"))
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
+              x => x.getField("mh")),
+            "|").as("sig"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      mh AS (
+        SELECT doc_id, t.range AS seed,
+               min(md5(t.range || ':' || s)) AS mh
+        FROM sh, range(8) t GROUP BY 1, 2),
+      band AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM mh GROUP BY 1, 2)
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
+      FROM band a
+      JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** SimHash — 16-bit signature: each token votes ±1 on each bit of its
+    * md5-derived hash; bit b of the signature is the sign of the vote
+    * sum. Integer votes → order-independent aggregation, exact at any
+    * parallelism. Near-dup = small Hamming distance (asserted in
+    * SimilaritySpec; bucketed by signature prefix at scale).
+    */
+  val simhash = Q(
+    "q_simhash",
+    (s, dir) => {
+      val bits = (0 to 15).map(lit(_))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType))
+      tok
+        .select(col("doc_id"), col("h"), explode(array(bits: _*)).as("b"))
+        .withColumn("vote",
+          when(expr("shiftright(h, b) % 2") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("vote")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") >= 0, expr("shiftleft(1, b)")).otherwise(0))
+          .cast(LongType).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      th AS (
+        SELECT doc_id, CAST('0x' || substring(md5(w), 1, 4) AS INTEGER) AS h
+        FROM tok),
+      votes AS (
+        SELECT doc_id, CAST(t.range AS INTEGER) AS b,
+               sum(CASE WHEN (h >> CAST(t.range AS INTEGER)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th, range(16) t GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  override def all: Seq[Q] = Seq(cosineTopK, ngramJaccard, minhashLsh, simhash)
+}

@@ -1,0 +1,172 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.Column
+import graft.{Q, QueryModule}
+import graft.util.Tables._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: exact dedup, token counting, quality stats,
+  * language-ID scoring, and document fingerprinting.
+  *
+  * All are embarrassingly parallel per-row expressions plus one
+  * hash-partitioned aggregation — the shapes that scale linearly to
+  * 100 TB (no cross-document work except key-grouped dedup).
+  */
+object TextQueries extends QueryModule {
+
+  /** Tokens of `text`: whitespace split after trim. Kept as a helper so
+    * every query tokenizes identically (and identically to the oracle's
+    * `string_split_regex(trim(text), '\s+')`).
+    */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Exact deduplication — group by content hash, keep the smallest
+    * doc_id as canonical (deterministic survivor). At 100 TB this is a
+    * single hash-partitioned shuffle on a 16-byte key — never pairwise.
+    * Collapse behavior on real duplicates is unit-tested (DedupSpec);
+    * the driver corpus is duplicate-free so every group here is size 1.
+    */
+  val dedup = Q(
+    "q_dedup",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h")),
+    Some("""
+      SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY h""")
+  )
+
+  /** Token counting — whitespace tokenization (the BPE-precursor count
+    * every data pipeline runs first). Pure projection: no shuffle at all.
+    */
+  val textTokens = Q(
+    "q_text_tokens",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lsize(toks(col("text"))).as("n_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_m"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Quality scoring — stopword count, punctuation count, non-space
+    * character mass. Integer outputs only: ratios are left to the
+    * consumer so the oracle compare never touches float division.
+    */
+  val textStats = Q(
+    "q_text_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lsize(toks(col("text"))).as("n_tokens"),
+          lsize(filter(toks(col("text")), w => w.isin("the", "a", "of", "and")))
+            .as("n_stop"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?]", "")))
+            .cast(LongType).as("n_punct"),
+          length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+            .as("n_nonspace"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Language identification — stopword-family scoring (the n-gram
+    * heuristic degenerates to unigram stopwords for whitespace
+    * languages). Argmax with a fixed priority order for determinism;
+    * the synthetic corpus is one shared vocabulary so accuracy is not
+    * the point here — the scoring/argmax mechanism is.
+    */
+  val langId = Q(
+    "q_lang_id",
+    (s, dir) => {
+      def hits(ws: Seq[String]): Column =
+        lsize(filter(toks(col("text")), w => w.isin(ws: _*)))
+      val en = hits(Seq("the", "a", "of", "and", "is"))
+      val de = hits(Seq("der", "die", "und", "das", "ist"))
+      val fr = hits(Seq("le", "la", "et", "les", "est"))
+      val es = hits(Seq("el", "los", "las", "es", "y"))
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          when(en >= de && en >= fr && en >= es && en > 0, "en")
+            .when(de >= fr && de >= es && de > 0, "de")
+            .when(fr >= es && fr > 0, "fr")
+            .when(es > 0, "es")
+            .otherwise("unknown").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some("""
+      WITH sc AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> w IN ('the','a','of','and','is'))) AS en,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> w IN ('der','die','und','das','ist'))) AS de,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> w IN ('le','la','et','les','est'))) AS fr,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> w IN ('el','los','las','es','y'))) AS es
+        FROM documents)
+      SELECT lang,
+             CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                  WHEN fr >= es AND fr > 0 THEN 'fr'
+                  WHEN es > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted,
+             count(*) AS n
+      FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""")
+  )
+
+  /** Document fingerprinting — two deterministic signatures per doc:
+    * a prefix fingerprint (md5 of the first 8 tokens — cheap
+    * near-head-dup key) and an order-independent xor-fold of per-token
+    * 60-bit hashes (content-set signature; xor makes the aggregation
+    * commutative, so it needs no sort and is exact at any parallelism).
+    */
+  val fingerprint = Q(
+    "q_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(array_join(slice(toks(col("text")), 1, 8), " ")).as("fp_prefix"),
+          explode(toks(col("text"))).as("w"))
+        .withColumn("th", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
+        .groupBy(col("doc_id"), col("fp_prefix"))
+        .agg(bit_xor(col("th")).as("fp_xor"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 8),
+                                   ' ')) AS fp_prefix,
+               unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+      SELECT doc_id, fp_prefix,
+             bit_xor(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS fp_xor
+      FROM tok GROUP BY doc_id, fp_prefix ORDER BY doc_id""")
+  )
+
+  override def all: Seq[Q] =
+    Seq(dedup, textTokens, textStats, langId, fingerprint)
+}

@@ -127,8 +127,8 @@ object AnalyticsQueries extends QueryModule {
       t(s, dir, "supplier")
         .select(
           col("s_suppkey"), col("s_nationkey"), balK.as("bal_k"),
-          rank().over(wRank).as("rnk"),
-          dense_rank().over(wRank).as("drnk"),
+          rank().over(wRank).cast(LongType).as("rnk"),
+          dense_rank().over(wRank).cast(LongType).as("drnk"),
           row_number().over(wRow).cast(LongType).as("rn"))
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     },

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / frame-sample run as batched per-partition
+  * functions over the binary column.
+  *
+  * The Spark-side design is real and tested (MultimodalSpec): schema,
+  * partition-parallel batch execution via `mapPartitions` (the Scala
+  * analogue of `mapInPandas` batches), and the output contract. The
+  * codec itself is STUBBED — no image/audio libraries exist in this
+  * container — behind [[FakeCodec]], a deterministic stand-in marked
+  * for replacement; swap in a real decoder without touching the
+  * dataflow.
+  *
+  * Scale notes: payloads never shuffle — decode runs map-side on the
+  * scan partitioning; only extracted (small) features flow into joins
+  * or aggregations. Partition sizing must account for payload width
+  * (`spark.sql.files.maxPartitionBytes` down, not row-count up).
+  */
+object Multimodal {
+
+  /** One media row: payload + metadata the sources actually know. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),         // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("content_type", StringType),
+      StructField("n_bytes", LongType))))))
+
+  final case class MediaFeature(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,       // fake-decoded dimensions / duration
+      height: Int,
+      frames_sampled: Int)
+
+  /** STUB — deterministic fake codec. Replace with a real decoder
+    * (javacv / TwelveMonkeys / soundlibs) in a real deployment; every
+    * value is a pure function of the payload bytes so tests are stable.
+    */
+  object FakeCodec {
+    def checksum(payload: Array[Byte]): Long =
+      payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val h = checksum(payload)
+      (64 + (math.abs(h) % 1024).toInt, 64 + (math.abs(h >> 10) % 1024).toInt)
+    }
+    /** Pretend frame sampler: every k-th "frame" (64-byte block). */
+    def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+      if (payload.isEmpty) 0 else (payload.length / 64) / math.max(everyK, 1) + 1
+  }
+
+  /** Batched feature extraction over the binary column — partition-
+    * parallel, no shuffle; one output row per media row.
+    */
+  def extractFeatures(media: DataFrame, frameEveryK: Int = 8): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        val (w, h) = FakeCodec.decodeDims(bytes)
+        MediaFeature(
+          media_id = id,
+          kind = kind,
+          n_bytes = bytes.length.toLong,
+          checksum = FakeCodec.checksum(bytes),
+          width = w,
+          height = h,
+          frames_sampled =
+            if (kind == "video") FakeCodec.sampleFrames(bytes, frameEveryK) else 0)
+      })
+  }
+
+  /** Deterministic synthetic media table for tests/demos (the container
+    * ships no real media): payload bytes are a pure function of id. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    (0 until n).map { i =>
+      val payload = Array.tabulate[Byte](128 + 17 * i)(j => ((i * 131 + j * 7) % 251).toByte)
+      (i.toLong, kinds(i % 3), payload, ("synthetic", "application/octet-stream", payload.length.toLong))
+    }.toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming micro-surface (SURVEY §2.5 "streaming"): the
+  * reference has no true streaming — its async flow is poll-based batch
+  * (O2) and its incrementality is the `_since` cursor (M4). This module
+  * is the streaming twin: NDJSON file source → event-time watermark →
+  * tumbling-window aggregate. Unit-tested (StreamingSpec); excluded
+  * from the DuckDB oracle by design (SURVEY §5.1).
+  *
+  * Scale notes: the file source at 100 TB becomes Kafka/object-store
+  * notifications, but the query shape is identical; watermark bounds
+  * state size, and the shuffle keys on (window, event_type) — bounded
+  * cardinality per trigger.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** NDJSON directory → per-type 1-minute tumbling counts/sums, late
+    * data tolerated up to 2 minutes. */
+  def windowedCounts(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .json(inputDir)
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.VectorMean
+
+/** Non-oracle analytics behavior: the HLL sketch (engine-specific
+  * estimates, excluded from the DuckDB compare by design — SURVEY §7.3)
+  * and the typed Aggregator extension point.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct lands within 5% of exact at 10k distinct keys") {
+    val df = spark.range(10000).select((col("id") % 7).as("g"), col("id"))
+    val rows = df.groupBy("g")
+      .agg(
+        countDistinct(col("id")).as("exact"),
+        approx_count_distinct(col("id"), 0.02).as("approx"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (_, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("VectorMean aggregator: element-wise mean, partial+final merge") {
+    val ds = Seq(
+      (0, Seq(1.0f, 2.0f)),
+      (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f))).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(VectorMean.toColumn.name("mean"))
+      .collect().toMap
+    assert(out(0) === Seq(2.0, 3.0))
+    assert(out(1) === Seq(10.0, 20.0))
+  }
+}

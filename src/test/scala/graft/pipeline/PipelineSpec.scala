@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("poller completes when the job finishes and backs off exponentially") {
+    var sleeps = List.empty[Long]
+    var calls = 0
+    val result = BulkPipeline.pollUntilComplete[String](
+      probe = () => { calls += 1; if (calls >= 4) Right("done") else Left(()) },
+      baseDelayMs = 100,
+      sleep = ms => sleeps ::= ms)
+    assert(result === Some("done"))
+    assert(sleeps.reverse === List(100L, 200L, 400L)) // 2^n, not the ref's 2*n
+  }
+
+  test("poller is HARD-bounded on a never-completing job (ref or-bug fixed)") {
+    var calls = 0
+    val result = BulkPipeline.pollUntilComplete[String](
+      probe = () => { calls += 1; Left(()) },
+      maxTries = 7,
+      sleep = _ => ())
+    assert(result === None)
+    assert(calls === 7) // the reference loops forever here (__init__.py:291)
+  }
+
+  test("poller caps the delay at maxDelayMs") {
+    var sleeps = List.empty[Long]
+    var calls = 0
+    BulkPipeline.pollUntilComplete[String](
+      probe = () => { calls += 1; if (calls >= 12) Right("ok") else Left(()) },
+      baseDelayMs = 1000, maxDelayMs = 8000,
+      sleep = ms => sleeps ::= ms)
+    assert(sleeps.max === 8000L)
+  }
+
+  test("writeAndPromote replaces the target atomically via rename") {
+    val root = Files.createTempDirectory("promote").toString
+    val target = s"$root/table"
+    BulkPipeline.writeAndPromote(Seq(1, 2, 3).toDF("x"), target)
+    assert(spark.read.parquet(target).count() === 3)
+    BulkPipeline.writeAndPromote(Seq(9).toDF("x"), target) // second promote overwrites
+    assert(spark.read.parquet(target).as[Int].collect() === Array(9))
+    assert(!new java.io.File(s"$target.__staging__").exists())
+  }
+
+  test("_since cursor round-trips and starts absent") {
+    val root = Files.createTempDirectory("cursor").toString
+    assert(BulkPipeline.readCursor(spark, root) === None)
+    BulkPipeline.writeCursor(spark, root, "2024-01-05T00:00:00Z")
+    assert(BulkPipeline.readCursor(spark, root) === Some("2024-01-05T00:00:00Z"))
+  }
+}

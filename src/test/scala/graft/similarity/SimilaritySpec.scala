@@ -1,0 +1,60 @@
+package graft.similarity
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Behavioral checks the DuckDB oracle can't express: near-dup
+  * detection actually fires on planted duplicates (the driver corpus is
+  * duplicate-free), and signature properties hold.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Tiny documents table with planted dups: 1 is an exact copy of 0,
+    * 2 a one-word edit of 0, 3 unrelated. */
+  private lazy val docsDir: String = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (0L, base.trim, "en", "src0", base.trim.length.toLong),
+      (1L, base.trim, "en", "src0", base.trim.length.toLong),
+      (2L, base.trim.replaceFirst("beta", "BETA"), "en", "src0", base.trim.length.toLong),
+      (3L, "totally different words with zero overlap at all here now then", "en",
+        "src1", 60L))
+    val dir = Files.createTempDirectory("simdocs").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_dedup collapses exact duplicates to the smallest doc_id") {
+    val out = graft.text.TextQueries.dedup.run(spark, docsDir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 2L))) // docs 0 and 1 collapse, 0 survives
+  }
+
+  test("q_minhash_lsh: exact duplicates collide in all 4 bands; unrelated docs never pair") {
+    val full = SimilarityQueries.minhashLsh.run(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(full((0L, 1L)) === 4L)
+    assert(!full.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("q_ngram_jaccard: near-identical docs pass the 0.1 threshold, unrelated don't") {
+    val pairs = SimilarityQueries.ngramJaccard.run(spark, docsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q_simhash: identical docs get identical signatures; unrelated docs differ") {
+    val sig = SimilarityQueries.simhash.run(spark, docsDir)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) === sig(1L))
+    assert(sig(0L) !== sig(3L))
+    assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("file-source stream with watermark aggregates tumbling windows") {
+    val dir = Files.createTempDirectory("stream_in").toString
+    Files.write(Paths.get(dir, "batch1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:10.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:40.000Z","user_id":2,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:01:10.000Z","user_id":1,"event_type":"view","value":3.0}"""
+    ).mkString("\n").getBytes)
+
+    val q = EventStream.windowedCounts(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("windowed")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cast(w_start AS STRING) w, event_type, n, sum_value FROM windowed ORDER BY w, event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows === Array(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 00:01:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+}

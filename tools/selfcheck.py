@@ -66,6 +66,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"[ARG-ERR] unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:
@@ -93,6 +97,9 @@ def main():
             print(f"[ok]   {name} ({len(spark_df)} rows)" + (f"  {note}" if note else ""))
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} failing ==")
+    if n_ok + n_bad == 0:
+        print("[ARG-ERR] zero queries checked")
+        sys.exit(2)
     sys.exit(1 if n_bad else 0)
 
 

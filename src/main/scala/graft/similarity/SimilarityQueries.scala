@@ -237,5 +237,92 @@ object SimilarityQueries extends QueryModule {
       FROM votes GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  override def all: Seq[Q] = Seq(cosineTopK, ngramJaccard, minhashLsh, simhash)
+  /** Deterministic pseudo-random hyperplane weights for sign-LSH:
+    * 4 planes × 64 dims, integer values in [-3, 3]. Shared verbatim by
+    * the Spark plan and the oracle SQL (single source of truth). */
+  private val planes: Seq[Array[Int]] =
+    (0 until 4).map(j => Array.tabulate(64)(i => ((i * 31 + j * 17) % 7) - 3))
+
+  /** LSH-bucketed approximate nearest neighbor — the 100 TB path for
+    * q_cosine_topk: random-hyperplane signs put each vector in one of
+    * 16 buckets; candidates are only same-bucket vectors, so the scored
+    * set shrinks ~16x (tune planes/bands for recall). The hyperplane
+    * dot products use exact integer arithmetic (round(x·1e6)·w summed
+    * in BIGINT) so bucketing is order-independent and oracle-exact;
+    * final cosine scoring is identical to the brute-force baseline.
+    */
+  val annLsh = Q(
+    "q_ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn(
+          "nrm",
+          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      def dot(j: Int): Column = aggregate(
+        zip_with(col("v"), array(planes(j).map(lit(_)): _*),
+          (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
+      val bucketed = emb.withColumn(
+        "bucket",
+        (0 until 4).map(j => when(dot(j) >= 0, lit(8 >> j)).otherwise(lit(0)))
+          .reduce(_ + _))
+      val q = bucketed
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val scored = bucketed
+        .join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn(
+          "sim",
+          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("qnrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("bucket"),
+          round(col("sim"), 6).as("sim_r"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }, {
+      def planeSql(j: Int): String = {
+        val w = planes(j).mkString("[", ", ", "]")
+        s"""CAST(list_sum(list_transform(list_zip(v, $w),
+             z -> CAST(round(struct_extract(z, 1) * 1000000) AS BIGINT)
+                  * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
+      }
+      Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e),
+      b AS (
+        SELECT vec_id, v, nrm,
+               (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN ${planeSql(1)} >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN ${planeSql(2)} >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN ${planeSql(3)} >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM n),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM b WHERE vec_id < 5),
+      p AS (
+        SELECT b.vec_id, q.q_id, b.bucket,
+               list_sum(list_transform(list_zip(b.v, q.qv),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (b.nrm * q.qnrm) AS sim
+        FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.q_id),
+      r AS (
+        SELECT q_id, vec_id, bucket, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM p)
+      SELECT q_id, vec_id, bucket, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""")
+    }
+  )
+
+  override def all: Seq[Q] = Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh)
 }

@@ -147,10 +147,13 @@ object TextQueries extends QueryModule {
     "q_fingerprint",
     (s, dir) =>
       t(s, dir, "documents")
+        // prefix hash FIRST, then explode — inside one select the
+        // per-doc md5 would be re-evaluated once per generated token row
         .select(
           col("doc_id"),
           md5(array_join(slice(toks(col("text")), 1, 8), " ")).as("fp_prefix"),
-          explode(toks(col("text"))).as("w"))
+          toks(col("text")).as("ws"))
+        .select(col("doc_id"), col("fp_prefix"), explode(col("ws")).as("w"))
         .withColumn("th", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
         .groupBy(col("doc_id"), col("fp_prefix"))
         .agg(bit_xor(col("th")).as("fp_xor"))

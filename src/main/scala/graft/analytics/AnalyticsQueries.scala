@@ -357,7 +357,52 @@ object AnalyticsQueries extends QueryModule {
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
   )
 
+  /** As-of join (SURVEY §2.5 joins stretch goal) — each event picks up
+    * the latest hourly checkpoint at-or-before its timestamp, per
+    * event_type. Implemented with the union+ordered-window trick: tag
+    * both streams, sort by (time, tag) inside each key, and carry the
+    * last checkpoint forward with `last(_, ignoreNulls)` — one shuffle
+    * on the key, no range join, no per-row probe. The oracle runs
+    * DuckDB's native ASOF JOIN, so two independent algorithms must
+    * agree row-for-row. At 100 TB the window key becomes (type, day)
+    * with boundary carry-over to bound partition size.
+    */
+  val asofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val cp = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("cutoff"))
+        .agg(count(lit(1)).as("n_cp"))
+      val tagged = cp
+        .select(col("event_type"), col("cutoff").as("t"), lit(0).as("tag"),
+          col("n_cp"), lit(null).cast(LongType).as("event_id"))
+        .unionByName(ev.select(col("event_type"), col("ts").as("t"), lit(1).as("tag"),
+          lit(null).cast(LongType).as("n_cp"), col("event_id")))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("cutoff_ms",
+          last(when(col("tag") === 0, unix_millis(col("t"))), ignoreNulls = true).over(w))
+        .withColumn("cp_n",
+          last(when(col("tag") === 0, col("n_cp")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("event_type"), col("cutoff_ms"),
+          col("cp_n").as("n_cp"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH cp AS (
+        SELECT event_type, date_trunc('hour', ts) AS cutoff, count(*) AS n_cp
+        FROM events GROUP BY 1, 2)
+      SELECT e.event_id, e.event_type, epoch_ms(cp.cutoff) AS cutoff_ms, cp.n_cp
+      FROM events e
+      ASOF JOIN cp ON e.event_type = cp.event_type AND e.ts >= cp.cutoff
+      ORDER BY e.event_id""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, approxDistinct, rollupQ, cubeQ, windowRank, windowFrame,
-    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit)
+    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin)
 }

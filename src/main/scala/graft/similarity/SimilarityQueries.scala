@@ -22,20 +22,27 @@ object SimilarityQueries extends QueryModule {
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
   /** Distinct word 3-gram shingles per document — the blocking key for
-    * the Jaccard and MinHash queries. Built with posexplode + lead so
-    * the shingling is one window pass per doc (oracle mirrors it with
-    * unnest + lead).
+    * the Jaccard and MinHash queries. Built entirely with higher-order
+    * functions on the token array (sequence → element_at), so shingling
+    * is a pure map-side expression: no posexplode-then-window pass, no
+    * shuffle until the distinct. (The oracle mirrors the same shingle
+    * set with unnest + lead — different algorithm, same output.)
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  private def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .withColumn("w2", lead(col("w"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("ws")) >= 3,
+            transform(
+              sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ",
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2),
+                element_at(col("ws"), i + 3))))
+            .otherwise(array().cast("array<string>"))).as("s"))
       .distinct()
-  }
 
   /** Oracle-side twin of [[shingles]] as a CTE body. */
   private val shinglesSql = """
@@ -66,20 +73,17 @@ object SimilarityQueries extends QueryModule {
         .select(
           col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn(
-          "nrm",
-          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        // graft_dot: fused native expression (functions.DotProduct) —
+        // same ascending-index accumulation as zip_with+aggregate, one
+        // pass, no intermediate array.
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val q = emb.select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
         .filter(col("q_id") < 5)
       val scored = emb
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn(
-          "dot",
-          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x))
-        .withColumn("sim", col("dot") / (col("nrm") * col("qnrm")))
+        .withColumn("sim", expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       scored
         .withColumn("rn", row_number().over(w).cast(LongType))
@@ -258,9 +262,7 @@ object SimilarityQueries extends QueryModule {
         .select(
           col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn(
-          "nrm",
-          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       def dot(j: Int): Column = aggregate(
         zip_with(col("v"), array(planes(j).map(lit(_)): _*),
           (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
@@ -276,10 +278,8 @@ object SimilarityQueries extends QueryModule {
       val scored = bucketed
         .join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn(
-          "sim",
-          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("qnrm")))
+        .withColumn("sim",
+          expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       scored
         .withColumn("rn", row_number().over(w).cast(LongType))

@@ -13,6 +13,8 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // Custom Catalyst surface (graft_dot native expression).
+      .withExtensions(graft.functions.GraftExtensions.register)
       // One shuffle partition per core: at sf<=0.1 a 200-partition
       // default just multiplies task overhead. On a real cluster this
       // would be ~2-3x total cores (or left to AQE coalescing).

@@ -11,6 +11,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      .withExtensions(graft.functions.GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

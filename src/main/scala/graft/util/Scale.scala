@@ -1,0 +1,89 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities the 100 TB deployment leans on: salting for skewed
+  * join keys and bucketing for shuffle-free co-located joins.
+  *
+  * AQE's skew-join split (spark.sql.adaptive.skewJoin) handles most
+  * skew automatically; explicit salting remains the tool when one key
+  * dominates so heavily that even split partitions blow memory, or for
+  * skewed AGGREGATION (AQE doesn't split agg keys). Bucketing
+  * pre-shuffles once at write time so every later equi-join/agg on the
+  * bucket key runs exchange-free.
+  */
+object Scale {
+
+  /** Skew-safe equi-join: the skewed (large, hot-keyed) side gets a
+    * random salt in [0, salts); the small side is exploded to every
+    * salt value. Join key becomes (key, salt) → the hot key spreads
+    * over `salts` partitions. Result rows identical to the plain join.
+    *
+    * The salt uses a hash of the row's other columns, not rand(), so
+    * the join stays deterministic and retry-safe (a rand() salt changes
+    * on task retry — poison for exactly-once sinks).
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int): DataFrame = {
+    val saltedBig = skewed.withColumn(
+      "_salt",
+      pmod(hash(skewed.columns.filter(_ != key).map(col).toSeq: _*), lit(salts)))
+    val explodedSmall = small.withColumn(
+      "_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(explodedSmall, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
+  /** Skew-safe aggregation: two-phase (partial by (key, salt), final by
+    * key). For commutative+associative aggregates this equals the
+    * one-phase result; the hot key's partial states spread over
+    * `salts` reducers. (Spark's own partial aggregation usually covers
+    * this — explicit salting is for high-cardinality-accumulator aggs
+    * like collect_list where map-side combine doesn't shrink state.)
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum_value"))
+
+  /** Write a table bucketed (and sorted) by a join key. Later equi-joins
+    * or aggregations between tables bucketed the same way run with NO
+    * shuffle exchange — the write paid the shuffle once. This is the
+    * co-location strategy for repeated fact⋈fact joins at 100 TB.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True if the FINAL executed plan of `df` contains a shuffle
+    * exchange — the thing bucketing exists to eliminate (used by
+    * ScaleSpec to prove co-location). Materializes the DataFrame so
+    * AQE finishes re-planning; inspect after, not before.
+    */
+  def hasShuffle(df: DataFrame): Boolean = {
+    df.collect()
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+      .contains("Exchange")
+  }
+}

@@ -341,6 +341,31 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Exact percentiles (median + p90) per group — order statistics with
+    * linear interpolation (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    * Deterministic: an order statistic of a fixed multiset doesn't
+    * depend on aggregation order, and both engines interpolate the same
+    * two neighbors. At 100 TB you'd swap in approx_percentile's
+    * KLL/GK sketch (bounded memory) — same query shape.
+    */
+  val percentile = Q(
+    "q_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS p50,
+             quantile_cont(l_extendedprice, 0.9) AS p90,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -404,5 +429,6 @@ object AnalyticsQueries extends QueryModule {
 
   override def all: Seq[Q] = Seq(
     distinctQ, approxDistinct, rollupQ, cubeQ, windowRank, windowFrame,
-    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin)
+    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
+    percentile)
 }

@@ -156,26 +156,29 @@ object SimilarityQueries extends QueryModule {
   /** MinHash + LSH banding — 8 md5-derived minhashes per doc, folded
     * into 4 bands of 2; documents sharing any band signature become
     * candidate pairs via an equi-join on (band, signature). This is the
-    * sub-quadratic near-dup path: at 100 TB the only shuffles are
-    * (doc × seed) → min and the band-bucket join; no pair is ever
+    * sub-quadratic near-dup path: at 100 TB the only shuffles are one
+    * doc-keyed aggregation (all 8 minhashes as parallel min columns,
+    * map-side combined) and the band-bucket join; no pair is ever
     * scored unless it collides.
     */
   val minhashLsh = Q(
     "q_minhash_lsh",
     (s, dir) => {
       val sh = shingles(s, dir)
-      val seeds = sh.sparkSession.range(8).toDF("seed")
-      val mh = sh
-        .crossJoin(broadcast(seeds))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("mh"))
+      // All 8 minhashes in ONE aggregation pass (8 min columns) instead
+      // of exploding shingles x seeds: 8x less shuffle volume, and
+      // map-side partial min keeps reducer input tiny at any corpus size.
+      val mhCols = (0 until 8).map(k =>
+        min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+      val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
       val bands = mh
-        .groupBy(col("doc_id"), expr("seed div 2").as("band"))
-        .agg(
-          array_join(
-            transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-              x => x.getField("mh")),
-            "|").as("sig"))
+        .select(
+          col("doc_id"),
+          explode(array((0 until 4).map(b => struct(
+            lit(b).as("band"),
+            concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
+            .as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

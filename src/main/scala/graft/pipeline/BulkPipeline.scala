@@ -2,6 +2,8 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The reference's orchestration shape (O1–O3, SURVEY §2.4) as local
   * control flow around Spark jobs: staged directories with atomic-ish
@@ -68,6 +70,62 @@ object BulkPipeline {
     val dst = new Path(target)
     if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(new Path(tmp), dst), s"promotion rename failed: $tmp -> $target")
+  }
+
+  /** The reference's whole `bulkimport` flow (trace: SURVEY §3.1),
+    * minus the network legs: landing NDJSON per resource type →
+    * schema'd scan with corrupt-line quarantine → (source, type)
+    * dispatch transform → processed NDJSON → stage promotion → FHIR
+    * `$import`-shaped manifest over the promoted files (ref
+    * `build_fhir_import_parameters`, `__init__.py:205-242`).
+    *
+    * Every per-file step the reference runs serially (`:644-665`) is a
+    * parallel Spark job here; the quarantine count is returned instead
+    * of crashing the run.
+    *
+    * @return (manifest JSON string, corrupt-line count per resource)
+    */
+  def runLocalFlow(
+      spark: SparkSession,
+      stages: Stages,
+      serverUrl: String,
+      resources: Seq[(String, StructType)],
+      rxnorm: DataFrame): (String, Map[String, Long]) = {
+    val corrupt = resources.map { case (name, schema) =>
+      val raw = graft.ingest.Ndjson.read(spark, s"${stages.landing}/$name-*.json", schema)
+      val nBad = graft.ingest.Ndjson.corrupt(raw).count()
+      val transformed = graft.transform.FhirTransforms
+        .dispatch(serverUrl, name, rxnorm)(graft.ingest.Ndjson.good(raw))
+      graft.ingest.Ndjson.write(transformed, s"${stages.processed}/$name")
+      promoteDir(spark, s"${stages.processed}/$name", s"${stages.promoted}/$name")
+      name -> nBad
+    }.toMap
+
+    // Manifest: one input entry per promoted part-file, grouped by type
+    // (the reference's blob listing + Parameters build, `:199-242`).
+    val fs = new Path(stages.promoted).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = resources.flatMap { case (name, _) =>
+      fs.listStatus(new Path(s"${stages.promoted}/$name"))
+        .filter(s => s.getPath.getName.startsWith("part-"))
+        .map(s => (name, s.getPath.toString))
+    }
+    import spark.implicits._
+    val manifest = entries.toDF("type", "url")
+      .groupBy(lit("application/fhir+ndjson").as("inputFormat"))
+      .agg(sort_array(collect_list(struct(col("type"), col("url")))).as("input"))
+      .select(to_json(struct(col("inputFormat"), col("input"))).as("m"))
+      .as[String].head()
+    (manifest, corrupt)
+  }
+
+  /** Directory-level stage promotion by FS rename (replaces the
+    * reference's per-blob copy+delete, `__init__.py:338-349`). */
+  def promoteDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new Path(dst)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d.getParent)
+    require(fs.rename(new Path(src), d), s"stage promotion failed: $src -> $dst")
   }
 
   /** `_since` cursor persistence (ref `__init__.py:609-613`): the next

@@ -327,5 +327,70 @@ object SimilarityQueries extends QueryModule {
     }
   )
 
-  override def all: Seq[Q] = Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh)
+  /** Embedding-cosine near-duplicate pairs — dedup over the vector
+    * space: LSH-bucket blocking (same 4-plane signs as q_ann_lsh), then
+    * cosine within bucket only, pairs above threshold with id1 < id2.
+    * The corpus embeddings are near-random (max pairwise cosine ~0.51)
+    * so the 0.4 threshold yields a small demo set; SimilaritySpec
+    * plants true duplicates to prove collapse. Same sub-quadratic
+    * shape as MinHash: Σ bucket², never corpus².
+    */
+  val embedDedup = Q(
+    "q_embed_dedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      def dot(j: Int): Column = aggregate(
+        zip_with(col("v"), array(planes(j).map(lit(_)): _*),
+          (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
+      val b = emb.withColumn(
+        "bucket",
+        (0 until 4).map(j => when(dot(j) >= 0, lit(8 >> j)).otherwise(lit(0)))
+          .reduce(_ + _))
+      val right = b.select(
+        col("bucket"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      b.join(right, Seq("bucket"))
+        .filter(col("vec_id") < col("id2"))
+        .withColumn("sim", expr("graft_dot(v, v2)") / (col("nrm") * col("n2")))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_id").as("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("id1"), col("id2"))
+    }, {
+      def planeSql(j: Int): String = {
+        val w = planes(j).mkString("[", ", ", "]")
+        s"""CAST(list_sum(list_transform(list_zip(v, $w),
+             z -> CAST(round(struct_extract(z, 1) * 1000000) AS BIGINT)
+                  * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
+      }
+      Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e),
+      b AS (
+        SELECT vec_id, v, nrm,
+               (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN ${planeSql(1)} >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN ${planeSql(2)} >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN ${planeSql(3)} >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM n),
+      p AS (
+        SELECT a.vec_id AS id1, c.vec_id AS id2,
+               list_sum(list_transform(list_zip(a.v, c.v),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (a.nrm * c.nrm) AS sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT id1, id2, round(sim, 6) AS sim_r
+      FROM p WHERE sim >= 0.4 ORDER BY id1, id2""")
+    }
+  )
+
+  override def all: Seq[Q] =
+    Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, embedDedup)
 }

@@ -170,6 +170,54 @@ object TextQueries extends QueryModule {
       FROM tok GROUP BY doc_id, fp_prefix ORDER BY doc_id""")
   )
 
+  /** BPE-style pre-tokenization count — the GPT-2-ish pretokenizer
+    * regex (space-attached word / number / punctuation runs) whose
+    * match count approximates subword-token budgets far better than
+    * whitespace splitting. Pure per-row regex, no shuffle.
+    */
+  val textBpe = Q(
+    "q_text_bpe",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lsize(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+            .as("n_bpe"),
+          lsize(toks(col("text"))).as("n_ws"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+                  AS BIGINT) AS n_bpe,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Rolling (polynomial) hash fingerprint — Rabin-Karp style fold over
+    * the character stream: h = fold(h*31 + code) mod 1e9+7. Exact
+    * integer arithmetic, identical left-to-right fold on both engines.
+    * (ASCII corpus; a production version folds over UTF-8 bytes.)
+    */
+  val rollingHash = Q(
+    "q_rolling_hash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          expr("""aggregate(
+                    transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                    0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fp_roll"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                                i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+      FROM documents ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
-    Seq(dedup, textTokens, textStats, langId, fingerprint)
+    Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash)
 }

@@ -50,6 +50,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("q_embed_dedup: planted duplicate vectors pair with sim 1.0; orthogonal ones don't") {
+    val dir = Files.createTempDirectory("embdocs").toString
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val ortho = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * math.cos(i * 0.3).toFloat)
+    Seq(
+      (0L, base.toSeq, 0), (1L, base.toSeq, 0), // exact duplicates
+      (2L, ortho.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = SimilarityQueries.embedDedup.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0)) // same bucket, cosine 1
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("q_simhash: identical docs get identical signatures; unrelated docs differ") {
     val sig = SimilarityQueries.simhash.run(spark, docsDir)
       .as[(Long, Long)].collect().toMap

@@ -173,6 +173,38 @@ object AnalyticsQueries extends QueryModule {
       FROM orders ORDER BY o_orderkey""")
   )
 
+  /** RANGE-frame window — trailing 30-day order value per customer:
+    * the frame is bounded by the ORDER BY *value* (epoch days), not row
+    * position, so gaps and same-day ties behave correctly (all rows of
+    * one day share one frame). Complements the ROWS frame in
+    * q_window_frame.
+    */
+  val windowRange = Q(
+    "q_window_range",
+    (s, dir) => {
+      val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast(LongType)
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("trailing_30d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS trailing_30d
+      FROM orders ORDER BY o_orderkey""")
+  )
+
   /** Per-group top-k — the scalable top-k idiom: row_number inside each
     * partition then filter k, so only k rows per group survive the
     * window stage (vs a global sort). At 100 TB this is the only form
@@ -430,5 +462,5 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, approxDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile)
+    percentile, windowRange)
 }

@@ -7,6 +7,31 @@ import graft.TestSpark
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("built-in session_window groups events by inactivity gap") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sessw_in").toString
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:03:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T12:00:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = spark.readStream.schema(EventStream.eventSchema).json(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("string").as("s"), col("n"))
+      .writeStream.format("memory").queryName("sessw").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, s, n FROM sessw ORDER BY s")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // events 1+2 merge (3-min gap < 5); event 3 is its own session
+      assert(rows.map(_._3).toSeq === Seq(2L, 1L))
+      assert(rows(0)._2.startsWith("2024-01-01 10:00:00"))
+      assert(rows(1)._2.startsWith("2024-01-01 12:00:00"))
+    } finally q.stop()
+  }
+
   test("file-source stream with watermark aggregates tumbling windows") {
     val dir = Files.createTempDirectory("stream_in").toString
     Files.write(Paths.get(dir, "batch1.json"), Seq(

@@ -8,8 +8,18 @@ package graft
   * number swung 1.9x between identical binaries (VERDICT r02), so min-of-3
   * is the signal, not the noise. A failing query prints its error and
   * fails the whole bench (exit 1) instead of silently scoring -1.
+  *
+  * Evaluation is forced through the `noop` sink, not `count()`:
+  * Catalyst prunes unreferenced projections under a count, so a count
+  * harness times scan+count for projection-only queries (the r03 bench
+  * under-measured q_text_bpe/q_rolling_hash/q_window_* that way). The
+  * noop sink fully evaluates and serializes every output row, then
+  * discards it — honest per-query cost, no disk noise.
   */
 object Bench {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
@@ -19,10 +29,10 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warm-up: plan + JIT + page cache
+        force(fn(spark, sfDir)) // warm-up: plan + JIT + page cache
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          force(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * intermediate array per row and walks it twice. Accumulation order is
   * ascending index, identical to the HOF composition (and to DuckDB's
   * list_sum(list_transform(...))), so swapping it in changes no result
-  * bit.
+  * bit — INCLUDING on unequal-length inputs, where zip_with pads with
+  * null, the product is null, and the aggregate yields NULL: this
+  * expression returns null there too rather than silently summing over
+  * the shorter prefix.
   *
   * This is the engine's custom-Expression extension-point proof
   * (SURVEY §4: custom pieces only where measured; preference order per
@@ -23,6 +26,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Null on length mismatch even when both inputs are non-null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -34,11 +40,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,12 +56,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val s = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -62,7 +75,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /** Session-extension registration (the public injection API): gives SQL
-  * and `expr(...)` access to `graft_dot`. Wire with
+  * and `expr(...)` access to the native expressions. Wire with
   * `SparkSession.builder().withExtensions(GraftExtensions.register)`.
   */
 object GraftExtensions {
@@ -73,6 +86,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_roll"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_roll"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_roll(bytes) takes exactly 1 argument")
+        RollingHash(args.head)
       }))
   }
 }

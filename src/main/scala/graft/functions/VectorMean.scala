@@ -17,10 +17,19 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  /** Ragged inputs are a data bug, not a shape to average over — fail
+    * fast with the offending dimensions instead of corrupting the sum
+    * (or throwing ArrayIndexOutOfBounds mid-aggregation). */
+  private def requireSameDim(expected: Int, got: Int, where: String): Unit =
+    require(expected == got,
+      s"VectorMean.$where: embedding dimension mismatch — accumulator has " +
+        s"$expected dims, input has $got (ragged vector column)")
+
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     if (v == null) b
     else {
       val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      requireSameDim(acc.length, v.length, "reduce")
       var i = 0
       while (i < v.length) { acc(i) += v(i); i += 1 }
       (acc, b._2 + 1)
@@ -31,6 +40,7 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      requireSameDim(a._1.length, b._1.length, "merge")
       var i = 0
       while (i < b._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -43,26 +43,65 @@ object Multimodal {
       height: Int,
       frames_sampled: Int)
 
-  /** STUB — deterministic fake codec. Replace with a real decoder
-    * (javacv / TwelveMonkeys / soundlibs) in a real deployment; every
-    * value is a pure function of the payload bytes so tests are stable.
+  /** Codec abstraction the dataflow is written against: swap decoders
+    * without touching the Spark plumbing. Must be Serializable — it
+    * ships inside the mapPartitions closure to every executor.
     */
-  object FakeCodec {
+  trait Codec extends Serializable {
     def checksum(payload: Array[Byte]): Long =
       payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+    def decodeDims(kind: String, payload: Array[Byte]): (Int, Int)
+    def sampleFrames(payload: Array[Byte], everyK: Int): Int
+  }
+
+  /** STUB — deterministic fake codec for the media kinds the JVM can't
+    * decode without external libraries (audio duration, video frames).
+    * Every value is a pure function of the payload bytes so tests are
+    * stable.
+    */
+  object FakeCodec extends Codec {
+    override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) = {
       val h = checksum(payload)
       (64 + (math.abs(h) % 1024).toInt, 64 + (math.abs(h >> 10) % 1024).toInt)
     }
     /** Pretend frame sampler: every k-th "frame" (64-byte block). */
-    def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+    override def sampleFrames(payload: Array[Byte], everyK: Int): Int =
       if (payload.isEmpty) 0 else (payload.length / 64) / math.max(everyK, 1) + 1
   }
 
-  /** Batched feature extraction over the binary column — partition-
-    * parallel, no shuffle; one output row per media row.
+  /** REAL image path — `javax.imageio` ships in the JDK (PNG/JPEG/GIF/
+    * BMP), zero new dependencies: image payloads are actually decoded
+    * and report true pixel dimensions. Undecodable payloads and
+    * non-image kinds fall back to [[FakeCodec]]'s deterministic stub
+    * values, so one mixed-kind table still extracts in a single pass.
     */
-  def extractFeatures(media: DataFrame, frameEveryK: Int = 8): Dataset[MediaFeature] = {
+  object ImageIoCodec extends Codec {
+    override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
+      if (kind != "image" || payload.isEmpty) FakeCodec.decodeDims(kind, payload)
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img == null) FakeCodec.decodeDims(kind, payload) // no reader claims it
+          else (img.getWidth, img.getHeight)
+        } catch {
+          // Truncated/corrupt image data must not kill a 100 TB extract
+          // job — degrade to the stub dims for that row.
+          case _: java.io.IOException | _: RuntimeException =>
+            FakeCodec.decodeDims(kind, payload)
+        }
+    override def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+      FakeCodec.sampleFrames(payload, everyK)
+  }
+
+  /** Batched feature extraction over the binary column — partition-
+    * parallel, no shuffle; one output row per media row. Decode runs
+    * map-side on the scan partitioning via the given codec
+    * ([[ImageIoCodec]] = real image decode, [[FakeCodec]] = all-stub).
+    */
+  def extractFeatures(
+      media: DataFrame,
+      frameEveryK: Int = 8,
+      codec: Codec = ImageIoCodec): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -70,16 +109,16 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
         val bytes = if (payload == null) Array.emptyByteArray else payload
-        val (w, h) = FakeCodec.decodeDims(bytes)
+        val (w, h) = codec.decodeDims(kind, bytes)
         MediaFeature(
           media_id = id,
           kind = kind,
           n_bytes = bytes.length.toLong,
-          checksum = FakeCodec.checksum(bytes),
+          checksum = codec.checksum(bytes),
           width = w,
           height = h,
           frames_sampled =
-            if (kind == "video") FakeCodec.sampleFrames(bytes, frameEveryK) else 0)
+            if (kind == "video") codec.sampleFrames(bytes, frameEveryK) else 0)
       })
   }
 

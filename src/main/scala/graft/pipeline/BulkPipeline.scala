@@ -57,7 +57,7 @@ object BulkPipeline {
   }
 
   /** Promote a completed stage: write to a temp dir next to the target,
-    * then a single FS rename — the job-commit idiom that replaces the
+    * then swap it in by rename — the job-commit idiom that replaces the
     * reference's per-blob copy+delete loop (`copy_blobs`,
     * `__init__.py:338-349`). On HDFS/ABFS the rename is atomic at the
     * directory level; on S3 a committer handles it.
@@ -66,10 +66,30 @@ object BulkPipeline {
     val spark = df.sparkSession
     val tmp = target + ".__staging__"
     df.write.mode("overwrite").parquet(tmp)
+    swapIn(spark, tmp, target)
+  }
+
+  /** Crash-safe directory swap: the previous target is renamed ASIDE
+    * (not deleted) before the staging dir renames into place, and only
+    * then removed. A crash between the two renames leaves the old data
+    * recoverable at `<target>.__old__` instead of gone — the
+    * delete-then-rename version had a window where a failure lost the
+    * last promoted copy AND left readers with nothing.
+    */
+  private def swapIn(spark: SparkSession, src: String, target: String): Unit = {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(target)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(new Path(tmp), dst), s"promotion rename failed: $tmp -> $target")
+    val old = new Path(target + ".__old__")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst))
+      require(fs.rename(dst, old), s"promotion aside-rename failed: $target -> $old")
+    if (!fs.rename(new Path(src), dst)) {
+      // Roll back so readers keep seeing the previous promoted data.
+      if (fs.exists(old)) fs.rename(old, dst)
+      throw new IllegalStateException(s"promotion rename failed: $src -> $target")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** The reference's whole `bulkimport` flow (trace: SURVEY §3.1),
@@ -119,14 +139,10 @@ object BulkPipeline {
   }
 
   /** Directory-level stage promotion by FS rename (replaces the
-    * reference's per-blob copy+delete, `__init__.py:338-349`). */
-  def promoteDir(spark: SparkSession, src: String, dst: String): Unit = {
-    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val d = new Path(dst)
-    if (fs.exists(d)) fs.delete(d, true)
-    fs.mkdirs(d.getParent)
-    require(fs.rename(new Path(src), d), s"stage promotion failed: $src -> $dst")
-  }
+    * reference's per-blob copy+delete, `__init__.py:338-349`); same
+    * crash-safe aside-rename swap as [[writeAndPromote]]. */
+  def promoteDir(spark: SparkSession, src: String, dst: String): Unit =
+    swapIn(spark, src, dst)
 
   /** `_since` cursor persistence (ref `__init__.py:609-613`): the next
     * incremental extract reads only rows with ts > cursor. Stored as a

@@ -174,6 +174,13 @@ object TextQueries extends QueryModule {
     * regex (space-attached word / number / punctuation runs) whose
     * match count approximates subword-token budgets far better than
     * whitespace splitting. Pure per-row regex, no shuffle.
+    *
+    * Unicode-correct: `\p{L}`/`\p{N}` character classes (letters and
+    * digits of ANY script, not `[a-z0-9]`), supported identically by
+    * Java regex (Spark) and RE2 (DuckDB) — parity verified on accented
+    * and non-Latin input in TextOpsSpec. The pattern is passed as a
+    * Column literal, not through `expr`, so no SQL-string escaping
+    * layer touches the backslashes.
     */
   val textBpe = Q(
     "q_text_bpe",
@@ -181,22 +188,31 @@ object TextQueries extends QueryModule {
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          lsize(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
-            .as("n_bpe"),
+          lsize(regexp_extract_all(
+            col("text"),
+            lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} ]+"),
+            lit(0))).as("n_bpe"),
           lsize(toks(col("text"))).as("n_ws"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+             CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+'))
                   AS BIGINT) AS n_bpe,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
       FROM documents ORDER BY doc_id""")
   )
 
   /** Rolling (polynomial) hash fingerprint — Rabin-Karp style fold over
-    * the character stream: h = fold(h*31 + code) mod 1e9+7. Exact
-    * integer arithmetic, identical left-to-right fold on both engines.
-    * (ASCII corpus; a production version folds over UTF-8 bytes.)
+    * the UTF-8 BYTE stream: h = fold(h*31 + byte) mod 1e9+7. Byte-level
+    * (not codepoint-level) so the fingerprint matches what a Rabin-Karp
+    * chunker computes over raw files; multi-byte parity proven on
+    * non-ASCII input in TextOpsSpec. Spark side runs the native
+    * codegen'd [[graft.functions.RollingHash]] (one pass over the
+    * bytes, zero per-byte allocation — the built-in hex/transform/
+    * aggregate composition was the engine's slowest query at 7.9s on
+    * sf0.1); the oracle folds the hex expansion of the same bytes,
+    * two chars per pair — exact integer arithmetic, identical
+    * left-to-right fold. Still a pure per-row expression, no shuffle.
     */
   val rollingHash = Q(
     "q_rolling_hash",
@@ -204,18 +220,17 @@ object TextQueries extends QueryModule {
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          expr("""aggregate(
-                    transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-                    0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fp_roll"))
+          expr("graft_roll(encode(text, 'UTF-8'))").as("fp_roll"))
         .orderBy(col("doc_id")),
     Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
       SELECT doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, length(text) + 1),
-                                i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                 list_transform(range(1, length(hx) // 2 + 1),
+                                i -> CAST(('0x' || substring(hx, 2*i-1, 2)) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
-      FROM documents ORDER BY doc_id""")
+      FROM h ORDER BY doc_id""")
   )
 
   override def all: Seq[Q] =

@@ -15,23 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Skew-safe equi-join: the skewed (large, hot-keyed) side gets a
-    * random salt in [0, salts); the small side is exploded to every
-    * salt value. Join key becomes (key, salt) → the hot key spreads
-    * over `salts` partitions. Result rows identical to the plain join.
+  /** Salt expression in [0, salts): hash of the row's non-key columns
+    * MIXED WITH `monotonically_increasing_id()` (partition id << 33 |
+    * row offset). The row-id component is what makes the spread robust:
+    * real skew is usually duplicate-heavy (the hot key's rows carry
+    * identical payloads), and a payload-only hash would map ALL of them
+    * to one salt — zero spread exactly when salting matters most. It
+    * also covers the degenerate key-only schema (no non-key columns),
+    * where a bare hash(...) would throw.
     *
-    * The salt uses a hash of the row's other columns, not rand(), so
-    * the join stays deterministic and retry-safe (a rand() salt changes
-    * on task retry — poison for exactly-once sinks).
+    * Not rand(): the row id is a pure function of (partition, offset),
+    * so a retry of the same task split recomputes the same salts —
+    * deterministic for exactly-once sinks as long as the upstream
+    * partitioning is (the same condition every deterministic Spark
+    * job already assumes).
+    */
+  private[util] def saltExpr(df: DataFrame, key: String, salts: Int) = {
+    val mix = df.columns.filter(_ != key).map(col).toSeq :+
+      monotonically_increasing_id()
+    pmod(hash(mix: _*), lit(salts))
+  }
+
+  /** Skew-safe equi-join: the skewed (large, hot-keyed) side gets a
+    * deterministic salt in [0, salts) (see [[saltExpr]]); the small
+    * side is exploded to every salt value. Join key becomes
+    * (key, salt) → the hot key spreads over `salts` partitions. Result
+    * rows identical to the plain join.
     */
   def saltedJoin(
       skewed: DataFrame,
       small: DataFrame,
       key: String,
       salts: Int): DataFrame = {
-    val saltedBig = skewed.withColumn(
-      "_salt",
-      pmod(hash(skewed.columns.filter(_ != key).map(col).toSeq: _*), lit(salts)))
+    val saltedBig = skewed.withColumn("_salt", saltExpr(skewed, key, salts))
     val explodedSmall = small.withColumn(
       "_salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -52,7 +68,8 @@ object Scale {
       key: String,
       valueCol: String,
       salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salts)))
+    df.withColumn("_salt",
+        pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

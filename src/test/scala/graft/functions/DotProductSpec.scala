@@ -20,6 +20,26 @@ class DotProductSpec extends AnyFunSuite {
     rows.foreach { case (native, hof) => assert(native === hof) }
   }
 
+  test("graft_dot yields NULL on unequal-length arrays, matching zip_with+aggregate") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      expr("graft_dot(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect().head
+    assert(row.isNullAt(0), "native must not silently sum over the shorter prefix")
+    assert(row.isNullAt(1), "HOF reference semantics: null-padded product -> null sum")
+  }
+
+  test("graft_roll matches a JVM byte fold, handles empty and null") {
+    val df = Seq(Some("hello"), Some(""), None).toDF("t")
+    val got = df.select(expr("graft_roll(encode(t, 'UTF-8'))")).collect()
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(got(0).getLong(0) === ref("hello"))
+    assert(got(1).getLong(0) === 0L)
+    assert(got(2).isNullAt(0))
+  }
+
   test("graft_dot is null-safe and type-checked") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(df.select(expr("graft_dot(a, b)")).collect().head.isNullAt(0))

@@ -30,4 +30,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.schema("payload").dataType.typeName === "binary")
     assert(media.schema("meta").dataType === Multimodal.mediaSchema("meta").dataType)
   }
+
+  /** PNG bytes of a wxh image rendered in-memory (no fixtures on disk). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec really decodes PNG payloads: true pixel dimensions") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "image", pngBytes(37, 21)),
+      (1L, "image", pngBytes(128, 64)),
+      (2L, "image", Array[Byte](1, 2, 3)), // garbage -> stub fallback
+      (3L, "audio", pngBytes(10, 10)))     // non-image kind -> stub, even for PNG bytes
+    val media = rows.toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height) === (37, 21))
+    assert((feats(1).width, feats(1).height) === (128, 64))
+    // fallback rows get the FakeCodec's deterministic (>=64) stub dims
+    assert(feats(2).width >= 64 && feats(2).height >= 64)
+    assert(feats(3).width >= 64 && feats(3).height >= 64)
+  }
+
+  test("codec is swappable without touching the dataflow (FakeCodec vs ImageIoCodec)") {
+    import spark.implicits._
+    val media = Seq((0L, "image", pngBytes(40, 30))).toDF("media_id", "kind", "payload")
+    val real = Multimodal.extractFeatures(media, codec = Multimodal.ImageIoCodec).head()
+    val fake = Multimodal.extractFeatures(media, codec = Multimodal.FakeCodec).head()
+    assert((real.width, real.height) === (40, 30))
+    assert((fake.width, fake.height) !== (40, 30)) // stub dims are payload-hash derived
+    assert(real.checksum === fake.checksum)        // checksum is codec-independent
+  }
 }

@@ -47,6 +47,19 @@ class PipelineSpec extends AnyFunSuite {
     BulkPipeline.writeAndPromote(Seq(9).toDF("x"), target) // second promote overwrites
     assert(spark.read.parquet(target).as[Int].collect() === Array(9))
     assert(!new java.io.File(s"$target.__staging__").exists())
+    // the crash-safety aside copy must be cleaned up after a successful swap
+    assert(!new java.io.File(s"$target.__old__").exists())
+  }
+
+  test("promotion recovers a leftover .__old__ aside from a crashed prior swap") {
+    val root = Files.createTempDirectory("promote2").toString
+    val target = s"$root/table"
+    BulkPipeline.writeAndPromote(Seq(1).toDF("x"), target)
+    // simulate a crash that died between aside-rename and cleanup
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$target.__old__"))
+    BulkPipeline.writeAndPromote(Seq(7, 8).toDF("x"), target)
+    assert(spark.read.parquet(target).count() === 2)
+    assert(!new java.io.File(s"$target.__old__").exists())
   }
 
   test("_since cursor round-trips and starts absent") {

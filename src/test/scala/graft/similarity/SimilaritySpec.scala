@@ -72,4 +72,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig(0L) !== sig(3L))
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
+
+  test("shingle DF cap bounds the hot-shingle join blowup") {
+    // 40 docs that all share one hot 3-gram ("common hot shingle") but
+    // are otherwise disjoint: the uncapped self-join pays C(40,2)=780
+    // candidate pairs for a shingle that carries zero near-dup signal;
+    // with the cap the bucket disappears and the pair count is 0.
+    val dir = Files.createTempDirectory("hotshingle").toString
+    (0 until 40).map { i =>
+      val text = s"common hot shingle unique$i word$i tail$i extra$i"
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def candidatePairs(maxDf: Int): Long = {
+      val sh = SimilarityQueries.shingles(spark, dir, maxDf)
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    }
+    assert(candidatePairs(maxDf = 100) >= 780L) // uncapped: quadratic in the hot bucket
+    assert(candidatePairs(maxDf = 10) === 0L)   // capped: hot shingle never joins
+  }
+
+  /** Planted-cluster embeddings: vec_ids 0-4 are query centers, each
+    * with 5 near-duplicate neighbors (center + small noise, cosine
+    * ~0.998), plus 200 unrelated background vectors. Deterministic
+    * (seeded java.util.Random is spec-stable across JVMs). */
+  private lazy val clusterDir: String = {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(5)(unit())
+    val rows = Seq.newBuilder[(Long, Seq[Float], Int)]
+    centers.zipWithIndex.foreach { case (c, q) => rows += ((q.toLong, c.map(_.toFloat).toSeq, q)) }
+    var id = 5L
+    centers.zipWithIndex.foreach { case (c, q) =>
+      (0 until 5).foreach { _ =>
+        val v = c.map(x => x + 0.05 * rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        rows += ((id, v.map(x => (x / n).toFloat).toSeq, q)); id += 1
+      }
+    }
+    (0 until 200).foreach { _ => rows += ((id, unit().map(_.toFloat).toSeq, -1)); id += 1 }
+    val dir = Files.createTempDirectory("annclusters").toString
+    rows.result().toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+
+  test("q_ann_lsh recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
+    val truth = top5(SimilarityQueries.cosineTopK.run(spark, clusterDir))
+    val ann = top5(SimilarityQueries.annLsh.run(spark, clusterDir))
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.6,
+      s"multi-probe ANN recall degraded: avg=$avg per-query=${recalls.toSeq}")
+  }
+
+  test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {
+    val a = SimilarityQueries.annLsh.run(spark, clusterDir)
+      .collect().map(_.toSeq).toSet
+    val b = SimilarityQueries.annLshShuffle.run(spark, clusterDir)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }

@@ -22,6 +22,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.size === 902) // 900 hot + 2 tail matches
   }
 
+  test("salt spreads even when the hot key's rows carry IDENTICAL payloads") {
+    // Degenerate skew: every hot row is a byte-identical duplicate — a
+    // payload-only hash maps them all to ONE salt (zero spread). The
+    // row-id mix must still fan them out over >1 bucket.
+    val degenerate = (1 to 1000).map(_ => (1L, "same")).toDF("k", "payload")
+    val nSalts = degenerate
+      .withColumn("_salt", Scale.saltExpr(degenerate, "k", 8))
+      .select("_salt").distinct().count()
+    assert(nSalts > 1, s"constant-payload hot key collapsed to $nSalts salt bucket(s)")
+
+    // Key-only schema (no non-key columns) must not throw either.
+    val keyOnly = (1 to 100).map(_ => Tuple1(1L)).toDF("k")
+    val nSaltsKeyOnly = keyOnly
+      .withColumn("_salt", Scale.saltExpr(keyOnly, "k", 8))
+      .select("_salt").distinct().count()
+    assert(nSaltsKeyOnly > 1)
+
+    // And the join result stays exactly the plain-join result.
+    val small = Seq((1L, "one")).toDF("k", "name")
+    assert(Scale.saltedJoin(degenerate, small, "k", 8).count() === 1000)
+  }
+
   test("saltedCountSum equals the one-phase aggregate") {
     val df = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i.toDouble))
       .toDF("k", "v")

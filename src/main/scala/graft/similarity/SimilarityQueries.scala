@@ -147,21 +147,40 @@ object SimilarityQueries extends QueryModule {
       FROM r WHERE rn <= 10 ORDER BY q_id, rn""")
   )
 
-  /** N-gram Jaccard near-dup — candidate pairs come from a self-join ON
-    * THE SHINGLE (inverted-index blocking): only documents sharing at
-    * least one 3-gram ever meet, so cost is Σ bucket² over shingle
-    * buckets, not corpus². Jaccard is kept integral
-    * (10·|A∩B| >= |A∪B| ⇔ J >= 0.1) so the oracle compare is exact.
+  /** N-gram Jaccard near-dup — candidate pairs come from inverted-index
+    * blocking on the shingle: only documents sharing at least one
+    * 3-gram ever meet, so cost is Σ bucket² over shingle buckets, not
+    * corpus². Pairs are generated by ONE aggregation per shingle
+    * (sorted doc list → ordered pairs via nested HOF transforms), not a
+    * self-join — that removes a second full shuffle of the shingle set
+    * plus the join, and singleton shingles (df=1, the vast majority of
+    * a real corpus) produce zero pairs without ever re-shuffling. The
+    * DF cap bounds every doc list at [[MaxShingleDf]], so per-shingle
+    * pair expansion is at most C(cap,2) rows — map-side, no skew.
+    * The per-doc shingle counts (|A|, |B| for the union size) are
+    * derived from the SAME per-shingle grouping (explode the doc
+    * lists back out), so the scan→shingle→distinct→cap pipeline
+    * appears once in the plan instead of three times.
+    * Jaccard is kept integral (10·|A∩B| >= |A∪B| ⇔ J >= 0.1) so the
+    * oracle compare is exact.
     */
   val ngramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val grouped = shingles(s, dir)
+        .groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      val cnt = grouped
+        .select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = grouped
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds,
+               (x, i) -> transform(slice(ds, i + 2, size(ds)),
+                                   y -> named_struct('id1', x, 'id2', y))))"""))
+          .as("p"))
+        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .agg(count(lit(1)).as("c"))
       inter
         .join(cnt.select(col("doc_id").as("id1"), col("n").as("na")), "id1")

@@ -94,5 +94,12 @@ object GraftExtensions {
         require(args.length == 1, "graft_roll(bytes) takes exactly 1 argument")
         RollingHash(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(str) takes exactly 1 argument")
+        NfcNormalize(args.head)
+      }))
   }
 }

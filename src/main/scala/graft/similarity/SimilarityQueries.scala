@@ -213,34 +213,37 @@ object SimilarityQueries extends QueryModule {
     * map-side combined) and the band-bucket join; no pair is ever
     * scored unless it collides.
     */
-  val minhashLsh = Q(
-    "q_minhash_lsh",
-    (s, dir) => {
-      val sh = shingles(s, dir)
-      // All 8 minhashes in ONE aggregation pass (8 min columns) instead
-      // of exploding shingles x seeds: 8x less shuffle volume, and
-      // map-side partial min keeps reducer input tiny at any corpus size.
-      val mhCols = (0 until 8).map(k =>
-        min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      val bands = mh
-        .select(
-          col("doc_id"),
-          explode(array((0 until 4).map(b => struct(
-            lit(b).as("band"),
-            concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
-            .as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy(col("id1"), col("id2"))
-    },
-    Some(s"""
-      WITH $shinglesSql,
+  /** Candidate-pair plan shared by q_minhash_lsh and
+    * q_dedup_components: 8 minhashes in ONE aggregation pass (8 min
+    * columns) instead of exploding shingles x seeds — 8x less shuffle
+    * volume, and map-side partial min keeps reducer input tiny at any
+    * corpus size — then a band-bucket equi-join. Unordered (callers
+    * order or consume). */
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mhCols = (0 until 8).map(k =>
+      min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = mh
+      .select(
+        col("doc_id"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
+          .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Oracle twin of [[minhashPairsPlan]] as CTE bodies ending in
+    * `pairs(id1, id2, n_bands)`. */
+  private val minhashPairsSqlCtes = s"""
+      $shinglesSql,
       mh AS (
         SELECT doc_id, t.range AS seed,
                min(md5(t.range || ':' || s)) AS mh
@@ -248,11 +251,80 @@ object SimilarityQueries extends QueryModule {
       band AS (
         SELECT doc_id, seed // 2 AS band,
                string_agg(mh, '|' ORDER BY seed) AS sig
-        FROM mh GROUP BY 1, 2)
-      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
-      FROM band a
-      JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2""")
+        FROM mh GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
+        FROM band a
+        JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
+  val minhashLsh = Q(
+    "q_minhash_lsh",
+    (s, dir) => minhashPairsPlan(s, dir).orderBy(col("id1"), col("id2")),
+    Some(s"""
+      WITH $minhashPairsSqlCtes
+      SELECT id1, id2, n_bands FROM pairs ORDER BY 1, 2""")
+  )
+
+  /** Near-duplicate CLUSTERS — connected components over the MinHash
+    * candidate-pair graph, labeling every document with the smallest
+    * doc_id in its duplicate cluster (the canonical survivor). This is
+    * the step that turns pair output into an actual dedup decision:
+    * near-duplication is transitive in practice (A≈B, B≈C → one
+    * cluster), and keep-one-per-pair would double-keep A,C.
+    *
+    * Implemented as iterative min-label propagation: one equi-join +
+    * min-aggregate per round, rounds bounded by the component diameter
+    * (near-dup clusters are shallow — a handful of rounds; hard cap 20
+    * with a convergence check per round). Each round localCheckpoints
+    * to truncate lineage, so plans stay constant-size. At 100 TB the
+    * same join shape runs as large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) which contracts
+    * star centers to cut round count; the per-round dataflow below is
+    * identical. Oracle: DuckDB recursive CTE propagating min labels —
+    * an independent algorithm that must converge to the same fixpoint.
+    */
+  val dedupComponents = Q(
+    "q_dedup_components",
+    (s, dir) => {
+      val edges = minhashPairsPlan(s, dir).select(col("id1"), col("id2"))
+      val sym = edges
+        .union(edges.select(col("id2"), col("id1")))
+        .toDF("src", "dst")
+        .localCheckpoint(true) // computed once, reused every round
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
+        .localCheckpoint(true)
+      var converged = false
+      var round = 0
+      while (!converged && round < 20) {
+        val msgs = sym.as("e")
+          .join(labels.as("l"), col("e.src") === col("l.n"))
+          .select(col("e.dst").as("n"), col("l.lbl").as("lbl"))
+        val next = labels.union(msgs)
+          .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.as("a")
+          .join(labels.as("b"), col("a.n") === col("b.n"))
+          .filter(col("a.lbl") =!= col("b.lbl"))
+          .isEmpty
+        labels = next
+        round += 1
+      }
+      labels.select(col("n").as("doc_id"), col("lbl").as("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSqlCtes,
+      sym AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      cc(n, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, c.lbl FROM cc c JOIN sym s ON s.src = c.n WHERE c.lbl < s.dst)
+      SELECT n AS doc_id, min(lbl) AS component
+      FROM cc GROUP BY n ORDER BY doc_id""")
   )
 
   /** SimHash — 16-bit signature: each token votes ±1 on each bit of its
@@ -503,5 +575,5 @@ object SimilarityQueries extends QueryModule {
 
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, annLshShuffle,
-      embedDedup)
+      embedDedup, dedupComponents)
 }

@@ -233,6 +233,72 @@ object TextQueries extends QueryModule {
       FROM h ORDER BY doc_id""")
   )
 
+  /** Unicode text normalization — NFC canonical composition (native
+    * codegen'd [[graft.functions.NfcNormalize]]), case-fold, whitespace
+    * collapse: the preprocessing every cross-source dedup needs,
+    * because "café" arrives composed from one crawler and decomposed
+    * (e + combining acute) from another and the two hash apart without
+    * it. Output is the normalized content hash + length (what the
+    * dedup join consumes). Pure per-row expressions, no shuffle.
+    * Composed/decomposed convergence is pinned in TextOpsSpec; the
+    * oracle runs DuckDB's utf8proc `nfc_normalize` against the JDK
+    * normalizer — two independent Unicode implementations must agree.
+    */
+  val textNormalize = Q(
+    "q_text_normalize",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(lower(expr("graft_nfc(text)")), "\\s+", " "))
+            .as("norm_text"))
+        .select(
+          col("doc_id"),
+          md5(col("norm_text")).as("norm_hash"),
+          length(col("norm_text")).cast(LongType).as("norm_len"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        FROM documents)
+      SELECT doc_id, md5(norm_text) AS norm_hash,
+             CAST(length(norm_text) AS BIGINT) AS norm_len
+      FROM n ORDER BY doc_id""")
+  )
+
+  /** Stratified deterministic sampling — per-stratum rates (10% for
+    * 'en', 30% for the tail languages) decided by a salted md5 of the
+    * key, NOT rand(): the same doc is always in or out, so samples are
+    * reproducible across runs/retries, train/eval splits never leak
+    * when rerun, and downstream joins against the sample are stable.
+    * Pure scan-side filter — no shuffle, no driver coordination — the
+    * shape that samples 100 TB at scan speed. (Reservoir sampling is
+    * the alternative when you need an exact count rather than a rate;
+    * a rate + deterministic hash is the distributed-friendly default.)
+    */
+  val sampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast(LongType),
+        lit(100))
+      val rate = when(col("lang") === "en", lit(10)).otherwise(lit(30))
+      t(s, dir, "documents")
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+            < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+      ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
-    Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash)
+    Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
+      textNormalize, sampleStratified)
 }

@@ -73,6 +73,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("q_dedup_components clusters transitively and labels with the min doc_id") {
+    // docs 0,1 exact copies, 2 a one-word edit of 0: the minhash pair
+    // graph connects them (possibly only via 0) -> one cluster labeled
+    // 0; doc 3 is unrelated -> its own singleton component.
+    val comp = SimilarityQueries.dedupComponents.run(spark, docsDir)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(0L) === 0L)
+    assert(comp(1L) === 0L)
+    assert(comp(3L) === 3L)
+    assert(comp.size === 4) // singletons included
+  }
+
   test("shingle DF cap bounds the hot-shingle join blowup") {
     // 40 docs that all share one hot 3-gram ("common hot shingle") but
     // are otherwise disjoint: the uncapped self-join pays C(40,2)=780

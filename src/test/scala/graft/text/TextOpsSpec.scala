@@ -35,6 +35,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) === 1L)
   }
 
+  test("q_text_normalize converges composed and decomposed Unicode to one hash") {
+    val composed = "café latte"            // é as one codepoint
+    val decomposed = "café   latte"       // e + combining acute, extra spaces
+    val dir = docsDir(Seq(composed, decomposed, "CAFE latte"))
+    val got = TextQueries.textNormalize.run(spark, dir)
+      .select("doc_id", "norm_hash").as[(Long, String)].collect().toMap
+    assert(got(0L) === got(1L),
+      "NFC + whitespace collapse must make composed/decomposed forms identical")
+    assert(got(0L) !== got(2L), "case differs only after the fold -> 'cafe' != 'café'")
+  }
+
+  test("q_sample_stratified is deterministic and respects per-stratum rates") {
+    val dir = docsDir((0 until 400).map(i => s"doc number $i"))
+    val a = TextQueries.sampleStratified.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val b = TextQueries.sampleStratified.run(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(a === b, "same input must always select the same sample")
+    // fixture lang is 'xx' -> 30% stratum; md5 buckets are uniform-ish
+    assert(a.size > 400 * 30 / 100 - 40 && a.size < 400 * 30 / 100 + 40,
+      s"sample size ${a.size} far from the 30% rate")
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

@@ -295,6 +295,13 @@ object SimilarityQueries extends QueryModule {
       var labels = t(s, dir, "documents")
         .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
         .localCheckpoint(true)
+      // Convergence via the label-sum invariant: labels only ever
+      // decrease (min of a set containing the old label), so the sum
+      // strictly decreases exactly when any label changed — one scalar
+      // aggregate per round instead of a self-join diff.
+      def lblSum(df: DataFrame): Long =
+        df.agg(sum(col("lbl"))).first().getLong(0)
+      var prevSum = lblSum(labels)
       var converged = false
       var round = 0
       while (!converged && round < 20) {
@@ -304,10 +311,9 @@ object SimilarityQueries extends QueryModule {
         val next = labels.union(msgs)
           .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
-        converged = next.as("a")
-          .join(labels.as("b"), col("a.n") === col("b.n"))
-          .filter(col("a.lbl") =!= col("b.lbl"))
-          .isEmpty
+        val nextSum = lblSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
         round += 1
       }

@@ -37,4 +37,19 @@ object EventStream {
       .select(
         col("window.start").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup — the streaming twin of q_dedup: drop
+    * replayed events by id, keeping state only inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark`), so the dedup map is
+    * bounded by event-rate × delay instead of growing forever — the
+    * difference between a pipeline that survives months of uptime and
+    * one that OOMs. At-least-once sources (Kafka, retried file
+    * listings) make this the first stage of every streaming ingest.
+    */
+  def dedupStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .json(inputDir)
+      .withWatermark("ts", "2 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -32,6 +32,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark horizon") {
+    val dir = Files.createTempDirectory("dedup_in").toString
+    // batch 1: events 1,2 — event 1 appears twice (at-least-once replay)
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:10.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":1,"ts":"2024-01-01T00:00:10.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:20.000Z","user_id":2,"event_type":"view","value":2.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.dedupStream(spark, dir)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: event 1 replayed again in a later micro-batch, plus new event 3
+      Files.write(Paths.get(dir, "b2.json"), Seq(
+        """{"event_id":1,"ts":"2024-01-01T00:00:10.000Z","user_id":1,"event_type":"click","value":1.0}""",
+        """{"event_id":3,"ts":"2024-01-01T00:00:50.000Z","user_id":3,"event_type":"click","value":3.0}"""
+      ).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L, 2L, 3L), "each event id must survive exactly once")
+    } finally q.stop()
+  }
+
   test("file-source stream with watermark aggregates tumbling windows") {
     val dir = Files.createTempDirectory("stream_in").toString
     Files.write(Paths.get(dir, "batch1.json"), Seq(

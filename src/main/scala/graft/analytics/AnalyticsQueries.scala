@@ -425,6 +425,35 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Salted skew-join, oracle-proven result-identical to the plain
+    * join: the fact side's hot keys spread over 8 salt buckets
+    * (`Scale.saltedJoin` — deterministic row-id salt, small side
+    * exploded to every salt), and the DuckDB oracle runs the UNSALTED
+    * join — so the rewrite's result equivalence is hash-checked, not
+    * just asserted in a spec. This is the fallback when one key is so
+    * hot that even AQE's skew split blows a partition; the aggregate on
+    * top keeps the checked output small.
+    */
+  val saltedJoinQ = Q(
+    "q_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"), col("l_quantity"))
+      val pt = t(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      graft.util.Scale.saltedJoin(li, pt, "k", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 5) p
+        ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -489,5 +518,5 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, windowRange)
+    percentile, windowRange, saltedJoinQ)
 }

@@ -302,7 +302,9 @@ object SimilarityQueries extends QueryModule {
       def lblSum(df: DataFrame): Long =
         df.agg(sum(col("lbl"))).first().getLong(0)
       var prevSum = lblSum(labels)
-      var converged = false
+      // Edge-free graph (a dup-free corpus): every doc is already its
+      // own component — skip the propagation loop entirely.
+      var converged = sym.isEmpty
       var round = 0
       while (!converged && round < 20) {
         val msgs = sym.as("e")

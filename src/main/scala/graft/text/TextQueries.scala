@@ -298,7 +298,38 @@ object TextQueries extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** Exact-count deterministic split — exactly k=20 docs per language
+    * stratum, selected by ranking on a salted md5 of the key (a keyed
+    * hash order IS a reproducible shuffle of the stratum). This is the
+    * companion to [[sampleStratified]]: rate sampling when proportions
+    * matter, exact-k when split sizes must be fixed (eval sets,
+    * few-shot pools). One shuffle on the stratum key; at 100 TB with a
+    * dominant stratum the same rank runs two-phase (per-partition
+    * top-k, then rank the surviving ≤ k·P candidates) — the
+    * TakeOrdered shape, group-wise.
+    */
+  val sampleExactK = Q(
+    "q_sample_exact_k",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("k:"), col("doc_id").cast("string"))), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5('k:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
-      textNormalize, sampleStratified)
+      textNormalize, sampleStratified, sampleExactK)
 }

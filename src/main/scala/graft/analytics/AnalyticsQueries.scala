@@ -425,6 +425,67 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** PIVOT — long-to-wide: order counts per (priority, status) with
+    * statuses as columns. The pivot column values are ENUMERATED
+    * (`pivot(col, values)`) so the plan is a single pass — Spark
+    * without the value list runs an extra distinct job first, and an
+    * unbounded value set would make the schema data-dependent (a
+    * non-starter at 100 TB where the planner must not scan to plan).
+    * Catalyst compiles this to one aggregate with CASE projections —
+    * exactly the oracle's formulation, one shuffle.
+    */
+  val pivotQ = Q(
+    "q_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** ARGMAX — per nation, WHICH supplier holds the max account balance
+    * (not just the max). `max_by` is non-deterministic under ties, so
+    * the implementation rides `max(struct(value, key))`: struct
+    * comparison is lexicographic, making the tiebreak (largest key)
+    * explicit and order-independent — the aggregation stays one
+    * partial+final pass, no window, no join-back. The oracle expresses
+    * the same thing positionally with a row_number.
+    */
+  val argmax = Q(
+    "q_argmax",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(max(struct(
+          col("s_acctbal").cast(DecimalType(18, 2)).as("bal"),
+          col("s_suppkey").as("k"))).as("m"))
+        .select(
+          col("s_nationkey"),
+          col("m.k").as("top_suppkey"),
+          col("m.bal").cast(DoubleType).as("top_bal"))
+        .orderBy(col("s_nationkey")),
+    Some("""
+      WITH r AS (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC,
+                                           s_suppkey DESC) AS rn
+        FROM supplier)
+      SELECT s_nationkey, s_suppkey AS top_suppkey,
+             CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS top_bal
+      FROM r WHERE rn = 1 ORDER BY s_nationkey""")
+  )
+
   /** Salted skew-join, oracle-proven result-identical to the plain
     * join: the fact side's hot keys spread over 8 salt buckets
     * (`Scale.saltedJoin` — deterministic row-id salt, small side
@@ -518,5 +579,5 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, windowRange, saltedJoinQ)
+    percentile, windowRange, saltedJoinQ, pivotQ, argmax)
 }

@@ -93,6 +93,99 @@ object Multimodal {
       FakeCodec.sampleFrames(payload, everyK)
   }
 
+  /** One resized image row: re-encoded payload + before/after dims. */
+  final case class ResizedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      orig_width: Int,
+      orig_height: Int,
+      payload: Array[Byte])
+
+  /** REAL image resize — decode, scale so the longest edge is `maxDim`
+    * (aspect preserved, never upscale), re-encode PNG. Pure JDK
+    * (`java.awt` + `javax.imageio`). This is the thumbnail/normalize
+    * step of a multimodal training pipeline, and it runs map-side on
+    * the scan partitioning: payloads never shuffle, output rows carry
+    * the (smaller) re-encoded bytes. Rows whose payload doesn't decode
+    * are dropped (the feature-extract pass is where undecodables get
+    * counted). Partition sizing note as for [[extractFeatures]].
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        Option(img).map { src =>
+          val (ow, oh) = (src.getWidth, src.getHeight)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(ow, oh))
+          val (w, h) = (math.max(1, math.round(ow * scale).toInt),
+            math.max(1, math.round(oh * scale).toInt))
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          ResizedImage(id, w, h, ow, oh, out.toByteArray)
+        }
+      })
+  }
+
+  /** One audio row's real metadata (WAV/AIFF/AU via the JDK's
+    * `javax.sound.sampled` — no external codec libraries). */
+  final case class AudioMeta(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  /** REAL audio metadata extraction for the formats the JDK decodes
+    * natively. Undecodable payloads are dropped, like
+    * [[resizeImages]]. Map-side only.
+    */
+  def audioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val rate = fmt.getSampleRate.toInt
+            Some(AudioMeta(
+              media_id = id,
+              sample_rate = rate,
+              channels = fmt.getChannels,
+              n_frames = frames,
+              duration_ms =
+                if (frames >= 0 && rate > 0) frames * 1000L / rate else -1L))
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => None
+        }
+      })
+  }
+
   /** Batched feature extraction over the binary column — partition-
     * parallel, no shuffle; one output row per media row. Decode runs
     * map-side on the scan partitioning via the given codec

@@ -57,6 +57,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(3).width >= 64 && feats(3).height >= 64)
   }
 
+  test("resizeImages produces decodable thumbnails with aspect preserved, never upscaled") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, "image", pngBytes(128, 64)),   // downscale 4x -> 32x16
+      (1L, "image", pngBytes(16, 8)),     // already small -> untouched dims
+      (2L, "image", Array[Byte](9, 9)),   // undecodable -> dropped
+      (3L, "audio", pngBytes(50, 50)))    // wrong kind -> filtered out
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeImages(media, maxDim = 32).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(0L, 1L))
+    assert((out(0).width, out(0).height) === (32, 16))
+    assert((out(0).orig_width, out(0).orig_height) === (128, 64))
+    assert((out(1).width, out(1).height) === (16, 8)) // no upscale
+    // the re-encoded payload must itself decode to the new dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert((round.getWidth, round.getHeight) === (32, 16))
+  }
+
+  /** WAV bytes: `seconds` of silence at the given rate, mono 16-bit. */
+  private def wavBytes(rate: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioMeta reads real WAV metadata via the JDK sound stack") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, "audio", wavBytes(8000, 4000)),   // 0.5s at 8 kHz
+      (1L, "audio", wavBytes(44100, 44100)), // 1s at 44.1 kHz
+      (2L, "audio", Array[Byte](1, 2, 3)))   // not audio -> dropped
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.audioMeta(media).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(0L, 1L))
+    assert((out(0).sample_rate, out(0).channels, out(0).n_frames) === (8000, 1, 4000L))
+    assert(out(0).duration_ms === 500L)
+    assert(out(1).duration_ms === 1000L)
+  }
+
   test("codec is swappable without touching the dataflow (FakeCodec vs ImageIoCodec)") {
     import spark.implicits._
     val media = Seq((0L, "image", pngBytes(40, 30))).toDF("media_id", "kind", "payload")

@@ -215,6 +215,39 @@ object Multimodal {
       })
   }
 
+  /** Batch-shaped twin of [[extractFeatures]] — the Scala analogue of
+    * `mapInPandas`: the codec function receives WHOLE BATCHES
+    * (`Iterator[Seq[row]] => Iterator[Seq[feature]]`), not single rows,
+    * so per-batch setup (decoder instances, model sessions, GPU
+    * buffers) amortizes over `batchSize` payloads instead of being
+    * re-entered per row. Same partitioning story: map-side, payloads
+    * never shuffle; one output row per input row, order preserved.
+    */
+  def extractFeaturesBatched(
+      media: DataFrame,
+      batchSize: Int = 64,
+      frameEveryK: Int = 8,
+      codec: Codec = ImageIoCodec): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // batch boundary: one codec "session" per batch, like one
+        // Arrow batch per pandas UDF call
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, kind, payload) =>
+            val bytes = if (payload == null) Array.emptyByteArray else payload
+            val (w, h) = codec.decodeDims(kind, bytes)
+            MediaFeature(id, kind, bytes.length.toLong, codec.checksum(bytes),
+              w, h,
+              if (kind == "video") codec.sampleFrames(bytes, frameEveryK) else 0)
+          }
+        }
+      }
+  }
+
   /** Deterministic synthetic media table for tests/demos (the container
     * ships no real media): payload bytes are a pure function of id. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -26,7 +26,10 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
         s"$expected dims, input has $got (ragged vector column)")
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    if (v == null) b
+    // Empty vectors are skipped like nulls — folding one in would
+    // inflate the count without contributing dimensions (and make the
+    // accumulator's zero-state indistinguishable from real state).
+    if (v == null || v.isEmpty) b
     else {
       val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
       requireSameDim(acc.length, v.length, "reduce")

@@ -51,6 +51,11 @@ object Multimodal {
     def checksum(payload: Array[Byte]): Long =
       payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
     def decodeDims(kind: String, payload: Array[Byte]): (Int, Int)
+    /** Batch entry point used by [[extractFeaturesBatched]]: override
+      * when decoder/session/GPU-buffer setup should amortize over a
+      * whole batch; the default just maps the per-row decode. */
+    def decodeDimsBatch(items: Seq[(String, Array[Byte])]): Seq[(Int, Int)] =
+      items.map { case (kind, payload) => decodeDims(kind, payload) }
     def sampleFrames(payload: Array[Byte], everyK: Int): Int
   }
 
@@ -76,6 +81,12 @@ object Multimodal {
     * values, so one mixed-kind table still extracts in a single pass.
     */
   object ImageIoCodec extends Codec {
+    // Byte-array inputs need no disk-backed stream cache; the default
+    // (useCache=true) creates and deletes a java.io.tmpdir file PER
+    // ROW on every executor — a silent disk-I/O bottleneck at scale.
+    // Static JVM-wide switch; runs once per executor on object load.
+    javax.imageio.ImageIO.setUseCache(false)
+
     override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
       if (kind != "image" || payload.isEmpty) FakeCodec.decodeDims(kind, payload)
       else
@@ -118,10 +129,14 @@ object Multimodal {
       .filter(col("kind") === "image")
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no per-row tmpdir files
+        rows.flatMap { case (id, payload) =>
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
+          if (payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
         Option(img).map { src =>
           val (ow, oh) = (src.getWidth, src.getHeight)
           val scale = math.min(1.0, maxDim.toDouble / math.max(ow, oh))
@@ -140,7 +155,8 @@ object Multimodal {
           javax.imageio.ImageIO.write(dst, "png", out)
           ResizedImage(id, w, h, ow, oh, out.toByteArray)
         }
-      })
+        }
+      }
   }
 
   /** One audio row's real metadata (WAV/AIFF/AU via the JDK's
@@ -164,7 +180,8 @@ object Multimodal {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        try {
+        if (payload == null || payload.isEmpty) None
+        else try {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           try {
@@ -234,12 +251,15 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // batch boundary: one codec "session" per batch, like one
-        // Arrow batch per pandas UDF call
+        // batch boundary: one decodeDimsBatch call per batch — the
+        // codec's hook for session reuse, like one Arrow batch per
+        // pandas UDF call
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, kind, payload) =>
-            val bytes = if (payload == null) Array.emptyByteArray else payload
-            val (w, h) = codec.decodeDims(kind, bytes)
+          val cleaned = batch.map { case (id, kind, payload) =>
+            (id, kind, if (payload == null) Array.emptyByteArray else payload)
+          }
+          val dims = codec.decodeDimsBatch(cleaned.map(r => (r._2, r._3)))
+          cleaned.lazyZip(dims).map { case ((id, kind, bytes), (w, h)) =>
             MediaFeature(id, kind, bytes.length.toLong, codec.checksum(bytes),
               w, h,
               if (kind == "video") codec.sampleFrames(bytes, frameEveryK) else 0)

@@ -80,7 +80,18 @@ object BulkPipeline {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(target)
     val old = new Path(target + ".__old__")
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    if (fs.exists(old)) {
+      if (!fs.exists(dst)) {
+        // A prior promotion crashed BETWEEN the aside-rename and the
+        // swap: the aside copy is the only live data. Restore it first
+        // — deleting it here would re-open the loss window the aside
+        // rename exists to close (a crash before the new rename would
+        // then leave nothing).
+        require(fs.rename(old, dst), s"crash recovery failed: $old -> $target")
+      } else {
+        fs.delete(old, true) // prior promotion succeeded; aside is stale
+      }
+    }
     fs.mkdirs(dst.getParent)
     if (fs.exists(dst))
       require(fs.rename(dst, old), s"promotion aside-rename failed: $target -> $old")

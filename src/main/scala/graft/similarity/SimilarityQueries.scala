@@ -319,6 +319,15 @@ object SimilarityQueries extends QueryModule {
         labels = next
         round += 1
       }
+      // Partially-propagated labels are silently WRONG data (one real
+      // cluster split across component ids) — fail loudly instead.
+      // Near-dup band graphs are dense (diameter 1-2); hitting 20
+      // rounds means a pathological chain, where the large-star/
+      // small-star contraction is the right tool.
+      require(converged,
+        "q_dedup_components: label propagation did not converge within " +
+          "20 rounds (component diameter > 20); use star-contraction for " +
+          "chain-shaped duplicate graphs")
       labels.select(col("n").as("doc_id"), col("lbl").as("component"))
         .orderBy(col("doc_id"))
     },

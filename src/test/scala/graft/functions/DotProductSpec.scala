@@ -40,6 +40,18 @@ class DotProductSpec extends AnyFunSuite {
     assert(got(2).isNullAt(0))
   }
 
+  test("VectorMean skips null and empty vectors without inflating the count") {
+    val z = VectorMean.zero
+    val afterEmpty = VectorMean.reduce(z, Seq.empty[Float])
+    assert(afterEmpty._2 === 0L, "empty vector must not count toward the mean")
+    val afterReal = VectorMean.reduce(afterEmpty, Seq(2.0f, 4.0f))
+    assert(VectorMean.finish(afterReal) === Seq(2.0, 4.0))
+    val ragged = intercept[IllegalArgumentException] {
+      VectorMean.reduce(afterReal, Seq(1.0f))
+    }
+    assert(ragged.getMessage.contains("dimension mismatch"))
+  }
+
   test("graft_dot is null-safe and type-checked") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(df.select(expr("graft_dot(a, b)")).collect().head.isNullAt(0))

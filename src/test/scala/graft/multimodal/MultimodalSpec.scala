@@ -103,7 +103,8 @@ class MultimodalSpec extends AnyFunSuite {
     val media = Seq(
       (0L, "audio", wavBytes(8000, 4000)),   // 0.5s at 8 kHz
       (1L, "audio", wavBytes(44100, 44100)), // 1s at 44.1 kHz
-      (2L, "audio", Array[Byte](1, 2, 3)))   // not audio -> dropped
+      (2L, "audio", Array[Byte](1, 2, 3)),   // not audio -> dropped
+      (3L, "audio", null: Array[Byte]))      // null payload -> dropped, not NPE
       .toDF("media_id", "kind", "payload")
     val out = Multimodal.audioMeta(media).collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq === Seq(0L, 1L))

@@ -62,6 +62,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$target.__old__").exists())
   }
 
+  test("promotion restores .__old__ when a prior crash left NO target (data not lost)") {
+    val root = Files.createTempDirectory("promote3").toString
+    val target = s"$root/table"
+    BulkPipeline.writeAndPromote(Seq(1, 2, 3).toDF("x"), target)
+    // simulate a crash between aside-rename and the swap: target gone,
+    // previous data lives only in the aside copy
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(target), java.nio.file.Paths.get(s"$target.__old__"))
+    // the next promotion must NOT delete the only copy; it restores,
+    // then swaps in the new data
+    BulkPipeline.writeAndPromote(Seq(9).toDF("x"), target)
+    assert(spark.read.parquet(target).as[Int].collect() === Array(9))
+    assert(!new java.io.File(s"$target.__old__").exists())
+  }
+
   test("_since cursor round-trips and starts absent") {
     val root = Files.createTempDirectory("cursor").toString
     assert(BulkPipeline.readCursor(spark, root) === None)

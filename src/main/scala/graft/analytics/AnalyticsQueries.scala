@@ -425,6 +425,75 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** FULL OUTER join — the one join type the surface lacked. The
+    * two sides are filtered differently (positive balance vs big
+    * orders) so all three match classes genuinely occur; output is the
+    * compact match-class census (both/left_only/right_only), which
+    * exercises the null-fill semantics on both
+    * sides without dumping the joined table. Spark plans full outer as
+    * SortMergeJoin (broadcast can't do full outer on the build side) —
+    * the correct shape at any scale.
+    */
+  val outerJoin = Q(
+    "q_outer_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey"), col("o_orderkey"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("o_custkey").isNull, "left_only")
+            .otherwise("right_only").as("side"))
+        .groupBy(col("side")).agg(count(lit(1)).as("n"))
+        .orderBy(col("side"))
+    },
+    Some("""
+      SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                  WHEN o_custkey IS NULL THEN 'left_only'
+                  ELSE 'right_only' END AS side,
+             count(*) AS n
+      FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+      FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_totalprice > 250000) o
+        ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY side""")
+  )
+
+  /** Column profile — the validate-before-training pass over a table:
+    * row count, null counts, exact distinct cardinalities, and value
+    * ranges, all in ONE aggregation job (every stat is a partial-
+    * aggregable expression, so profiling 100 TB costs one scan + one
+    * tiny shuffle, not one job per statistic — the difference between
+    * a profiler you run on every snapshot and one you don't).
+    */
+  val profile = Q(
+    "q_profile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("n_null_flag"),
+          countDistinct(col("l_returnflag")).as("nd_flag"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          min(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("min_qty"),
+          max(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("max_qty")),
+    Some("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_flag,
+             count(DISTINCT l_returnflag) AS nd_flag,
+             count(DISTINCT l_partkey) AS nd_part,
+             CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS min_qty,
+             CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS max_qty
+      FROM lineitem""")
+  )
+
   /** PIVOT — long-to-wide: order counts per (priority, status) with
     * statuses as columns. The pivot column values are ENUMERATED
     * (`pivot(col, values)`) so the plan is a single pass — Spark
@@ -579,5 +648,5 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, windowRange, saltedJoinQ, pivotQ, argmax)
+    percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile)
 }

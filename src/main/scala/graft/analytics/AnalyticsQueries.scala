@@ -494,6 +494,63 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem""")
   )
 
+  /** MERGE/upsert — CDC application as a JOIN, not row-at-a-time: a
+    * derived changes feed (delete / update / insert ops keyed like the
+    * base) full-outer-joins the base table once; deletes drop, updates
+    * take the new value, inserts survive from the right side, untouched
+    * rows pass through. This is how a 100 TB corpus absorbs a day of
+    * changes — one co-partitioned join (bucket both sides on the key
+    * and even that shuffle disappears), never a per-record mutate. The
+    * output is the post-merge census (count + exact balance sum per
+    * action class), which pins every branch of the CASE.
+    */
+  val mergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val del = base.filter(pmod(col("k"), lit(7)) === 0)
+        .select(col("k"), lit("delete").as("op"),
+          lit(null).cast(DecimalType(18, 2)).as("new_bal"))
+      val upd = base.filter(pmod(col("k"), lit(7)) === 1)
+        .select(col("k"), lit("update").as("op"),
+          (col("bal") + 1000).cast(DecimalType(18, 2)).as("new_bal"))
+      val ins = base.filter(pmod(col("k"), lit(7)) === 2)
+        .select((col("k") + 1000000).as("k"), lit("insert").as("op"),
+          (col("bal") * 2).cast(DecimalType(18, 2)).as("new_bal"))
+      val changes = del.unionByName(upd).unionByName(ins)
+      base.join(changes, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(
+          coalesce(col("op"), lit("keep")).as("action"),
+          when(col("op").isin("update", "insert"), col("new_bal"))
+            .otherwise(col("bal")).as("out_bal"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("out_bal")).cast(DoubleType).as("sum_bal"))
+        .orderBy(col("action"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+      changes AS (
+        SELECT k, 'delete' AS op, CAST(NULL AS DECIMAL(18,2)) AS new_bal
+        FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT k, 'update', CAST(bal + 1000 AS DECIMAL(18,2)) FROM base WHERE k % 7 = 1
+        UNION ALL
+        SELECT k + 1000000, 'insert', CAST(bal * 2 AS DECIMAL(18,2))
+        FROM base WHERE k % 7 = 2)
+      SELECT coalesce(op, 'keep') AS action,
+             count(*) AS n,
+             CAST(sum(CASE WHEN op IN ('update', 'insert') THEN new_bal ELSE bal END)
+                  AS DOUBLE) AS sum_bal
+      FROM base FULL OUTER JOIN changes USING (k)
+      WHERE op IS NULL OR op != 'delete'
+      GROUP BY 1 ORDER BY action""")
+  )
+
   /** PIVOT — long-to-wide: order counts per (priority, status) with
     * statuses as columns. The pivot column values are ENUMERATED
     * (`pivot(col, values)`) so the plan is a single pass — Spark
@@ -648,5 +705,6 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile)
+    percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile,
+    mergeUpsert)
 }

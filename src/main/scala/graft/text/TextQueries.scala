@@ -329,7 +329,65 @@ object TextQueries extends QueryModule {
       SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""")
   )
 
+  /** End-to-end corpus curation — the complete pretraining-data
+    * pipeline as ONE declarative query: NFC-normalize → exact-dedup on
+    * the normalized hash (keep smallest doc_id) → quality filter
+    * (length + stopword evidence) → deterministic 50% sample. This is
+    * the flagship of the text surface: every stage is a per-row
+    * expression except the single dedup aggregation, so the whole
+    * curation of a 100 TB corpus is one scan + one hash shuffle —
+    * Catalyst fuses the normalize/filter/sample projections into the
+    * scan and the window never materializes intermediate corpora.
+    */
+  val curation = Q(
+    "q_curation",
+    (s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          trim(regexp_replace(lower(expr("graft_nfc(text)")), "\\s+", " "))
+            .as("norm_text"))
+      val surviving = normed
+        .withColumn("h", md5(col("norm_text")))
+        .withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1) // canonical survivor per content hash
+        .filter(
+          length(col("norm_text")) >= 50 &&
+            lsize(filter(split(col("norm_text"), " "),
+              w => w.isin("the", "a", "of", "and", "is"))) >= 1)
+      surviving
+        .filter(pmod(
+          conv(substring(md5(concat(lit("cur:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast(LongType),
+          lit(100)) < 50)
+        .select(col("doc_id"), col("lang"),
+          length(col("norm_text")).cast(LongType).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH normed AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, lang, norm_text,
+               row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rk
+        FROM normed),
+      surviving AS (
+        SELECT doc_id, lang, norm_text FROM ranked
+        WHERE rk = 1
+          AND length(norm_text) >= 50
+          AND len(list_filter(string_split(norm_text, ' '),
+                              w -> w IN ('the', 'a', 'of', 'and', 'is'))) >= 1)
+      SELECT doc_id, lang, CAST(length(norm_text) AS BIGINT) AS norm_len
+      FROM surviving
+      WHERE CAST(('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+      ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
-      textNormalize, sampleStratified, sampleExactK)
+      textNormalize, sampleStratified, sampleExactK, curation)
 }

@@ -494,6 +494,52 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem""")
   )
 
+  /** Time-series RESAMPLE with gap-fill — the regularization step every
+    * event stream needs before charting/forecasting: an hourly spine
+    * (generated, not scanned — fixed literal range so planning is
+    * data-independent) cross-joined with the tiny type dimension, LEFT
+    * joined to hourly counts, absent buckets zero-filled. 47 of the
+    * 3600 (hour, type) cells are genuinely empty in the corpus, so the
+    * fill path is exercised for real. The spine is generated rows — at
+    * any corpus scale its size depends only on the time range, and the
+    * one shuffle is the hourly pre-aggregation of events.
+    */
+  val resample = Q(
+    "q_resample",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val spine = s.range(1).select(explode(expr(
+        """sequence(timestamp'2024-01-01 00:00:00',
+                    timestamp'2024-01-30 23:00:00', interval 1 hour)""")).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n0"))
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select(
+          unix_millis(col("h")).as("h_ms"),
+          col("event_type"),
+          coalesce(col("n0"), lit(0L)).as("n"))
+        .orderBy(col("h_ms"), col("event_type"))
+    },
+    Some("""
+      WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS h),
+      types AS (SELECT DISTINCT event_type FROM events),
+      counts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n0
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(epoch_ms(spine.h) AS BIGINT) AS h_ms,
+             types.event_type AS event_type,
+             coalesce(n0, 0) AS n
+      FROM spine CROSS JOIN types
+      LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = types.event_type
+      ORDER BY h_ms, types.event_type""")
+  )
+
   /** MERGE/upsert — CDC application as a JOIN, not row-at-a-time: a
     * derived changes feed (delete / update / insert ops keyed like the
     * base) full-outer-joins the base table once; deletes drop, updates
@@ -706,5 +752,5 @@ object AnalyticsQueries extends QueryModule {
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile,
-    mergeUpsert)
+    mergeUpsert, resample)
 }

@@ -556,16 +556,21 @@ object AnalyticsQueries extends QueryModule {
       val base = t(s, dir, "customer")
         .select(col("c_custkey").as("k"),
           col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
-      val del = base.filter(pmod(col("k"), lit(7)) === 0)
-        .select(col("k"), lit("delete").as("op"),
-          lit(null).cast(DecimalType(18, 2)).as("new_bal"))
-      val upd = base.filter(pmod(col("k"), lit(7)) === 1)
-        .select(col("k"), lit("update").as("op"),
-          (col("bal") + 1000).cast(DecimalType(18, 2)).as("new_bal"))
-      val ins = base.filter(pmod(col("k"), lit(7)) === 2)
-        .select((col("k") + 1000000).as("k"), lit("insert").as("op"),
-          (col("bal") * 2).cast(DecimalType(18, 2)).as("new_bal"))
-      val changes = del.unionByName(upd).unionByName(ins)
+      // One scan derives the whole changes feed (a three-branch
+      // filter+union would read the base table once per op class).
+      val mod = pmod(col("k"), lit(7))
+      val changes = base
+        .withColumn("op",
+          when(mod === 0, "delete").when(mod === 1, "update")
+            .when(mod === 2, "insert"))
+        .filter(col("op").isNotNull)
+        .select(
+          when(col("op") === "insert", col("k") + 1000000)
+            .otherwise(col("k")).as("k"),
+          col("op"),
+          when(col("op") === "update", col("bal") + 1000)
+            .when(col("op") === "insert", col("bal") * 2)
+            .cast(DecimalType(18, 2)).as("new_bal"))
       base.join(changes, Seq("k"), "full_outer")
         .filter(col("op").isNull || col("op") =!= "delete")
         .select(
@@ -573,8 +578,7 @@ object AnalyticsQueries extends QueryModule {
           when(col("op").isin("update", "insert"), col("new_bal"))
             .otherwise(col("bal")).as("out_bal"))
         .groupBy(col("action"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("out_bal")).cast(DoubleType).as("sum_bal"))
+        .agg(count(lit(1)).as("n"), dsum(col("out_bal"), 2).as("sum_bal"))
         .orderBy(col("action"))
     },
     Some("""

@@ -22,6 +22,31 @@ object TextQueries extends QueryModule {
     */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Canonical text normalization shared by [[textNormalize]] and
+    * [[curation]]: NFC (native graft_nfc) → lowercase → whitespace
+    * collapse → trim. One definition so the dedup hashes the two
+    * queries derive can never drift apart. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(call_function("graft_nfc", c)), "\\s+", " "))
+
+  /** Oracle twin of [[normText]]. */
+  private def normTextSql(c: String): String =
+    s"trim(regexp_replace(lower(nfc_normalize($c)), '\\s+', ' ', 'g'))"
+
+  /** Deterministic sampling bucket in [0, 100): salted md5 of the key.
+    * Shared by [[sampleStratified]] and [[curation]] (with different
+    * salts) so the hash-window arithmetic lives in exactly one place
+    * per engine. */
+  private def hashBucket(salt: String, key: Column): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+        .cast(LongType),
+      lit(100))
+
+  /** Oracle twin of [[hashBucket]]. */
+  private def hashBucketSql(salt: String, key: String): String =
+    s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
   /** Exact deduplication — group by content hash, keep the smallest
     * doc_id as canonical (deterministic survivor). At 100 TB this is a
     * single hash-partitioned shuffle on a 16-byte key — never pairwise.
@@ -248,19 +273,15 @@ object TextQueries extends QueryModule {
     "q_text_normalize",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          trim(regexp_replace(lower(expr("graft_nfc(text)")), "\\s+", " "))
-            .as("norm_text"))
+        .select(col("doc_id"), normText(col("text")).as("norm_text"))
         .select(
           col("doc_id"),
           md5(col("norm_text")).as("norm_hash"),
           length(col("norm_text")).cast(LongType).as("norm_len"))
         .orderBy(col("doc_id")),
-    Some("""
+    Some(s"""
       WITH n AS (
-        SELECT doc_id,
-               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        SELECT doc_id, ${normTextSql("text")} AS norm_text
         FROM documents)
       SELECT doc_id, md5(norm_text) AS norm_hash,
              CAST(length(norm_text) AS BIGINT) AS norm_len
@@ -280,20 +301,16 @@ object TextQueries extends QueryModule {
   val sampleStratified = Q(
     "q_sample_stratified",
     (s, dir) => {
-      val bucket = pmod(
-        conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast(LongType),
-        lit(100))
       val rate = when(col("lang") === "en", lit(10)).otherwise(lit(30))
       t(s, dir, "documents")
-        .filter(bucket < rate)
+        .filter(hashBucket("smp:", col("doc_id")) < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       SELECT doc_id, lang
       FROM documents
-      WHERE CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      WHERE ${hashBucketSql("smp:", "doc_id")}
             < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
       ORDER BY doc_id""")
   )
@@ -343,10 +360,7 @@ object TextQueries extends QueryModule {
     "q_curation",
     (s, dir) => {
       val normed = t(s, dir, "documents")
-        .select(
-          col("doc_id"), col("lang"),
-          trim(regexp_replace(lower(expr("graft_nfc(text)")), "\\s+", " "))
-            .as("norm_text"))
+        .select(col("doc_id"), col("lang"), normText(col("text")).as("norm_text"))
       val surviving = normed
         .withColumn("h", md5(col("norm_text")))
         .withColumn("rk",
@@ -358,18 +372,14 @@ object TextQueries extends QueryModule {
             lsize(filter(split(col("norm_text"), " "),
               w => w.isin("the", "a", "of", "and", "is"))) >= 1)
       surviving
-        .filter(pmod(
-          conv(substring(md5(concat(lit("cur:"), col("doc_id").cast("string"))), 1, 8),
-            16, 10).cast(LongType),
-          lit(100)) < 50)
+        .filter(hashBucket("cur:", col("doc_id")) < 50)
         .select(col("doc_id"), col("lang"),
           length(col("norm_text")).cast(LongType).as("norm_len"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH normed AS (
-        SELECT doc_id, lang,
-               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        SELECT doc_id, lang, ${normTextSql("text")} AS norm_text
         FROM documents),
       ranked AS (
         SELECT doc_id, lang, norm_text,
@@ -383,7 +393,7 @@ object TextQueries extends QueryModule {
                               w -> w IN ('the', 'a', 'of', 'and', 'is'))) >= 1)
       SELECT doc_id, lang, CAST(length(norm_text) AS BIGINT) AS norm_len
       FROM surviving
-      WHERE CAST(('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+      WHERE ${hashBucketSql("cur:", "doc_id")} < 50
       ORDER BY doc_id""")
   )
 

@@ -526,6 +526,92 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => annPlan(s, dir, broadcastQueries = false),
     Some(annOracleSql))
 
+  /** IVF-style ANN — the OTHER canonical sub-linear path beside
+    * sign-LSH (q_ann_lsh): a coarse quantizer assigns every vector to
+    * its nearest centroid cell, and each query probes only its top-2
+    * cells (nprobe=2) instead of the whole corpus. The demo quantizer
+    * uses 8 fixed corpus vectors as centroids (a real deployment runs
+    * a few k-means iterations first — the query shape is identical);
+    * similarity to centroids is rounded to 6dp before the argmax with
+    * a centroid-id tiebreak, so the cell assignment is cross-engine
+    * exact. Assignment is a broadcast of 8 centroids against a linear
+    * scan (no shuffle of the corpus); candidates then equi-join on the
+    * cell id — the same Σ cell² economics as LSH bucketing, but with
+    * data-adaptive cells, which is why IVF wins on clustered real
+    * embeddings.
+    */
+  val annIvf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val sims = emb.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")), 6))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val ranked = sims.withColumn("rk", row_number().over(wAssign))
+      val assigned = ranked.filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      val qprobe = ranked.filter(col("vec_id") < 5 && col("rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cent_id").as("cell"))
+      val scored = assigned.join(broadcast(qprobe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          round(col("sim"), 6).as("sim_r"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e),
+      c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+      sims AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+               round(list_sum(list_transform(list_zip(n.v, c.cv),
+                              z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                     / (n.nrm * c.cnrm), 6) AS csim
+        FROM n CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, v, nrm, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rk
+        FROM sims),
+      assigned AS (
+        SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE rk = 1),
+      qprobe AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+        FROM ranked WHERE vec_id < 5 AND rk <= 2),
+      p AS (
+        SELECT a.vec_id, q.q_id, a.cell,
+               list_sum(list_transform(list_zip(a.v, q.qv),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (a.nrm * q.qnrm) AS sim
+        FROM assigned a JOIN qprobe q ON a.cell = q.cell AND a.vec_id != q.q_id),
+      r AS (
+        SELECT q_id, vec_id, cell, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM p)
+      SELECT q_id, vec_id, cell, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""")
+  )
+
   /** Embedding-cosine near-duplicate pairs — dedup over the vector
     * space: LSH-bucket blocking (same 4-plane signs as q_ann_lsh), then
     * cosine within bucket only, pairs above threshold with id1 < id2.
@@ -592,5 +678,5 @@ object SimilarityQueries extends QueryModule {
 
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, annLshShuffle,
-      embedDedup, dedupComponents)
+      annIvf, embedDedup, dedupComponents)
 }

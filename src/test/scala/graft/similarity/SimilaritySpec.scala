@@ -153,6 +153,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"multi-probe ANN recall degraded: avg=$avg per-query=${recalls.toSeq}")
   }
 
+  test("q_ann_ivf recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
+    val truth = top5(SimilarityQueries.cosineTopK.run(spark, clusterDir))
+    val ivf = top5(SimilarityQueries.annIvf.run(spark, clusterDir))
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.6,
+      s"IVF ANN recall degraded: avg=$avg per-query=${recalls.toSeq}")
+  }
+
   test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {
     val a = SimilarityQueries.annLsh.run(spark, clusterDir)
       .collect().map(_.toSeq).toSet

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression contracts — the tests real engines keep so a
+  * refactor can't silently turn a broadcast join into a cartesian
+  * product or add a shuffle to a projection-only query. Plans are
+  * BUILT, not executed (sf0.001 inputs, sub-second per query).
+  *
+  * Two contracts:
+  *  1. Global: no query plans a `CartesianProduct` (the non-broadcast
+  *     all-pairs operator — always a bug at scale). Intentional
+  *     broadcast nested-loop joins (bounded side) are allowed.
+  *  2. Per-query shuffle budgets: selected queries may not exceed a
+  *     fixed number of shuffle exchanges. Budgets are UPPER bounds
+  *     with headroom 0 — they encode the designed shape (e.g. a
+  *     projection + orderBy is exactly 1 shuffle).
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  /** Shuffle exchanges only: broadcast exchanges are free replication,
+    * not repartitioning. */
+  private def shuffles(plan: String): Int =
+    "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
+      .findAllIn(plan).length
+
+  test("no query ever plans a CartesianProduct") {
+    // q_dedup_components runs an iterative driver loop (actions at
+    // plan-build time); its joins are all equi-joins, skip the build.
+    val names = SparkEntry.queries.keySet - "q_dedup_components"
+    val offenders = names.filter(n => planOf(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  /** Designed shuffle budgets. A failure here means a plan regressed —
+    * decide deliberately whether to raise the budget or fix the plan.
+    */
+  private val budgets = Map(
+    "q_text_tokens" -> 1,      // pure projection + final sort
+    "q_text_bpe" -> 1,         // pure projection + final sort
+    "q_rolling_hash" -> 1,     // native expression + final sort
+    "q_text_normalize" -> 1,   // per-row normalize + final sort
+    "q_sample_stratified" -> 1, // scan-side filter + final sort
+    "q_dedup" -> 2,            // one hash agg + final sort
+    "q_hash_agg" -> 2,         // partial+final agg (1 exchange) + sort
+    "q_count_kept" -> 1,       // global agg to a single row
+    "q_lookup_enrich" -> 1,    // broadcast join, no shuffle join + sort
+    "q_window_frame" -> 2,     // window repartition + final sort
+    "q_cosine_topk" -> 2,      // corpus never shuffles; window + sort
+    "q_profile" -> 2)          // single-pass profile (distinct expand)
+
+  budgets.foreach { case (name, maxShuffles) =>
+    test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
+      val plan = planOf(name)
+      val n = shuffles(plan)
+      assert(n <= maxShuffles,
+        s"$name: $n shuffle exchanges (budget $maxShuffles)\n$plan")
+    }
+  }
+}

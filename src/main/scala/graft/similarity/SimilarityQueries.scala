@@ -21,6 +21,30 @@ object SimilarityQueries extends QueryModule {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Normalized-embeddings prelude shared by every vector query
+    * (cosine baseline, both LSH variants, IVF, embedding dedup):
+    * float→double cast + L2 norm via the native graft_dot. One
+    * definition so a future change (e.g. zero-norm guard) lands
+    * everywhere at once. Declared BEFORE any Q val that interpolates
+    * it (vals initialize in declaration order).
+    */
+  private def normEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+
+  /** Oracle twin of [[normEmb]] as the `e`/`n` CTE pair every vector
+    * oracle opens with. */
+  private val normEmbSql = """
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e)"""
+
   /** Document-frequency cap for shingle blocking: shingles appearing in
     * more than this many documents are dropped BEFORE any self-join.
     * On a real corpus, stopword shingles ("one of the") have DF ~N and
@@ -102,14 +126,10 @@ object SimilarityQueries extends QueryModule {
   val cosineTopK = Q(
     "q_cosine_topk",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(
-          col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        // graft_dot: fused native expression (functions.DotProduct) —
-        // same ascending-index accumulation as zip_with+aggregate, one
-        // pass, no intermediate array.
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // graft_dot: fused native expression (functions.DotProduct) —
+      // same ascending-index accumulation as zip_with+aggregate, one
+      // pass, no intermediate array.
+      val emb = normEmb(s, dir)
       val q = emb.select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
         .filter(col("q_id") < 5)
@@ -124,14 +144,8 @@ object SimilarityQueries extends QueryModule {
         .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     },
-    Some("""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, v,
-               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        FROM e),
+    Some(s"""
+      WITH $normEmbSql,
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
       p AS (
         SELECT n.vec_id, q.q_id,
@@ -424,11 +438,7 @@ object SimilarityQueries extends QueryModule {
     */
   private def annPlan(
       s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(
-        col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val emb = normEmb(s, dir)
     def dot(j: Int): Column = aggregate(
       zip_with(col("v"), array(planes(j).map(lit(_)): _*),
         (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
@@ -477,12 +487,7 @@ object SimilarityQueries extends QueryModule {
                 * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
     }
     s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        FROM e),
+      WITH $normEmbSql,
       b AS (
         SELECT vec_id, v, nrm,
                (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END
@@ -529,39 +534,56 @@ object SimilarityQueries extends QueryModule {
   /** IVF-style ANN — the OTHER canonical sub-linear path beside
     * sign-LSH (q_ann_lsh): a coarse quantizer assigns every vector to
     * its nearest centroid cell, and each query probes only its top-2
-    * cells (nprobe=2) instead of the whole corpus. The demo quantizer
-    * uses 8 fixed corpus vectors as centroids (a real deployment runs
-    * a few k-means iterations first — the query shape is identical);
-    * similarity to centroids is rounded to 6dp before the argmax with
-    * a centroid-id tiebreak, so the cell assignment is cross-engine
-    * exact. Assignment is a broadcast of 8 centroids against a linear
-    * scan (no shuffle of the corpus); candidates then equi-join on the
-    * cell id — the same Σ cell² economics as LSH bucketing, but with
-    * data-adaptive cells, which is why IVF wins on clustered real
-    * embeddings.
+    * cells (nprobe=2) instead of the whole corpus.
+    *
+    * The quantizer is a TRAINED ARTIFACT, not part of the query
+    * dataflow: its 8 centroid vectors are collected once driver-side
+    * (bounded — the k-means-training analogue; here 8 fixed corpus
+    * vectors, a real deployment runs a few k-means iterations) and
+    * embedded as literals, exactly like the LSH hyperplanes. Cell
+    * assignment is then a PURE MAP-SIDE expression — per-row argmax
+    * over 8 literal-array dot products, no window, no shuffle of the
+    * corpus (an earlier window-based formulation shuffled the corpus
+    * ×8, twice). Similarity is rounded to 6dp before the argmax with
+    * a smallest-centroid-id tiebreak (encoded as a lexicographic
+    * struct max over (sim, -id)), so assignment is cross-engine
+    * exact. Candidates equi-join on the cell id — the same Σ cell²
+    * economics as LSH bucketing, but with data-adaptive cells, which
+    * is why IVF wins on clustered real embeddings.
     */
   val annIvf = Q(
     "q_ann_ivf",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(
-          col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-      val sims = emb.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")), 6))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cent_id"))
-      val ranked = sims.withColumn("rk", row_number().over(wAssign))
-      val assigned = ranked.filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      val qprobe = ranked.filter(col("vec_id") < 5 && col("rk") <= 2)
+      val emb = normEmb(s, dir)
+      // Quantizer "training": 8 bounded centroid rows -> driver ->
+      // literals. Sorted by id for determinism.
+      val cents: Array[(Long, Array[Double], Double)] = emb
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      def csim(c: (Long, Array[Double], Double)): Column =
+        round(
+          call_function("graft_dot", col("v"), array(c._2.map(lit(_)): _*))
+            / (col("nrm") * lit(c._3)),
+          6)
+      // (sim, -id) structs: lexicographic max = highest sim, then
+      // smallest centroid id — same tiebreak as the oracle's
+      // ORDER BY csim DESC, cent_id.
+      val simArr = array(cents.map(c =>
+        struct(csim(c).as("s"), lit(-c._1).as("nid"))): _*)
+      val sortedDesc = reverse(array_sort(simArr))
+      val withCells = emb
+        .withColumn("cell1", -element_at(sortedDesc, 1).getField("nid"))
+        .withColumn("cell2", -element_at(sortedDesc, 2).getField("nid"))
+      val assigned = withCells
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
+      val qprobe = withCells
+        .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("cent_id").as("cell"))
+          col("nrm").as("qnrm"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
       val scored = assigned.join(broadcast(qprobe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim",
@@ -574,13 +596,8 @@ object SimilarityQueries extends QueryModule {
           round(col("sim"), 6).as("sim_r"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     },
-    Some("""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        FROM e),
+    Some(s"""
+      WITH $normEmbSql,
       c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
       sims AS (
         SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -623,11 +640,7 @@ object SimilarityQueries extends QueryModule {
   val embedDedup = Q(
     "q_embed_dedup",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(
-          col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val emb = normEmb(s, dir)
       def dot(j: Int): Column = aggregate(
         zip_with(col("v"), array(planes(j).map(lit(_)): _*),
           (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
@@ -652,12 +665,7 @@ object SimilarityQueries extends QueryModule {
                   * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
       }
       Some(s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        FROM e),
+      WITH $normEmbSql,
       b AS (
         SELECT vec_id, v, nrm,
                (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END

@@ -26,10 +26,12 @@ class PlanContractSpec extends AnyFunSuite {
       .explainString(org.apache.spark.sql.execution.SimpleMode)
 
   /** Shuffle exchanges only: broadcast exchanges are free replication,
-    * not repartitioning. */
+    * not repartitioning; reused exchanges were already counted once.
+    * Everything else — hash, range, SinglePartition, AND round-robin /
+    * rebalance — is a real shuffle and must count against the budget.
+    */
   private def shuffles(plan: String): Int =
-    "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
-      .findAllIn(plan).length
+    "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).length
 
   test("no query ever plans a CartesianProduct") {
     // q_dedup_components runs an iterative driver loop (actions at
@@ -54,7 +56,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_lookup_enrich" -> 1,    // broadcast join, no shuffle join + sort
     "q_window_frame" -> 2,     // window repartition + final sort
     "q_cosine_topk" -> 2,      // corpus never shuffles; window + sort
-    "q_profile" -> 2)          // single-pass profile (distinct expand)
+    "q_profile" -> 2,          // single-pass profile (distinct expand)
+    "q_ann_ivf" -> 2)          // map-side cell assignment; window + sort only
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -142,26 +142,27 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("q_id"), col("vec_id")).as[(Long, Long)]
       .collect().groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
 
-  test("q_ann_lsh recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
-    val truth = top5(SimilarityQueries.cosineTopK.run(spark, clusterDir))
-    val ann = top5(SimilarityQueries.annLsh.run(spark, clusterDir))
-    val recalls = truth.map { case (q, t) =>
-      t.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / t.size
+  /** Brute-force ground truth over the planted fixture, computed once
+    * and shared by every ANN-variant recall test. */
+  private lazy val bruteTruth: Map[Long, Set[Long]] =
+    top5(SimilarityQueries.cosineTopK.run(spark, clusterDir))
+
+  private def avgRecallAt5(q: graft.Q): Double = {
+    val got = top5(q.run(spark, clusterDir))
+    val recalls = bruteTruth.map { case (k, t) =>
+      t.intersect(got.getOrElse(k, Set.empty)).size.toDouble / t.size
     }
-    val avg = recalls.sum / recalls.size
-    assert(avg >= 0.6,
-      s"multi-probe ANN recall degraded: avg=$avg per-query=${recalls.toSeq}")
+    recalls.sum / recalls.size
+  }
+
+  test("q_ann_lsh recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
+    val avg = avgRecallAt5(SimilarityQueries.annLsh)
+    assert(avg >= 0.6, s"multi-probe ANN recall degraded: avg=$avg")
   }
 
   test("q_ann_ivf recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
-    val truth = top5(SimilarityQueries.cosineTopK.run(spark, clusterDir))
-    val ivf = top5(SimilarityQueries.annIvf.run(spark, clusterDir))
-    val recalls = truth.map { case (q, t) =>
-      t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size
-    }
-    val avg = recalls.sum / recalls.size
-    assert(avg >= 0.6,
-      s"IVF ANN recall degraded: avg=$avg per-query=${recalls.toSeq}")
+    val avg = avgRecallAt5(SimilarityQueries.annIvf)
+    assert(avg >= 0.6, s"IVF ANN recall degraded: avg=$avg")
   }
 
   test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {

@@ -494,6 +494,63 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem""")
   )
 
+  /** NTILE — equi-depth quartiles of customers by balance: the window
+    * primitive behind quantile-based splits (spend tiers, train/val/
+    * test by score band). Ordering carries the unique key tiebreak so
+    * tile boundaries are deterministic; output is the per-tile census
+    * with exact min/max balance, which pins the boundary arithmetic
+    * (DuckDB and Spark must slice the 1500 rows identically).
+    */
+  val ntileQ = Q(
+    "q_ntile",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"),
+          ntile(4).over(
+            Window.orderBy(col("c_acctbal").cast(DecimalType(18, 2)), col("c_custkey")))
+            .cast(LongType).as("tile"))
+        .groupBy(col("tile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("bal")).cast(DoubleType).as("min_bal"),
+          max(col("bal")).cast(DoubleType).as("max_bal"))
+        .orderBy(col("tile")),
+    Some("""
+      WITH t AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS tile
+        FROM customer)
+      SELECT tile, count(*) AS n,
+             CAST(min(bal) AS DOUBLE) AS min_bal,
+             CAST(max(bal) AS DOUBLE) AS max_bal
+      FROM t GROUP BY tile ORDER BY tile""")
+  )
+
+  /** Pearson correlation + sample covariance per order-priority group —
+    * bivariate statistics (price vs quantity) as one partial+final
+    * aggregate; both engines accumulate co-moments, agreeing to well
+    * past the 6dp rounding both sides apply.
+    */
+  val corrQ = Q(
+    "q_corr",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+             round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** Time-series RESAMPLE with gap-fill — the regularization step every
     * event stream needs before charting/forecasting: an hourly spine
     * (generated, not scanned — fixed literal range so planning is
@@ -756,5 +813,5 @@ object AnalyticsQueries extends QueryModule {
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile,
-    mergeUpsert, resample)
+    mergeUpsert, resample, ntileQ, corrQ)
 }

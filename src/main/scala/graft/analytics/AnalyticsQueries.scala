@@ -494,61 +494,102 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem""")
   )
 
-  /** NTILE — equi-depth quartiles of customers by balance: the window
-    * primitive behind quantile-based splits (spend tiers, train/val/
-    * test by score band). Ordering carries the unique key tiebreak so
-    * tile boundaries are deterministic; output is the per-tile census
-    * with exact min/max balance, which pins the boundary arithmetic
-    * (DuckDB and Spark must slice the 1500 rows identically).
+  /** NTILE — equi-depth quartiles of each nation's customers by
+    * balance: the window primitive behind quantile-based splits (spend
+    * tiers, train/val/test by score band). Partitioned on the bounded
+    * nation key — an UNpartitioned ntile funnels the whole table
+    * through one task (Exchange SinglePartition), which violates this
+    * module's 100 TB window invariant; the global-split equivalent at
+    * scale is approx-quantile boundary computation + a range filter.
+    * Ordering carries the unique key tiebreak so tile boundaries are
+    * deterministic; the per-(nation, tile) census with exact min/max
+    * balance pins the boundary arithmetic on both engines.
     */
   val ntileQ = Q(
     "q_ntile",
     (s, dir) =>
       t(s, dir, "customer")
         .select(
-          col("c_custkey"),
+          col("c_nationkey"),
           col("c_acctbal").cast(DecimalType(18, 2)).as("bal"),
           ntile(4).over(
-            Window.orderBy(col("c_acctbal").cast(DecimalType(18, 2)), col("c_custkey")))
+            Window.partitionBy(col("c_nationkey"))
+              .orderBy(col("c_acctbal").cast(DecimalType(18, 2)), col("c_custkey")))
             .cast(LongType).as("tile"))
-        .groupBy(col("tile"))
+        .groupBy(col("c_nationkey"), col("tile"))
         .agg(
           count(lit(1)).as("n"),
           min(col("bal")).cast(DoubleType).as("min_bal"),
           max(col("bal")).cast(DoubleType).as("max_bal"))
-        .orderBy(col("tile")),
+        .orderBy(col("c_nationkey"), col("tile")),
     Some("""
       WITH t AS (
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
-               ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS tile
+        SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ntile(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS tile
         FROM customer)
-      SELECT tile, count(*) AS n,
+      SELECT c_nationkey, tile, count(*) AS n,
              CAST(min(bal) AS DOUBLE) AS min_bal,
              CAST(max(bal) AS DOUBLE) AS max_bal
-      FROM t GROUP BY tile ORDER BY tile""")
+      FROM t GROUP BY c_nationkey, tile ORDER BY c_nationkey, tile""")
   )
 
-  /** Pearson correlation + sample covariance per order-priority group —
-    * bivariate statistics (price vs quantity) as one partial+final
-    * aggregate; both engines accumulate co-moments, agreeing to well
-    * past the 6dp rounding both sides apply.
+  /** Pearson correlation + sample covariance per group — bivariate
+    * statistics (price vs quantity) computed FROM DECIMAL-EXACT moment
+    * sums (Σx, Σy, Σxy, Σx², n), not the built-in corr/covar_samp:
+    * the built-ins accumulate double co-moments whose merge order
+    * differs between Spark's partials and DuckDB, which is exactly the
+    * nondeterminism the repo's dsum convention exists to exclude. The
+    * moment sums are exact integers-in-decimal (order-independent at
+    * any parallelism); the final corr/covar arithmetic is one
+    * deterministic double expression over those exact inputs, so the
+    * rounded outputs are bit-stable on every machine. Still one
+    * partial+final aggregation pass.
     */
   val corrQ = Q(
     "q_corr",
-    (s, dir) =>
+    (s, dir) => {
+      val x = col("l_extendedprice").cast(DecimalType(12, 2))
+      val y = col("l_quantity").cast(DecimalType(12, 2))
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
-          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag")),
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(
+          col("l_returnflag"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)),
+            6).as("corr_pq"),
+          round(
+            (col("sxy") - col("sx") * col("sy") / col("n")).cast(DoubleType) /
+              (col("n") - 1),
+            2).as("cov_pq"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+               sum(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag,
-             round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
-             round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq,
-             count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_pq,
+             round(CAST(sxy - sx * sy / n AS DOUBLE) / (n - 1), 2) AS cov_pq,
+             n
+      FROM m ORDER BY l_returnflag""")
   )
 
   /** Time-series RESAMPLE with gap-fill — the regularization step every

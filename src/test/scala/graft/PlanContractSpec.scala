@@ -29,9 +29,14 @@ class PlanContractSpec extends AnyFunSuite {
     * not repartitioning; reused exchanges were already counted once.
     * Everything else — hash, range, SinglePartition, AND round-robin /
     * rebalance — is a real shuffle and must count against the budget.
+    * Counted at the operator-name position of each plan line (after
+    * the tree-drawing prefix), because ReusedExchange's argString
+    * embeds the referenced exchange's text MID-line — a substring scan
+    * would double-count it.
     */
   private def shuffles(plan: String): Int =
-    "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).length
+    plan.linesIterator.count(
+      _.dropWhile(c => "+-:| ".contains(c)).startsWith("Exchange "))
 
   test("no query ever plans a CartesianProduct") {
     // q_dedup_components runs an iterative driver loop (actions at

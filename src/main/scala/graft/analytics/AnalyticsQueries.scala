@@ -286,20 +286,31 @@ object AnalyticsQueries extends QueryModule {
       FROM e GROUP BY user_id ORDER BY user_id""")
   )
 
-  /** Set operations — symmetric difference of two customer key sets via
-    * UNION / INTERSECT / EXCEPT. Spark plans set ops as aggregates or
-    * left-semi/anti joins on the full row — no special operator needed.
+  /** Set operations — symmetric difference of two customer key sets.
+    * The literal UNION/INTERSECT/EXCEPT form (kept verbatim in the
+    * oracle) scans `customer` four times; since both sets derive from
+    * the SAME table, one scan computes per-row membership flags and one
+    * aggregation ORs them per key — symmetric difference is then the
+    * XOR filter. 4× less I/O at 100 TB, one shuffle instead of three
+    * set-op exchanges. Rows in neither set are dropped BEFORE the
+    * shuffle (safe: max-ORing in a false,false row never changes the
+    * flags, and all-false keys fail the XOR anyway).
+    * Plan shape (1 FileScan, ≤2 shuffles) pinned in PlanContractSpec.
     */
   val setOps = Q(
     "q_setops",
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-      val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
-      a.union(b).distinct()
-        .except(a.intersect(b))
-        .orderBy(col("c_custkey"))
-    },
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("in_a"),
+          (col("c_acctbal") > 5000).as("in_b"))
+        .filter(col("in_a") || col("in_b"))
+        .groupBy(col("c_custkey"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .filter(col("in_a") =!= col("in_b"))
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
     Some("""
       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
        UNION

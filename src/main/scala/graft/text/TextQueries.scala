@@ -118,17 +118,27 @@ object TextQueries extends QueryModule {
     * languages). Argmax with a fixed priority order for determinism;
     * the synthetic corpus is one shared vocabulary so accuracy is not
     * the point here — the scoring/argmax mechanism is.
+    *
+    * Tokenization is staged into its own projection so the regex split
+    * runs ONCE per row; the four stopword-family counts then filter the
+    * materialized array. `CollapseProject` will not inline a non-cheap
+    * alias referenced more than once, so the stages survive
+    * optimization (pinned by PlanContractSpec's split-once assertion).
     */
   val langId = Q(
     "q_lang_id",
     (s, dir) => {
       def hits(ws: Seq[String]): Column =
-        lsize(filter(toks(col("text")), w => w.isin(ws: _*)))
-      val en = hits(Seq("the", "a", "of", "and", "is"))
-      val de = hits(Seq("der", "die", "und", "das", "ist"))
-      val fr = hits(Seq("le", "la", "et", "les", "est"))
-      val es = hits(Seq("el", "los", "las", "es", "y"))
+        lsize(filter(col("tk"), w => w.isin(ws: _*)))
+      val en = col("en"); val de = col("de"); val fr = col("fr"); val es = col("es")
       t(s, dir, "documents")
+        .select(col("lang"), toks(col("text")).as("tk"))
+        .select(
+          col("lang"),
+          hits(Seq("the", "a", "of", "and", "is")).as("en"),
+          hits(Seq("der", "die", "und", "das", "ist")).as("de"),
+          hits(Seq("le", "la", "et", "les", "est")).as("fr"),
+          hits(Seq("el", "los", "las", "es", "y")).as("es"))
         .select(
           col("lang"),
           when(en >= de && en >= fr && en >= es && en > 0, "en")

@@ -62,7 +62,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q_window_frame" -> 2,     // window repartition + final sort
     "q_cosine_topk" -> 2,      // corpus never shuffles; window + sort
     "q_profile" -> 2,          // single-pass profile (distinct expand)
-    "q_ann_ivf" -> 2)          // map-side cell assignment; window + sort only
+    "q_ann_ivf" -> 2,          // map-side cell assignment; window + sort only
+    "q_setops" -> 2,           // one flag-OR agg + final sort
+    "q_lang_id" -> 2)          // tokenize-once projection + agg + sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
@@ -71,5 +73,20 @@ class PlanContractSpec extends AnyFunSuite {
       assert(n <= maxShuffles,
         s"$name: $n shuffle exchanges (budget $maxShuffles)\n$plan")
     }
+  }
+
+  test("q_setops scans customer exactly once (flag-OR rewrite, not 4 set-op scans)") {
+    val plan = planOf("q_setops")
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"q_setops: $scans FileScans (want 1)\n$plan")
+  }
+
+  test("q_lang_id tokenizes once — a single regex split survives optimization") {
+    val optimized = SparkEntry.queries("q_lang_id")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(optimized).length
+    assert(splits == 1,
+      s"q_lang_id: $splits split() calls in the optimized plan (want 1 — " +
+        s"CollapseProject re-inlined the token column?)\n$optimized")
   }
 }

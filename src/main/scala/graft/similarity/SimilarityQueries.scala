@@ -280,6 +280,84 @@ object SimilarityQueries extends QueryModule {
       SELECT id1, id2, n_bands FROM pairs ORDER BY 1, 2""")
   )
 
+  /** Connected-component labeling over an undirected edge list:
+    * iterative min-label propagation with pointer-doubling shortcuts
+    * (label ← label-of-label) from round 3 on — the dataflow analogue
+    * of Shiloach–Vishkin shortcutting and of the star-contraction
+    * rounds in Kiveris et al., "Connected Components in MapReduce"
+    * (SoCC'14). Plain propagation needs diameter rounds (a 200-node
+    * chain trips any sane cap); the shortcut halves label-chain depth
+    * every round, so convergence is O(log diameter) with the same
+    * per-round equi-join shape. Rounds 0–3 skip the shortcut: near-dup
+    * band graphs are diameter 1–3 (4 rounds at sf0.1 incl. the
+    * stabilization round) and converge before it would fire, so the
+    * common path pays no extra join. Each round localCheckpoints
+    * to truncate lineage, so plans stay constant-size.
+    *
+    * Convergence via the label-sum invariant: labels only ever decrease
+    * (propagation takes a min over a set containing the old label; the
+    * shortcut replaces a label with that node's own ≤ label), so the
+    * sum strictly decreases exactly when any label changed — one scalar
+    * aggregate per round instead of a self-join diff. At the fixpoint
+    * every edge joins equal labels, so each component is uniformly
+    * labeled; labels are only ever in-component node ids, hence the
+    * uniform label is the component minimum.
+    *
+    * @param nodes single-column DF of node ids
+    * @param edges two-column DF of undirected edges (symmetrized here)
+    * @return (n, lbl) — every node labeled with its component's min id
+    */
+  private[graft] def labelComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    val sym = e0
+      .union(e0.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // computed once, reused every round
+    var labels = nodes.toDF("n")
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(true)
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).first().getLong(0)
+    var prevSum = lblSum(labels)
+    // Edge-free graph (a dup-free corpus): every node is already its
+    // own component — skip the propagation loop entirely.
+    var converged = sym.isEmpty
+    var round = 0
+    while (!converged && round < 20) {
+      val msgs = sym.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.n"))
+        .select(col("e.dst").as("n"), col("l.lbl").as("lbl"))
+      val prop = labels.union(msgs)
+        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+      val next =
+        if (round < 4) prop.localCheckpoint(true)
+        else {
+          // Pointer doubling: every lbl is itself a node id (labels
+          // start as identity and only ever copy node ids), so the
+          // lookup join is total. Checkpoint first — `p` feeds both
+          // sides of the self-join.
+          val p = prop.localCheckpoint(true)
+          val parent = p.select(col("n").as("pn"), col("lbl").as("plbl"))
+          p.join(parent, p("lbl") === parent("pn"))
+            .select(p("n"), least(p("lbl"), parent("plbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      round += 1
+    }
+    // Partially-propagated labels are silently WRONG data (one real
+    // cluster split across component ids) — fail loudly instead. With
+    // shortcutting, 20 rounds covers diameter ≳ 2^16; hitting the cap
+    // means something is broken, not merely chain-shaped.
+    require(converged,
+      "labelComponents: did not converge within 20 shortcutted rounds " +
+        "(diameter > ~2^16?) — refusing to return split components")
+    labels
+  }
+
   /** Near-duplicate CLUSTERS — connected components over the MinHash
     * candidate-pair graph, labeling every document with the smallest
     * doc_id in its duplicate cluster (the canonical survivor). This is
@@ -287,62 +365,19 @@ object SimilarityQueries extends QueryModule {
     * near-duplication is transitive in practice (A≈B, B≈C → one
     * cluster), and keep-one-per-pair would double-keep A,C.
     *
-    * Implemented as iterative min-label propagation: one equi-join +
-    * min-aggregate per round, rounds bounded by the component diameter
-    * (near-dup clusters are shallow — a handful of rounds; hard cap 20
-    * with a convergence check per round). Each round localCheckpoints
-    * to truncate lineage, so plans stay constant-size. At 100 TB the
-    * same join shape runs as large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) which contracts
-    * star centers to cut round count; the per-round dataflow below is
-    * identical. Oracle: DuckDB recursive CTE propagating min labels —
-    * an independent algorithm that must converge to the same fixpoint.
+    * The labeling loop is [[labelComponents]] (min-label propagation +
+    * pointer-doubling shortcuts, O(log diameter) rounds — chain graphs
+    * converge too; planted 200-node-chain test in SimilaritySpec).
+    * Oracle: DuckDB recursive CTE propagating min labels — an
+    * independent algorithm that must converge to the same fixpoint.
     */
   val dedupComponents = Q(
     "q_dedup_components",
     (s, dir) => {
       val edges = minhashPairsPlan(s, dir).select(col("id1"), col("id2"))
-      val sym = edges
-        .union(edges.select(col("id2"), col("id1")))
-        .toDF("src", "dst")
-        .localCheckpoint(true) // computed once, reused every round
-      var labels = t(s, dir, "documents")
-        .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
-        .localCheckpoint(true)
-      // Convergence via the label-sum invariant: labels only ever
-      // decrease (min of a set containing the old label), so the sum
-      // strictly decreases exactly when any label changed — one scalar
-      // aggregate per round instead of a self-join diff.
-      def lblSum(df: DataFrame): Long =
-        df.agg(sum(col("lbl"))).first().getLong(0)
-      var prevSum = lblSum(labels)
-      // Edge-free graph (a dup-free corpus): every doc is already its
-      // own component — skip the propagation loop entirely.
-      var converged = sym.isEmpty
-      var round = 0
-      while (!converged && round < 20) {
-        val msgs = sym.as("e")
-          .join(labels.as("l"), col("e.src") === col("l.n"))
-          .select(col("e.dst").as("n"), col("l.lbl").as("lbl"))
-        val next = labels.union(msgs)
-          .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        val nextSum = lblSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        labels = next
-        round += 1
-      }
-      // Partially-propagated labels are silently WRONG data (one real
-      // cluster split across component ids) — fail loudly instead.
-      // Near-dup band graphs are dense (diameter 1-2); hitting 20
-      // rounds means a pathological chain, where the large-star/
-      // small-star contraction is the right tool.
-      require(converged,
-        "q_dedup_components: label propagation did not converge within " +
-          "20 rounds (component diameter > 20); use star-contraction for " +
-          "chain-shaped duplicate graphs")
-      labels.select(col("n").as("doc_id"), col("lbl").as("component"))
+      val nodes = t(s, dir, "documents").select(col("doc_id"))
+      labelComponents(nodes, edges)
+        .select(col("n").as("doc_id"), col("lbl").as("component"))
         .orderBy(col("doc_id"))
     },
     Some(s"""

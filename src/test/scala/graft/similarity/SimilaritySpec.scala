@@ -85,6 +85,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(comp.size === 4) // singletons included
   }
 
+  test("labelComponents converges on a 200-node chain (pointer-doubling shortcut)") {
+    // Diameter-199 path graph: plain min-label propagation needs 199
+    // rounds and used to trip the 20-round cap; the shortcut halves
+    // label-chain depth per round, so this must converge AND label
+    // every node 0. A disjoint 3-node chain checks labels don't leak
+    // across components.
+    val nodes = (0L until 200L).union(Seq(1000L, 1001L, 1002L)).toDF("n")
+    val edges = (0L until 199L).map(i => (i, i + 1))
+      .union(Seq((1000L, 1001L), (1001L, 1002L)))
+      .toDF("src", "dst")
+    val lbl = SimilarityQueries.labelComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 200L).forall(lbl(_) == 0L), "chain must collapse to min id 0")
+    assert(Seq(1000L, 1001L, 1002L).forall(lbl(_) == 1000L),
+      "disjoint component keeps its own min label")
+    assert(lbl.size === 203)
+  }
+
   test("shingle DF cap bounds the hot-shingle join blowup") {
     // 40 docs that all share one hot 3-gram ("common hot shingle") but
     // are otherwise disjoint: the uncapped self-join pays C(40,2)=780

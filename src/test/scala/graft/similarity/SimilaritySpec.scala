@@ -178,9 +178,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.6, s"multi-probe ANN recall degraded: avg=$avg")
   }
 
-  test("q_ann_ivf recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
+  test("q_ann_ivf recall@5 vs brute-force ground truth >= 0.8 on clustered data") {
+    // Trained (2-iteration fixed-point k-means) quantizer reaches 1.0
+    // on the planted clusters; 0.8 is the floor the untrained
+    // first-8-vectors quantizer already met — regression below it
+    // means training broke.
     val avg = avgRecallAt5(SimilarityQueries.annIvf)
-    assert(avg >= 0.6, s"IVF ANN recall degraded: avg=$avg")
+    assert(avg >= 0.8, s"IVF ANN recall degraded: avg=$avg")
   }
 
   test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {

@@ -436,6 +436,35 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Approximate percentiles — the declared 100 TB swap-in for
+    * [[percentile]]: `approx_percentile`'s GK-style sketch keeps
+    * BOUNDED memory per group (accuracy parameter 10000 → rank error
+    * ≤ 1/10000) instead of buffering every group value the way the
+    * exact order statistic must. Same query shape and output columns
+    * as q_percentile, so swapping is a one-line change. Sketch
+    * estimates are engine-specific → rows-only check like
+    * q_hll_distinct (SURVEY §9); AnalyticsSpec pins ±1% agreement
+    * with the exact percentiles, and this entry keeps the sketch path
+    * timed in the bench.
+    */
+  val approxPercentile = Q(
+    "q_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
+            .as("ps"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p90"),
+          col("n"))
+        .orderBy(col("l_returnflag")),
+    None
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -864,6 +893,6 @@ object AnalyticsQueries extends QueryModule {
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, windowRange, saltedJoinQ, pivotQ, argmax, outerJoin, profile,
-    mergeUpsert, resample, ntileQ, corrQ)
+    percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
+    outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ)
 }

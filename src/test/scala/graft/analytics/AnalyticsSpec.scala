@@ -26,6 +26,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_percentile lands within 1% of the exact order statistics") {
+    val dir = "/root/testdata/sf0.01"
+    def byFlag(q: graft.Q): Map[String, (Double, Double)] =
+      q.run(spark, dir)
+        .select("l_returnflag", "p50", "p90")
+        .as[(String, Double, Double)].collect()
+        .map { case (f, p50, p90) => f -> (p50, p90) }.toMap
+    val exact = byFlag(AnalyticsQueries.percentile)
+    val approx = byFlag(AnalyticsQueries.approxPercentile)
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (e50, e90)) =>
+      val (a50, a90) = approx(flag)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$flag p50: approx=$a50 exact=$e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$flag p90: approx=$a90 exact=$e90")
+    }
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

@@ -330,19 +330,35 @@ object TextQueries extends QueryModule {
     * hash order IS a reproducible shuffle of the stratum). This is the
     * companion to [[sampleStratified]]: rate sampling when proportions
     * matter, exact-k when split sizes must be fixed (eval sets,
-    * few-shot pools). One shuffle on the stratum key; at 100 TB with a
-    * dominant stratum the same rank runs two-phase (per-partition
-    * top-k, then rank the surviving ≤ k·P candidates) — the
-    * TakeOrdered shape, group-wise.
+    * few-shot pools).
+    *
+    * TWO-PHASE grouped top-k (the TakeOrdered shape, group-wise): a
+    * one-phase rank on `lang` funnels EVERY row of a dominant stratum
+    * through one reducer — the scale killer at 100 TB. Phase 1 ranks
+    * within (lang, 32-way deterministic subgroup) so the stratum
+    * spreads over 32 reducers and each keeps only its local top-20;
+    * phase 2 ranks the ≤ 20·32 survivors per stratum. Pruning is
+    * lossless — a global top-20 row is top-20 in any subgroup
+    * containing it — and the final rank uses the same total order
+    * (md5 key, doc_id tiebreak), so results are identical to the
+    * one-phase form (the oracle still runs it one-phase).
     */
   val sampleExactK = Q(
     "q_sample_exact_k",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(md5(concat(lit("k:"), col("doc_id").cast("string"))), col("doc_id"))
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("lang"), col("sub"))
+        .orderBy(col("k"), col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("k"), col("doc_id"))
       t(s, dir, "documents")
-        .withColumn("rk", row_number().over(w))
+        .select(
+          col("doc_id"), col("lang"),
+          md5(concat(lit("k:"), col("doc_id").cast("string"))).as("k"),
+          pmod(hash(col("doc_id")), lit(32)).as("sub"))
+        .withColumn("rk1", row_number().over(w1))
+        .filter(col("rk1") <= 20)
+        .withColumn("rk", row_number().over(w2))
         .filter(col("rk") <= 20)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))

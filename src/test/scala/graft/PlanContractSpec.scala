@@ -64,7 +64,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_profile" -> 2,          // single-pass profile (distinct expand)
     "q_ann_ivf" -> 2,          // map-side cell assignment; window + sort only
     "q_setops" -> 2,           // one flag-OR agg + final sort
-    "q_lang_id" -> 2)          // tokenize-once projection + agg + sort
+    "q_lang_id" -> 2,          // tokenize-once projection + agg + sort
+    "q_sample_exact_k" -> 3)   // 2-phase top-k: (lang,sub) + lang + sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

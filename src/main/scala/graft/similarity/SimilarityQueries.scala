@@ -835,7 +835,57 @@ object SimilarityQueries extends QueryModule {
     }
   )
 
+  /** Int8 scalar quantization of the embedding column — the 4× memory
+    * cut that makes a 100 TB vector corpus fit its serving tier
+    * (per-vector min/max affine quantization, the faiss SQ8 scheme).
+    * Pure per-row projection: every output is either an integer
+    * (quantized codes are exact — same IEEE element-wise ops in both
+    * engines, then round to int) or a 6dp-rounded range bound. The
+    * q_sum column integer-checks the entire code vector without
+    * emitting a 64-element array through the hash compare. Constant
+    * vectors (scale 0) quantize to all-zero codes by definition.
+    * SimilaritySpec pins the actual guarantee: dequantization error
+    * ≤ scale/2 per element.
+    */
+  val embedQuant = Q(
+    "q_embed_quant",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+        .select(
+          col("vec_id"),
+          round(col("mn"), 6).as("mn_r"),
+          round(col("mx"), 6).as("mx_r"),
+          when(col("scale") === 0, lit(0L))
+            .otherwise(aggregate(
+              transform(col("v"),
+                x => round((x - col("mn")) / col("scale")).cast(LongType)),
+              lit(0L), (acc, q) => acc + q)).as("q_sum"),
+          lsize(col("v")).as("n_dims"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+               (list_max(v) - list_min(v)) / 255.0 AS scale
+        FROM e)
+      SELECT vec_id, round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(list_sum(list_transform(v,
+                       x -> CAST(round((x - mn) / scale) AS BIGINT))) AS BIGINT)
+             END AS q_sum,
+             CAST(len(v) AS BIGINT) AS n_dims
+      FROM s ORDER BY vec_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, annLshShuffle,
-      annIvf, embedDedup, dedupComponents)
+      annIvf, embedDedup, dedupComponents, embedQuant)
 }

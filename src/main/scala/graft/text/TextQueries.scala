@@ -423,7 +423,135 @@ object TextQueries extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** Email / phone patterns shared by the Spark plan and the oracle.
+    * Conservative classes only ([A-Za-z0-9…], \d, \b) so Java regex and
+    * DuckDB's RE2 agree on every match. Declared before [[piiScrub]]
+    * (val-initialization order). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass every pretraining pipeline runs
+    * before anything else sees the text: emails and phone numbers are
+    * counted and replaced with typed placeholder tokens. Pure per-row
+    * projection (regexp_extract_all + regexp_replace, both codegen'd)
+    * — zero shuffles before the final sort, linear at any corpus size.
+    * The driver corpus is synthetic and PII-free (counts 0, text
+    * unchanged — still hash-compared); TextOpsSpec plants real PII to
+    * pin the redaction itself.
+    */
+  val piiScrub = Q(
+    "q_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lsize(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+          lsize(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]")).as("scrub_hash"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+                 '$PhoneRe', '[PHONE]', 'g')) AS scrub_hash
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Token-repetition profile — the Gopher-style repetition quality
+    * signal (Rae et al. 2021 §A1.1: excessive duplicate words/phrases
+    * mark low-quality documents): per-document token count, distinct
+    * token count, and the highest single-token frequency. Integer
+    * outputs only. One explode + two hash aggregations (map-side
+    * combine shrinks the (doc, token) stream before either shuffle);
+    * at 100 TB this is the same linear histogram shape as q_simhash.
+    */
+  val repetition = Q(
+    "q_repetition",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_freq"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      hist AS (
+        SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_freq
+      FROM hist GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Eval-set decontamination — flag corpus documents sharing any
+    * 8-token n-gram with a held-out eval set (here: doc_id < 25 stands
+    * in for the benchmark suite). THE deduplication-adjacent check
+    * every serious training pipeline runs (e.g. GPT-3 §C, PaLM §D.2:
+    * n-gram overlap against benchmarks). Scale shape: the eval side is
+    * tiny and bounded, so its distinct gram hashes BROADCAST and the
+    * 100 TB corpus is decontaminated in ONE scan — no corpus shuffle
+    * before the per-doc count. Grams are md5-hashed so the broadcast
+    * carries 16-byte keys, not raw text. The synthetic corpus shares
+    * no 8-grams across documents (0 rows — still hash-compared);
+    * TextOpsSpec plants a contaminated doc to pin the detection.
+    */
+  val contamination = Q(
+    "q_contamination",
+    (s, dir) => {
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          explode(
+            when(size(col("ws")) >= 8,
+              transform(
+                sequence(lit(0), size(col("ws")) - 8),
+                i => md5(concat_ws(" ",
+                  (1 to 8).map(o => element_at(col("ws"), i + o)): _*))))
+              .otherwise(array().cast("array<string>"))).as("g"))
+        .distinct()
+      val docs = t(s, dir, "documents")
+      val evalGrams = grams(docs.filter(col("doc_id") < 25)).select(col("g"))
+      grams(docs.filter(col("doc_id") >= 25))
+        .join(broadcast(evalGrams.distinct()), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents),
+      g0 AS (
+        SELECT doc_id,
+               md5(w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                 || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                 || ' ' || lead(w, 7) OVER win) AS g,
+               lead(w, 7) OVER win IS NOT NULL AS ok
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      grams AS (SELECT DISTINCT doc_id, g FROM g0 WHERE ok),
+      ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25),
+      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 25)
+      SELECT c.doc_id, count(*) AS n_shared_grams
+      FROM corpus c JOIN ev ON c.g = ev.g
+      GROUP BY c.doc_id ORDER BY c.doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
-      textNormalize, sampleStratified, sampleExactK, curation)
+      textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
+      repetition, contamination)
 }

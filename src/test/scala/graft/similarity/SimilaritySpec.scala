@@ -187,6 +187,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.8, s"IVF ANN recall degraded: avg=$avg")
   }
 
+  test("q_embed_quant: codes match a JVM replica; dequant error <= scale/2") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq(
+      0L -> Array(0f, 1f, 2f),
+      1L -> Array(5f, 5f, 5f), // constant -> scale 0 -> all-zero codes
+      2L -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dir = Files.createTempDirectory("quant").toString
+    vecs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.embedQuant.run(spark, dir)
+      .select("vec_id", "q_sum").as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val (mn, mx) = (v.min, v.max)
+      val scale = (mx - mn) / 255.0
+      if (scale == 0) assert(got(id) === 0L, s"vec $id")
+      else {
+        // codes are non-negative, so math.round (HALF_UP toward +inf)
+        // matches Spark/DuckDB round (HALF_UP away from zero)
+        val codes = v.map(x => math.round((x - mn) / scale))
+        assert(got(id) === codes.sum, s"vec $id")
+        // the guarantee the 4x memory cut rests on
+        val maxErr = v.zip(codes).map { case (x, q) =>
+          math.abs(x - (mn + q * scale)) }.max
+        assert(maxErr <= scale / 2 + 1e-12, s"vec $id: err $maxErr > ${scale / 2}")
+      }
+    }
+  }
+
   test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {
     val a = SimilarityQueries.annLsh.run(spark, clusterDir)
       .collect().map(_.toSeq).toSet

@@ -56,6 +56,53 @@ class TextOpsSpec extends AnyFunSuite {
       s"sample size ${a.size} far from the 30% rate")
   }
 
+  test("q_pii_scrub counts and redacts planted emails and phone numbers") {
+    val dir = docsDir(Seq(
+      "contact alice.smith+x@example.co.uk or 555-123-4567 today",
+      "two mails a@b.io c@d.org and phone 800.555.1212",
+      "nothing sensitive here"))
+    val got = TextQueries.piiScrub.run(spark, dir)
+      .select("doc_id", "n_emails", "n_phones", "scrub_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 1L && got(0)._3 === 1L)
+    assert(got(1)._2 === 2L && got(1)._3 === 1L)
+    assert(got(2)._2 === 0L && got(2)._3 === 0L)
+    // redaction actually happened: hash equals md5 of the scrubbed text
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("contact [EMAIL] or [PHONE] today".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0)._4 === expected)
+  }
+
+  test("q_repetition: token histogram stats (total, distinct, top frequency)") {
+    val dir = docsDir(Seq(
+      "spam spam spam eggs spam",  // 5 tokens, 2 distinct, top=4
+      "all words here differ"))    // 4 tokens, 4 distinct, top=1
+    val got = TextQueries.repetition.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0L, 5L, 2L, 4L)))
+    assert(got(1) === ((1L, 4L, 4L, 1L)))
+  }
+
+  test("q_contamination flags corpus docs sharing an 8-gram with the eval set") {
+    // doc 0 is "eval" (doc_id < 25); doc 30 copies 9 of its tokens ->
+    // two shared 8-grams; doc 31 shares only 7 consecutive tokens ->
+    // clean; doc 32 disjoint -> clean.
+    val evalText = "one two three four five six seven eight nine ten"
+    val texts = Seq(
+      (0L, evalText),
+      (30L, "STOLEN one two three four five six seven eight nine END"),
+      (31L, "one two three four five six seven CHANGED nine ten"),
+      (32L, "completely different content with no overlap whatsoever at all"))
+    val dir = Files.createTempDirectory("contam").toString
+    texts.map { case (i, t) => (i, t, "xx", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.contamination.run(spark, dir)
+      .select("doc_id", "n_shared_grams").as[(Long, Long)].collect().toMap
+    assert(got === Map(30L -> 2L))
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

@@ -33,19 +33,21 @@ object TextQueries extends QueryModule {
   private def normTextSql(c: String): String =
     s"trim(regexp_replace(lower(nfc_normalize($c)), '\\s+', ' ', 'g'))"
 
-  /** Deterministic sampling bucket in [0, 100): salted md5 of the key.
-    * Shared by [[sampleStratified]] and [[curation]] (with different
-    * salts) so the hash-window arithmetic lives in exactly one place
-    * per engine. */
-  private def hashBucket(salt: String, key: Column): Column =
+  /** Deterministic cross-engine bucket in [0, mod): salted md5 of the
+    * key. Shared by [[sampleStratified]] and [[curation]] (mod 100,
+    * different salts) and [[pack]] (mod 8 shards) so the hash-window
+    * arithmetic lives in exactly one place per engine. md5, not
+    * Spark's murmur `hash()`: the bucket reaches query OUTPUT, so it
+    * must be reproducible by the oracle. */
+  private def hashBucket(salt: String, key: Column, mod: Int = 100): Column =
     pmod(
       conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
         .cast(LongType),
-      lit(100))
+      lit(mod))
 
   /** Oracle twin of [[hashBucket]]. */
-  private def hashBucketSql(salt: String, key: String): String =
-    s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  private def hashBucketSql(salt: String, key: String, mod: Int = 100): String =
+    s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % $mod"
 
   /** Exact deduplication — group by content hash, keep the smallest
     * doc_id as canonical (deterministic survivor). At 100 TB this is a
@@ -524,7 +526,7 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val evalGrams = grams(docs.filter(col("doc_id") < 25)).select(col("g"))
       grams(docs.filter(col("doc_id") >= 25))
-        .join(broadcast(evalGrams.distinct()), Seq("g"))
+        .join(broadcast(evalGrams), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("doc_id"))
@@ -550,8 +552,55 @@ object TextQueries extends QueryModule {
       GROUP BY c.doc_id ORDER BY c.doc_id""")
   )
 
+  /** Sequence packing — assign documents to fixed-capacity training
+    * context windows (cap 2048 tokens), the step that turns a curated
+    * corpus into dense training sequences. Docs pack by greedy
+    * concatenation in deterministic (shard, doc_id) order; a doc's
+    * window is the one its FIRST token lands in (concatenation packing
+    * — docs may span a boundary, standard for decoder pretraining).
+    *
+    * Packing is inherently sequential, so at scale it SHARDS: the
+    * 8-way deterministic md5 shard is the unit of parallelism (at
+    * 100 TB you raise the shard count to the cluster's width), and the
+    * cumulative-sum window runs per shard — no global single-reducer
+    * ordering anywhere. Integer-only outputs; `div` floor-division
+    * matches the oracle's `//` on the non-negative offsets.
+    */
+  val pack = Q(
+    "q_pack",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          hashBucket("pk:", col("doc_id"), 8).as("shard"),
+          lsize(toks(col("text"))).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(
+          col("doc_id"), col("shard"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               ${hashBucketSql("pk:", "doc_id", 8)} AS shard,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+      SELECT doc_id, shard, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+      FROM c ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
-      repetition, contamination)
+      repetition, contamination, pack)
 }

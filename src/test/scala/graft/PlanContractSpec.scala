@@ -65,7 +65,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_ann_ivf" -> 2,          // map-side cell assignment; window + sort only
     "q_setops" -> 2,           // one flag-OR agg + final sort
     "q_lang_id" -> 2,          // tokenize-once projection + agg + sort
-    "q_sample_exact_k" -> 3)   // 2-phase top-k: (lang,sub) + lang + sort
+    "q_sample_exact_k" -> 3,   // 2-phase top-k: (lang,sub) + lang + sort
+    "q_pii_scrub" -> 1,        // pure redaction projection + final sort
+    "q_embed_quant" -> 1,      // pure quantize projection + final sort
+    "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
+    "q_contamination" -> 4,    // 2 gram-distincts + per-doc agg + sort; join broadcasts
+    "q_pack" -> 2)             // per-shard cumsum window + final sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -103,6 +103,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Map(30L -> 2L))
   }
 
+  test("q_pack: per-shard greedy concatenation packing matches a JVM replica") {
+    val dir = docsDir((0 until 200).map(i => Seq.fill(i % 40 + 1)("tok").mkString(" ")))
+    val got = TextQueries.pack.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 200)
+    got.foreach { case (id, shard, n, _) =>
+      assert(shard >= 0 && shard < 8)
+      assert(n === id % 40 + 1, s"doc $id token count")
+    }
+    // replay the packing law per shard: pack_id = floor(start_offset / 2048)
+    got.groupBy(_._2).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, packId) =>
+        assert(packId === cum / 2048, s"doc $id in shard $shard")
+        cum += n
+      }
+    }
+    assert(got.map(_._2).distinct.length > 1, "shards should actually spread")
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

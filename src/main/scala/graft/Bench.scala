@@ -27,7 +27,7 @@ object Bench {
     */
   private[graft] def loadBaseline(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
-    try "\"(q_[a-z0-9_]+)\":(-?[0-9.]+)".r
+    try "\"(q_[a-z0-9_]+)\":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)".r
       .findAllMatchIn(text.mkString)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
@@ -58,6 +58,12 @@ object Bench {
     val spark = util.GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // A typo'd ONLY name must fail, not silently bench (and gate) nothing.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

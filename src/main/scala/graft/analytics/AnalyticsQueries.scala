@@ -303,8 +303,11 @@ object AnalyticsQueries extends QueryModule {
       t(s, dir, "customer")
         .select(
           col("c_custkey"),
-          (col("c_mktsegment") === "BUILDING").as("in_a"),
-          (col("c_acctbal") > 5000).as("in_b"))
+          // coalesce: a NULL segment/balance means "not in the set",
+          // matching the set-op form (NULL predicates drop rows there
+          // too); without it max(NULL-flag) poisons the XOR filter.
+          coalesce(col("c_mktsegment") === "BUILDING", lit(false)).as("in_a"),
+          coalesce(col("c_acctbal") > 5000, lit(false)).as("in_b"))
         .filter(col("in_a") || col("in_b"))
         .groupBy(col("c_custkey"))
         .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
@@ -443,7 +446,11 @@ object AnalyticsQueries extends QueryModule {
     * exact order statistic must. Same query shape and output columns
     * as q_percentile, so swapping is a one-line change. Sketch
     * estimates are engine-specific → rows-only check like
-    * q_hll_distinct (SURVEY §9); AnalyticsSpec pins ±1% agreement
+    * q_hll_distinct (SURVEY §9) — and unlike HLL's order-invariant
+    * register-max merge, quantile-sketch merges are partial-order
+    * dependent, so estimates may wobble within the rank bound across
+    * runs (fine for the rows-only check and the ±1% spec assert; do
+    * not byte-compare its dump across runs). AnalyticsSpec pins ±1% agreement
     * with the exact percentiles, and this entry keeps the sketch path
     * timed in the bench.
     */

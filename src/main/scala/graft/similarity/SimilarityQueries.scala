@@ -316,8 +316,10 @@ object SimilarityQueries extends QueryModule {
     var labels = nodes.toDF("n")
       .select(col("n"), col("n").as("lbl"))
       .localCheckpoint(true)
+    // coalesce: sum over an EMPTY nodes DF is NULL — an empty corpus
+    // must label to 0 rows, not NPE on getLong.
     def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).first().getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
     var prevSum = lblSum(labels)
     // Edge-free graph (a dup-free corpus): every node is already its
     // own component — skip the propagation loop entirely.
@@ -585,7 +587,9 @@ object SimilarityQueries extends QueryModule {
     * the trained centroids are bit-identical to the oracle's SQL replica
     * of the same two iterations at ANY partitioning/parallelism. That
     * exactness is what lets both engines embed the quantizer as
-    * literals. Assignment metric: squared euclidean distance in ints
+    * literals. (The oracle computes each mean as floor(sum·1.0/count) —
+    * exact for |sum| < 2^53, which the trainer enforces with a loud
+    * require.) Assignment metric: squared euclidean distance in ints
     * (exact), smallest-cell tiebreak via lexicographic array_sort min;
     * a cell that loses all members keeps its previous centroid (same
     * COALESCE rule in the oracle).
@@ -626,7 +630,16 @@ object SimilarityQueries extends QueryModule {
       cents = cents.map { case (id, old) =>
         byCell.get(id).fold((id, old)) { rows =>
           val next = new Array[Long](old.length)
-          rows.foreach(r => next(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          rows.foreach { r =>
+            // The oracle's mean is floor(sum * 1.0 / count): exact only
+            // while |sum| < 2^53 (a cell would need ~9e9 members at the
+            // 1e6 scale). Fail loudly at the bound instead of letting
+            // engine and oracle centroids silently diverge.
+            require(math.abs(r.getLong(2)) < (1L << 53),
+              s"IVF training: cell $id component sum ${r.getLong(2)} exceeds " +
+                "the 2^53 exact-double bound the oracle's mean relies on")
+            next(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+          }
           (id, next)
         }
       }

@@ -524,7 +524,11 @@ object TextQueries extends QueryModule {
               .otherwise(array().cast("array<string>"))).as("g"))
         .distinct()
       val docs = t(s, dir, "documents")
-      val evalGrams = grams(docs.filter(col("doc_id") < 25)).select(col("g"))
+      // grams() dedups per (doc, gram); the eval SET needs a second
+      // distinct across docs — two eval docs sharing a gram must not
+      // double-count a corpus hit (oracle: SELECT DISTINCT g).
+      val evalGrams = grams(docs.filter(col("doc_id") < 25))
+        .select(col("g")).distinct()
       grams(docs.filter(col("doc_id") >= 25))
         .join(broadcast(evalGrams), Seq("g"))
         .groupBy(col("doc_id"))

@@ -43,6 +43,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_setops flag-OR rewrite matches literal set ops when flags are NULL") {
+    // NULL segment/balance means "not in that set" — the literal
+    // UNION/INTERSECT/EXCEPT form drops NULL predicates row-wise; the
+    // flag-OR rewrite must coalesce, not let max(NULL) poison the XOR.
+    val dir = java.nio.file.Files.createTempDirectory("setops").toString
+    Seq[(Long, String, Option[Double])](
+      (1L, "BUILDING", Some(9000.0)), // in both -> excluded
+      (2L, "BUILDING", None),         // a only (NULL balance) -> kept
+      (3L, null, Some(9000.0)),       // b only (NULL segment) -> kept
+      (4L, null, None),               // neither -> excluded
+      (5L, "AUTOMOBILE", Some(100.0)) // neither -> excluded
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = AnalyticsQueries.setOps.run(spark, dir)
+      .as[Long].collect().toSeq
+    assert(got === Seq(2L, 3L))
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

@@ -103,6 +103,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lbl.size === 203)
   }
 
+  test("labelComponents returns 0 rows (no NPE) on an empty node set") {
+    val nodes = Seq.empty[Long].toDF("n")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(SimilarityQueries.labelComponents(nodes, edges).count() === 0L)
+  }
+
   test("shingle DF cap bounds the hot-shingle join blowup") {
     // 40 docs that all share one hot 3-gram ("common hot shingle") but
     // are otherwise disjoint: the uncapped self-join pays C(40,2)=780

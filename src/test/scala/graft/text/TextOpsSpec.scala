@@ -85,12 +85,15 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("q_contamination flags corpus docs sharing an 8-gram with the eval set") {
-    // doc 0 is "eval" (doc_id < 25); doc 30 copies 9 of its tokens ->
-    // two shared 8-grams; doc 31 shares only 7 consecutive tokens ->
-    // clean; doc 32 disjoint -> clean.
+    // docs 0 and 1 are "eval" (doc_id < 25) and share their 8-grams —
+    // the corpus hit count must still be per DISTINCT gram (2), not per
+    // eval occurrence (4). doc 30 copies 9 eval tokens -> two shared
+    // 8-grams; doc 31 shares only 7 consecutive tokens -> clean;
+    // doc 32 disjoint -> clean.
     val evalText = "one two three four five six seven eight nine ten"
     val texts = Seq(
       (0L, evalText),
+      (1L, s"$evalText extra tail"),
       (30L, "STOLEN one two three four five six seven eight nine END"),
       (31L, "one two three four five six seven CHANGED nine ten"),
       (32L, "completely different content with no overlap whatsoever at all"))

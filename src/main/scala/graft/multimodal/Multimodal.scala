@@ -268,6 +268,87 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** REAL perceptual average-hash (aHash) — the image analogue of
+    * SimHash and the standard first-pass image dedup key: decode,
+    * bilinear-downsample to 8×8 grayscale, threshold each cell against
+    * the mean → 64-bit signature. Hamming distance ≤ ~5 flags
+    * near-duplicates (re-encodes, minor crops/noise). Map-side decode
+    * collapses each payload to 8 BYTES, so a 100 TB image corpus
+    * dedups by grouping/joining signatures — payloads never shuffle.
+    * Pure JDK; undecodable rows are dropped like [[resizeImages]].
+    */
+  def imageHashes(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          val img =
+            if (payload == null || payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: java.io.IOException | _: RuntimeException => null }
+          Option(img).map { src =>
+            val small = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = small.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, 8, 8, null)
+            } finally g.dispose()
+            val px = new Array[Int](64)
+            var i = 0
+            while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+            val mean = px.sum / 64
+            var sig = 0L
+            i = 0
+            while (i < 64) { if (px(i) > mean) sig |= (1L << i); i += 1 }
+            ImageHash(id, sig)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs — signatures banded into 8 bands of 8
+    * bits (MinHash-LSH banding logic): candidates meet only when some
+    * band matches exactly, and by pigeonhole a pair with Hamming
+    * distance d < 8 has at most d dirty bands, hence ≥1 clean band —
+    * GUARANTEED recall for maxDist ≤ 7, while unrelated images
+    * (expected distance ~32) rarely collide. Σ bucket² within bands,
+    * never corpus², and only 9-byte keys ever shuffle. Returns pairs
+    * with Hamming distance ≤ maxDist, id1 < id2.
+    */
+  def imageDupPairs(media: DataFrame, maxDist: Int = 5): DataFrame = {
+    require(maxDist < 8, "8x8-bit banding guarantees recall only for maxDist < 8")
+    val h = imageHashes(media).toDF()
+    val banded = h.select(
+      col("media_id"), col("ahash"),
+      explode(array((0 until 8).map(b =>
+        struct(
+          lit(b).as("band_id"),
+          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*))
+        .as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val right = banded.select(
+      col("band_id"), col("band_val"),
+      col("media_id").as("id2"), col("ahash").as("ahash2"))
+    banded.join(right, Seq("band_id", "band_val"))
+      .filter(col("media_id") < col("id2"))
+      .select(col("media_id").as("id1"), col("id2"),
+        bit_count(col("ahash").bitwiseXOR(col("ahash2"))).as("hamming"))
+      .distinct() // a close pair collides in several bands — count once
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Deterministic synthetic media table for tests/demos (the container
     * ships no real media): payload bytes are a pure function of id. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -98,6 +98,49 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** PNG of a wxh horizontal gradient (optionally inverted) — smooth
+    * content so aHash is stable under rescaling. */
+  private def gradientPng(w: Int, h: Int, inverted: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v0 = x * 255 / math.max(w - 1, 1)
+      val v = if (inverted) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageHashes: aHash is scale-invariant for same content, far for different") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, "image", gradientPng(64, 64)),
+      (1L, "image", gradientPng(128, 128)),          // same content, 2x size
+      (2L, "image", gradientPng(64, 64, inverted = true)),
+      (3L, "image", Array[Byte](9, 9, 9)))           // undecodable -> dropped
+    val h = Multimodal.imageHashes(media.toDF("media_id", "kind", "payload"))
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(h.keySet === Set(0L, 1L, 2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(1L)) <= 5,
+      s"rescaled duplicate too far: ${hamming(h(0L), h(1L))}")
+    assert(hamming(h(0L), h(2L)) > 20,
+      s"inverted image too close: ${hamming(h(0L), h(2L))}")
+  }
+
+  test("imageDupPairs finds the rescaled duplicate and nothing else") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, "image", gradientPng(64, 64)),
+      (1L, "image", gradientPng(128, 128)),
+      (2L, "image", gradientPng(64, 64, inverted = true)))
+    val pairs = Multimodal.imageDupPairs(media.toDF("media_id", "kind", "payload"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("audioMeta reads real WAV metadata via the JDK sound stack") {
     import spark.implicits._
     val media = Seq(

@@ -603,8 +603,39 @@ object TextQueries extends QueryModule {
       FROM c ORDER BY doc_id""")
   )
 
+  /** Corpus vocabulary statistics — per-token document frequency and
+    * total occurrence count, top 100 by (df, occurrences, token): the
+    * precursor to tokenizer training and vocab pruning. Two-level
+    * aggregation (per-(token, doc) counts first) so the final shuffle
+    * carries one row per (token, doc), with map-side combine shrinking
+    * the exploded token stream before either exchange; the ordered
+    * limit plans as TakeOrdered — no global sort materializes. Unique
+    * token in the sort key keeps the top-100 deterministic.
+    */
+  val vocab = Q(
+    "q_vocab",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("n_occurrences").desc, col("w"))
+        .limit(100),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      perdoc AS (
+        SELECT w, doc_id, count(*) AS c FROM tok GROUP BY w, doc_id)
+      SELECT w, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS df
+      FROM perdoc GROUP BY w
+      ORDER BY df DESC, n_occurrences DESC, w LIMIT 100""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
-      repetition, contamination, pack)
+      repetition, contamination, pack, vocab)
 }

@@ -58,8 +58,10 @@ object Bench {
     val spark = util.GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    // A typo'd ONLY name must fail, not silently bench (and gate) nothing.
+    // A typo'd or empty ONLY must fail, not silently bench (and gate)
+    // nothing — an interpolated-but-unset shell var yields "".
     only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but selects no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")

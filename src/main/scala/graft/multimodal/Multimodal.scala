@@ -328,7 +328,14 @@ object Multimodal {
     */
   def imageDupPairs(media: DataFrame, maxDist: Int = 5): DataFrame = {
     require(maxDist < 8, "8x8-bit banding guarantees recall only for maxDist < 8")
-    val h = imageHashes(media).toDF()
+    // Materialize the signatures (8 bytes/row) BEFORE the self-join:
+    // without this, every join strategy re-runs the ImageIO decode once
+    // per side — a broadcast build side computes its plan independently,
+    // and shuffle-exchange reuse is an optimizer choice, not a
+    // guarantee. After the checkpoint the decode provably runs once
+    // (MultimodalSpec asserts no MapPartitions survives in the join
+    // plan).
+    val h = imageHashes(media).toDF().localCheckpoint(true)
     val banded = h.select(
       col("media_id"), col("ahash"),
       explode(array((0 until 8).map(b =>
@@ -338,13 +345,13 @@ object Multimodal {
         .as("b"))
       .select(col("media_id"), col("ahash"),
         col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val right = banded.select(
-      col("band_id"), col("band_val"),
-      col("media_id").as("id2"), col("ahash").as("ahash2"))
-    banded.join(right, Seq("band_id", "band_val"))
-      .filter(col("media_id") < col("id2"))
-      .select(col("media_id").as("id1"), col("id2"),
-        bit_count(col("ahash").bitwiseXOR(col("ahash2"))).as("hamming"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .distinct() // a close pair collides in several bands — count once
       .filter(col("hamming") <= maxDist)
   }

@@ -136,9 +136,16 @@ class MultimodalSpec extends AnyFunSuite {
       (0L, "image", gradientPng(64, 64)),
       (1L, "image", gradientPng(128, 128)),
       (2L, "image", gradientPng(64, 64, inverted = true)))
-    val pairs = Multimodal.imageDupPairs(media.toDF("media_id", "kind", "payload"))
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val df = Multimodal.imageDupPairs(media.toDF("media_id", "kind", "payload"))
+    val pairs = df.select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
+    // the decode must be materialized BEFORE the self-join: if the
+    // MapPartitions decode survives into the join plan, some join
+    // strategy will run ImageIO once per side
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("MapPartitions"),
+      s"decode pipeline inside the join plan — would run once per side\n$plan")
   }
 
   test("audioMeta reads real WAV metadata via the JDK sound stack") {

@@ -599,7 +599,7 @@ object SimilarityQueries extends QueryModule {
     * only the 8×64 sums + counts reach the driver — the bounded
     * trained-artifact collect every ANN index build does.
     */
-  private def trainIvfCentroids(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
+  private[similarity] def trainIvfCentroids(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
     val vi = t(s, dir, "embeddings")
       .select(
         col("vec_id"),

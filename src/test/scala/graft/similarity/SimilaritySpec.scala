@@ -103,6 +103,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lbl.size === 203)
   }
 
+  test("IVF k-means trainer matches an independent JVM replica on random data") {
+    // The cross-engine contract is "fixed-point arithmetic makes the
+    // trained centroids partitioning-independent". Verify against a
+    // sequential in-memory implementation of the same rules (x1e6
+    // scaling, squared-euclidean argmin with smallest-cell tiebreak,
+    // floorDiv means, empty cells keep previous centroid) on seeded
+    // random datasets — Spark's partial aggregation order must not
+    // leak into the result.
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + seed * 37
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(16)((rnd.nextGaussian() * seed).toFloat).toSeq, 0))
+      val dir = Files.createTempDirectory(s"kmeans$seed").toString
+      vecs.toDF("vec_id", "embedding", "label")
+        .repartition(7) // deliberately awkward partitioning
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      // independent replica (plain loops, no Spark)
+      val scaled = vecs.map { case (id, v, _) =>
+        id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
+      }.toMap
+      var cents = (0L until 8L).map(id => id -> scaled(id)).toArray
+      for (_ <- 1 to 2) {
+        val members = scala.collection.mutable.Map.empty[Long, List[Array[Long]]]
+        scaled.toSeq.sortBy(_._1).foreach { case (_, v) =>
+          val best = cents.map { case (cid, c) =>
+            (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+          }.min
+          members(best._2) = v :: members.getOrElse(best._2, Nil)
+        }
+        cents = cents.map { case (cid, old) =>
+          members.get(cid).fold(cid -> old) { vs =>
+            cid -> old.indices.map(d =>
+              Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong)).toArray
+          }
+        }
+      }
+
+      val got = SimilarityQueries.trainIvfCentroids(spark, dir)
+      assert(got.map(_._1).toSeq === cents.map(_._1).toSeq, s"seed $seed ids")
+      got.zip(cents).foreach { case ((id, a), (_, b)) =>
+        assert(a.toSeq === b.toSeq, s"seed $seed centroid $id diverged")
+      }
+    }
+  }
+
   test("labelComponents returns 0 rows (no NPE) on an empty node set") {
     val nodes = Seq.empty[Long].toDF("n")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -634,8 +634,73 @@ object TextQueries extends QueryModule {
       ORDER BY df DESC, n_occurrences DESC, w LIMIT 100""")
   )
 
+  /** Corpus-LM quality scoring, integer-exact — the train-then-score
+    * shape of model-based filtering (the KenLM/CCNet pattern) as pure
+    * dataflow: "training" is one aggregation building the corpus bigram
+    * table, scoring joins every document's bigrams back against it.
+    * A doc whose bigrams are rare in the corpus (low familiarity mass,
+    * low rarest-bigram count) is an outlier the quality gate flags.
+    * Outputs stay integers (occurrence counts, not log-probs) so the
+    * oracle compare is exact — a real deployment maps counts to
+    * smoothed log-probs in the consumer.
+    *
+    * Scale shape: bigram extraction is a map-side HOF expression; the
+    * model is ONE hash aggregation; scoring is an equi-join on the
+    * bigram key (both sides shuffle-partition on it) plus a per-doc
+    * re-aggregation. Self-join economics like the shingle queries:
+    * Σ per-bigram-frequency², bounded because the model side has one
+    * row per distinct bigram.
+    */
+  val bigramScore = Q(
+    "q_bigram_score",
+    (s, dir) => {
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          explode(
+            when(size(col("ws")) >= 2,
+              transform(
+                sequence(lit(0), size(col("ws")) - 2),
+                i => concat_ws(" ",
+                  element_at(col("ws"), i + 1),
+                  element_at(col("ws"), i + 2))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+      val docBigrams = bigrams(t(s, dir, "documents"))
+      val model = docBigrams
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("c"))
+      docBigrams
+        .join(model, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("familiarity"),
+          min(col("c")).as("rarest"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents),
+      bg0 AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS ok
+        FROM tok),
+      bg AS (SELECT doc_id, bg FROM bg0 WHERE ok),
+      model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)
+      SELECT b.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(m.c) AS BIGINT) AS familiarity,
+             CAST(min(m.c) AS BIGINT) AS rarest
+      FROM bg b JOIN model m ON b.bg = m.bg
+      GROUP BY b.doc_id ORDER BY b.doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
-      repetition, contamination, pack, vocab)
+      repetition, contamination, pack, vocab, bigramScore)
 }

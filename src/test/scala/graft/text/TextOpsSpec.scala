@@ -126,6 +126,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1, "shards should actually spread")
   }
 
+  test("q_bigram_score: familiarity mass and rarest-bigram count per doc") {
+    val dir = docsDir(Seq(
+      "a b a b",  // bigrams: (a b)x2, (b a)  -> model: a_b=3, b_a=1
+      "a b c",    // bigrams: (a b), (b c)    -> model: b_c=1
+      "zz"))      // single token -> no bigrams -> absent
+    val got = TextQueries.bigramScore.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L))
+    assert(got(0) === ((0L, 3L, 7L, 1L))) // 3+1+3 mass, rarest b_a=1
+    assert(got(1) === ((1L, 2L, 4L, 1L))) // 3+1 mass, rarest b_c=1
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

@@ -19,8 +19,47 @@ object TextQueries extends QueryModule {
   /** Tokens of `text`: whitespace split after trim. Kept as a helper so
     * every query tokenizes identically (and identically to the oracle's
     * `string_split_regex(trim(text), '\s+')`).
+    *
+    * Cross-engine contract: Java `\s` and RE2 `\s` agree on space, tab,
+    * LF, CR, FF — but NOT vertical tab (0x0B: Java matches, RE2
+    * doesn't). The driver corpus contains none; a corpus that does
+    * needs an explicit character class here and in every oracle.
     */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-grams per document, ONE ROW PER OCCURRENCE (callers dedup
+    * or count as needed): pure map-side HOF expression — sequence →
+    * element_at → concat_ws — shared by [[contamination]] (n=8) and
+    * [[bigramScore]] (n=2) so the extraction and its oracle twin
+    * [[ngramSql]] can never drift apart per query. Docs with fewer
+    * than n tokens produce no rows (matching the oracle's null-lead
+    * filter). */
+  private def ngrams(df: org.apache.spark.sql.DataFrame, n: Int) = df
+    .select(col("doc_id"), toks(col("text")).as("ws"))
+    .select(
+      col("doc_id"),
+      explode(
+        when(size(col("ws")) >= n,
+          transform(
+            sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws(" ",
+              (1 to n).map(o => element_at(col("ws"), i + o)): _*)))
+          .otherwise(array().cast("array<string>"))).as("g"))
+
+  /** Oracle twin of [[ngrams]]: CTEs `tok`, `g0`, `g1(doc_id, g)` —
+    * one row per n-gram occurrence, built with a lead-window chain. */
+  private def ngramSql(n: Int): String = {
+    val parts = ("w" +: (1 until n).map(k => s"lead(w, $k) OVER win")).mkString(" || ' ' || ")
+    s"""tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, $parts AS g,
+               lead(w, ${n - 1}) OVER win IS NOT NULL AS ok
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      g1 AS (SELECT doc_id, g FROM g0 WHERE ok)"""
+  }
 
   /** Canonical text normalization shared by [[textNormalize]] and
     * [[curation]]: NFC (native graft_nfc) → lowercase → whitespace
@@ -511,18 +550,10 @@ object TextQueries extends QueryModule {
   val contamination = Q(
     "q_contamination",
     (s, dir) => {
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), toks(col("text")).as("ws"))
-        .select(
-          col("doc_id"),
-          explode(
-            when(size(col("ws")) >= 8,
-              transform(
-                sequence(lit(0), size(col("ws")) - 8),
-                i => md5(concat_ws(" ",
-                  (1 to 8).map(o => element_at(col("ws"), i + o)): _*))))
-              .otherwise(array().cast("array<string>"))).as("g"))
-        .distinct()
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        ngrams(df, 8)
+          .select(col("doc_id"), md5(col("g")).as("g"))
+          .distinct()
       val docs = t(s, dir, "documents")
       // grams() dedups per (doc, gram); the eval SET needs a second
       // distinct across docs — two eval docs sharing a gram must not
@@ -535,20 +566,9 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
-               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
-        FROM documents),
-      g0 AS (
-        SELECT doc_id,
-               md5(w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
-                 || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
-                 || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
-                 || ' ' || lead(w, 7) OVER win) AS g,
-               lead(w, 7) OVER win IS NOT NULL AS ok
-        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      grams AS (SELECT DISTINCT doc_id, g FROM g0 WHERE ok),
+    Some(s"""
+      WITH ${ngramSql(8)},
+      grams AS (SELECT DISTINCT doc_id, md5(g) AS g FROM g1),
       ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25),
       corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 25)
       SELECT c.doc_id, count(*) AS n_shared_grams
@@ -644,59 +664,42 @@ object TextQueries extends QueryModule {
     * oracle compare is exact — a real deployment maps counts to
     * smoothed log-probs in the consumer.
     *
-    * Scale shape: bigram extraction is a map-side HOF expression; the
-    * model is ONE hash aggregation; scoring is an equi-join on the
-    * bigram key (both sides shuffle-partition on it) plus a per-doc
-    * re-aggregation. Self-join economics like the shingle queries:
-    * Σ per-bigram-frequency², bounded because the model side has one
-    * row per distinct bigram.
+    * Scale shape: bigram extraction is a map-side HOF expression,
+    * immediately collapsed to per-(doc, bigram) COUNTS so repeated
+    * bigrams (the norm in web text) shuffle once per distinct bigram
+    * per doc, not once per occurrence — the same two-level
+    * map-side-combine shape as [[repetition]] and [[vocab]]. The model
+    * derives from that same aggregate (one pass over raw occurrences
+    * total); scoring is a linear equi-join on the bigram key — every
+    * probe row matches exactly one model row — plus a per-doc
+    * re-aggregation over exact integer weights.
     */
   val bigramScore = Q(
     "q_bigram_score",
     (s, dir) => {
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), toks(col("text")).as("ws"))
-        .select(
-          col("doc_id"),
-          explode(
-            when(size(col("ws")) >= 2,
-              transform(
-                sequence(lit(0), size(col("ws")) - 2),
-                i => concat_ws(" ",
-                  element_at(col("ws"), i + 1),
-                  element_at(col("ws"), i + 2))))
-              .otherwise(array().cast("array<string>"))).as("bg"))
-      val docBigrams = bigrams(t(s, dir, "documents"))
-      val model = docBigrams
-        .groupBy(col("bg"))
-        .agg(count(lit(1)).as("c"))
-      docBigrams
-        .join(model, Seq("bg"))
+      val perDoc = ngrams(t(s, dir, "documents"), 2)
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("k"))
+      val model = perDoc.groupBy(col("g")).agg(sum(col("k")).as("c"))
+      perDoc
+        .join(model, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(col("c")).as("familiarity"),
+          sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("c")).as("familiarity"),
           min(col("c")).as("rarest"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
-               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
-        FROM documents),
-      bg0 AS (
-        SELECT doc_id,
-               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
-               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS ok
-        FROM tok),
-      bg AS (SELECT doc_id, bg FROM bg0 WHERE ok),
-      model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)
-      SELECT b.doc_id,
-             count(*) AS n_bigrams,
-             CAST(sum(m.c) AS BIGINT) AS familiarity,
+    Some(s"""
+      WITH ${ngramSql(2)},
+      perdoc AS (SELECT doc_id, g, count(*) AS k FROM g1 GROUP BY doc_id, g),
+      model AS (SELECT g, CAST(sum(k) AS BIGINT) AS c FROM perdoc GROUP BY g)
+      SELECT p.doc_id,
+             CAST(sum(p.k) AS BIGINT) AS n_bigrams,
+             CAST(sum(p.k * m.c) AS BIGINT) AS familiarity,
              CAST(min(m.c) AS BIGINT) AS rarest
-      FROM bg b JOIN model m ON b.bg = m.bg
-      GROUP BY b.doc_id ORDER BY b.doc_id""")
+      FROM perdoc p JOIN model m ON p.g = m.g
+      GROUP BY p.doc_id ORDER BY p.doc_id""")
   )
 
   override def all: Seq[Q] =

@@ -121,10 +121,19 @@ class SimilaritySpec extends AnyFunSuite {
         .repartition(7) // deliberately awkward partitioning
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      // independent replica (plain loops, no Spark)
-      val scaled = vecs.map { case (id, v, _) =>
-        id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
-      }.toMap
+      // independent replica (plain loops, no Spark). The x1e6 scaling
+      // comes from the ENGINE's own expression — JVM math.round is
+      // half-toward-+inf while Spark round is half-away-from-zero, so
+      // replicating the scaling by hand would latently diverge on
+      // negative half-integer scalings. The property under test is the
+      // training loop's partitioning-independence, not the scaler.
+      val scaled = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6) as bigint))")
+            .as("vi"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .toMap
       var cents = (0L until 8L).map(id => id -> scaled(id)).toArray
       for (_ <- 1 to 2) {
         val members = scala.collection.mutable.Map.empty[Long, List[Array[Long]]]

@@ -22,17 +22,30 @@ object Bench {
 
   /** Per-query times scraped from a prior bench JSON. Regex-scrapes
     * `"q_name":<seconds>` pairs so it reads both this main's stdout
-    * line and the driver's BENCH_r{N}.json wrapper (which embeds the
-    * same fragment in a `tail` field).
+    * line and the driver's BENCH_r{N}.json wrapper — whose `tail` field
+    * embeds the fragment as a JSON STRING, i.e. with escaped quotes
+    * (`\"q_x\":0.32`). The quotes are therefore optionally
+    * backslash-prefixed; without that, a driver file parsed to ZERO
+    * entries and the gate silently checked nothing (r06 finding).
     */
   private[graft] def loadBaseline(path: String): Map[String, Double] = {
     val text = scala.io.Source.fromFile(path)
-    try "\"(q_[a-z0-9_]+)\":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)".r
+    try "\\\\?\"(q_[a-z0-9_]+)\\\\?\":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)".r
       .findAllMatchIn(text.mkString)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
     finally text.close()
   }
+
+  /** Names the gate CANNOT check because the baseline lacks them —
+    * either genuinely new queries (fine) or a truncated baseline file
+    * (the driver's BENCH_r{N}.json `tail` field truncates from the
+    * FRONT: r05's lost the 8 alphabetically-first queries, silently
+    * shrinking any gate that read it). Surfaced loudly in main so a
+    * partial baseline can never quietly narrow the gate.
+    */
+  private[graft] def uncovered(base: Map[String, Double], names: Seq[String]): Seq[String] =
+    names.filterNot(base.contains).sorted
 
   /** Regression gate: queries slower than 2x the baseline AND above an
     * absolute floor (sub-0.3s timings are harness noise at this scale).
@@ -89,17 +102,38 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    println(line)
+    // Persist the builder's own COMPLETE per-query result in-repo so the
+    // next round can gate against a full same-harness baseline instead
+    // of the driver's front-truncated `tail` (see [[uncovered]]). Subset
+    // (ONLY) runs are partial by construction and must not overwrite it.
+    if (only.isEmpty && failed.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+    }
     spark.stop()
 
     // Per-query budget gate vs a previous same-harness round, e.g.
-    // SPARK_GRAFT_BENCH_BASELINE=BENCH_r04.json (protects the honest
-    // noop-sink numbers from silent plan regressions).
+    // SPARK_GRAFT_BENCH_BASELINE=bench_local_r05.json (protects the
+    // honest noop-sink numbers from silent plan regressions).
     val regressed = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq.flatMap { p =>
-      val r = regressions(results, loadBaseline(p))
-      r.foreach { case (name, now, base) =>
+      val base = loadBaseline(p)
+      // An empty parse means the file isn't a bench artifact at all —
+      // gating against it would be a silent no-op, which is exactly the
+      // failure mode this block exists to prevent.
+      require(base.nonEmpty, s"baseline $p parsed to zero per-query entries")
+      val missing = uncovered(base, selected.map(_._1))
+      if (missing.nonEmpty)
         System.err.println(
-          f"[bench] REGRESSION $name: $now%.2fs vs baseline $base%.2fs (>2x)")
+          s"[bench] WARNING: baseline $p lacks ${missing.size}/${selected.size} " +
+            s"selected queries — these are NOT gated: ${missing.mkString(", ")}")
+      val r = regressions(results, base)
+      r.foreach { case (name, now, b) =>
+        System.err.println(
+          f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x)")
       }
       r
     }

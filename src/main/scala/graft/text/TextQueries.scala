@@ -539,41 +539,62 @@ object TextQueries extends QueryModule {
     * 8-token n-gram with a held-out eval set (here: doc_id < 25 stands
     * in for the benchmark suite). THE deduplication-adjacent check
     * every serious training pipeline runs (e.g. GPT-3 §C, PaLM §D.2:
-    * n-gram overlap against benchmarks). Scale shape: the eval side is
-    * tiny and bounded, so its distinct gram hashes BROADCAST and the
-    * 100 TB corpus is decontaminated in ONE scan — no corpus shuffle
-    * before the per-doc count. Grams are md5-hashed so the broadcast
-    * carries 16-byte keys, not raw text. The synthetic corpus shares
-    * no 8-grams across documents (0 rows — still hash-compared);
-    * TextOpsSpec plants a contaminated doc to pin the detection.
+    * n-gram overlap against benchmarks).
+    *
+    * Scale shape — SINGLE SCAN, SINGLE GRAM SHUFFLE: both gram sets
+    * derive from the same `documents` table, so the gram stream is
+    * extracted ONCE and eval membership becomes a per-gram flag
+    * (window `max` over the gram key), not a second scan + broadcast
+    * join. The per-(gram, doc) dedupe rides the SAME exchange: a
+    * `row_number` window keyed (g, doc_id) is clustering-satisfied by
+    * the hash(g) partitioning the flag window already forced, so it
+    * adds a sort, not a shuffle (pinned by the budget below). Three
+    * shuffles total: gram window, per-doc count, final sort. Grams are
+    * md5-hashed so every exchange carries 16-byte keys, not raw text.
+    * The eval filter can NOT push below the window (doc_id is not the
+    * partition key), which is exactly what keeps eval rows visible to
+    * the flag. When the eval set is a genuinely separate small table,
+    * the broadcast-join form wins instead — that shape lives in
+    * [[graft.transform.RefCoreQueries.lookupEnrich]]. The synthetic
+    * corpus shares no 8-grams across documents (0 rows — still
+    * hash-compared); TextOpsSpec plants a contaminated doc to pin the
+    * detection.
     */
   val contamination = Q(
     "q_contamination",
     (s, dir) => {
-      def grams(df: org.apache.spark.sql.DataFrame) =
-        ngrams(df, 8)
-          .select(col("doc_id"), md5(col("g")).as("g"))
-          .distinct()
-      val docs = t(s, dir, "documents")
-      // grams() dedups per (doc, gram); the eval SET needs a second
-      // distinct across docs — two eval docs sharing a gram must not
-      // double-count a corpus hit (oracle: SELECT DISTINCT g).
-      val evalGrams = grams(docs.filter(col("doc_id") < 25))
-        .select(col("g")).distinct()
-      grams(docs.filter(col("doc_id") >= 25))
-        .join(broadcast(evalGrams), Seq("g"))
+      import org.apache.spark.sql.expressions.Window
+      // Dedupe per (doc, gram) via rn=1: a doc repeating an eval gram
+      // counts it once. Eval multiplicity never matters — the flag is
+      // 0/1 however many eval docs carry the gram. rn's order key is
+      // constant within its partition (rows are (doc_id, g) only), so
+      // any tie-break yields the same surviving count.
+      val occ = ngrams(t(s, dir, "documents"), 8)
+        .select(col("doc_id"), md5(col("g")).as("g"))
+      occ
+        .withColumn("has_eval",
+          max(when(col("doc_id") < 25, 1).otherwise(0))
+            .over(Window.partitionBy(col("g"))))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("g"), col("doc_id")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1 && col("has_eval") === 1 && col("doc_id") >= 25)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
       WITH ${ngramSql(8)},
-      grams AS (SELECT DISTINCT doc_id, md5(g) AS g FROM g1),
-      ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25),
-      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 25)
-      SELECT c.doc_id, count(*) AS n_shared_grams
-      FROM corpus c JOIN ev ON c.g = ev.g
-      GROUP BY c.doc_id ORDER BY c.doc_id""")
+      g2 AS (SELECT doc_id, md5(g) AS g FROM g1),
+      w AS (
+        SELECT doc_id,
+               max(CASE WHEN doc_id < 25 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY g) AS has_eval,
+               row_number() OVER (PARTITION BY g, doc_id ORDER BY doc_id) AS rn
+        FROM g2)
+      SELECT doc_id, count(*) AS n_shared_grams
+      FROM w WHERE rn = 1 AND has_eval = 1 AND doc_id >= 25
+      GROUP BY doc_id ORDER BY doc_id""")
   )
 
   /** Sequence packing — assign documents to fixed-capacity training

@@ -69,7 +69,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q_pii_scrub" -> 1,        // pure redaction projection + final sort
     "q_embed_quant" -> 1,      // pure quantize projection + final sort
     "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
-    "q_contamination" -> 4,    // 2 gram-distincts + per-doc agg + sort; join broadcasts
+    "q_contamination" -> 3,    // one gram-distinct + per-gram window + per-doc agg; single scan
     "q_pack" -> 2)             // per-shard cumsum window + final sort
 
   budgets.foreach { case (name, maxShuffles) =>

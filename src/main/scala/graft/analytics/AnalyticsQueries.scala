@@ -131,6 +131,63 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY segment, nation""")
   )
 
+  /** General GROUPING SETS — the ((a),(b),()) form neither rollup nor
+    * cube can express, over group keys containing GENUINE NULLs
+    * (`nullif` blanks the majority order status), with
+    * `grouping()`/`grouping_id()` disambiguating a NULL key value from
+    * a subtotal row — the distinction the rollup/cube
+    * `coalesce(…,'ALL')` idiom cannot make once real NULLs exist.
+    * Output keeps the raw (nullable) keys plus the flags; the sort key
+    * coalesces to a high sentinel ONLY for deterministic row order
+    * (Spark defaults NULLS FIRST, DuckDB NULLS LAST — never sort raw
+    * NULLs cross-engine). Same single Expand + one-shuffle aggregate
+    * plan as rollup/cube: each input row replicates once per matching
+    * grouping set (3× here) before the partial aggregate, so the
+    * shuffle carries pre-combined per-set groups, not row copies.
+    * grouping_id bit order: first grouping column is the MSB, so the
+    * oracle replicates it as 2*grouping(status)+grouping(priority).
+    */
+  val groupingSetsQ = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(
+          nullif(col("o_orderstatus"), lit("O")).as("status"),
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice"))
+      src
+        .groupingSets(
+          Seq(Seq(col("status")), Seq(col("priority")), Seq.empty),
+          col("status"), col("priority"))
+        .agg(
+          grouping(col("status")).cast(LongType).as("g_status"),
+          grouping(col("priority")).cast(LongType).as("g_priority"),
+          grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .select(col("status"), col("priority"), col("g_status"),
+          col("g_priority"), col("gid"), col("n"), col("sum_price"))
+        .orderBy(col("gid"),
+          coalesce(col("status"), lit("~")),
+          coalesce(col("priority"), lit("~")))
+    },
+    Some("""
+      WITH src AS (
+        SELECT nullif(o_orderstatus, 'O') AS status,
+               o_orderpriority AS priority,
+               o_totalprice
+        FROM orders)
+      SELECT status, priority,
+             CAST(GROUPING(status) AS BIGINT) AS g_status,
+             CAST(GROUPING(priority) AS BIGINT) AS g_priority,
+             CAST(2 * GROUPING(status) + GROUPING(priority) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM src
+      GROUP BY GROUPING SETS ((status), (priority), ())
+      ORDER BY gid, coalesce(status, '~'), coalesce(priority, '~')""")
+  )
+
   /** Window ranking — rank/dense_rank/row_number of suppliers within
     * nation by account-balance band. Bands (floor(bal/1000)) create
     * real ties so rank != row_number; row_number carries a unique
@@ -898,7 +955,8 @@ object AnalyticsQueries extends QueryModule {
   )
 
   override def all: Seq[Q] = Seq(
-    distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, windowRank, windowFrame,
+    distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
+    windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ)

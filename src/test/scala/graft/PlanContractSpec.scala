@@ -70,6 +70,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q_embed_quant" -> 1,      // pure quantize projection + final sort
     "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
     "q_contamination" -> 3,    // one gram-distinct + per-gram window + per-doc agg; single scan
+    "q_grouping_sets" -> 2,    // ONE Expand+aggregate for all 3 sets + final sort
     "q_pack" -> 2)             // per-shard cumsum window + final sort
 
   budgets.foreach { case (name, maxShuffles) =>

@@ -61,6 +61,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Seq(2L, 3L))
   }
 
+  test("q_grouping_sets: grouping() separates a genuine NULL key from a subtotal row") {
+    // Fixture with a REAL NULL status alongside non-NULL ones: the
+    // (status) grouping set must emit a (NULL, g_status=0) row for the
+    // genuine NULL group, distinct from the ()-set subtotal where
+    // status is NULL only because it's not grouped (g_status=1) — the
+    // disambiguation coalesce('ALL') cannot make.
+    val dir = java.nio.file.Files.createTempDirectory("gsets").toString
+    Seq[(String, String, Double)](
+      (null, "1-URGENT", 10.0),
+      (null, "2-HIGH", 20.0),
+      ("F", "1-URGENT", 30.0),
+      ("F", "2-HIGH", 40.0))
+      .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+      // the query nullifs 'O'; feed statuses through untouched
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = AnalyticsQueries.groupingSetsQ.run(spark, dir)
+      .select("status", "g_status", "g_priority", "gid", "n")
+      .as[(Option[String], Long, Long, Long, Long)].collect()
+    // genuine-NULL group from the (status) set: flag says "grouped"
+    assert(rows.contains((None, 0L, 1L, 1L, 2L)))
+    // grand-total subtotal: same NULL key slot, flags say "not grouped"
+    assert(rows.contains((None, 1L, 1L, 3L, 4L)))
+    // and the two are different rows — gid tells them apart (1 vs 3)
+    assert(rows.count(_._1.isEmpty) === 2 + 2) // +2 priority-set rows (status ungrouped, gid=2)
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

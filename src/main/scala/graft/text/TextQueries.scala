@@ -27,27 +27,33 @@ object TextQueries extends QueryModule {
     */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word n-grams per document, ONE ROW PER OCCURRENCE (callers dedup
-    * or count as needed): pure map-side HOF expression — sequence →
-    * element_at → concat_ws — shared by [[contamination]] (n=8) and
-    * [[bigramScore]] (n=2) so the extraction and its oracle twin
-    * [[ngramSql]] can never drift apart per query. Docs with fewer
-    * than n tokens produce no rows (matching the oracle's null-lead
-    * filter). */
+  /** Word n-grams per document, ONE ROW PER OCCURRENCE with its
+    * 1-based token position (callers dedup or count as needed): pure
+    * map-side HOF expression — sequence → element_at → concat_ws —
+    * shared by [[contamination]] (n=8), [[bigramScore]] (n=2) and
+    * [[substrDedup]] (n=20, which needs `pos`) so the extraction and
+    * its oracle twin [[ngramSql]] can never drift apart per query.
+    * Docs with fewer than n tokens produce no rows (matching the
+    * oracle's null-lead filter). */
   private def ngrams(df: org.apache.spark.sql.DataFrame, n: Int) = df
     .select(col("doc_id"), toks(col("text")).as("ws"))
     .select(
       col("doc_id"),
-      explode(
+      posexplode(
         when(size(col("ws")) >= n,
           transform(
             sequence(lit(0), size(col("ws")) - n),
             i => concat_ws(" ",
               (1 to n).map(o => element_at(col("ws"), i + o)): _*)))
-          .otherwise(array().cast("array<string>"))).as("g"))
+          .otherwise(array().cast("array<string>"))))
+    .select(
+      col("doc_id"),
+      (col("pos") + 1).cast(LongType).as("pos"),
+      col("col").as("g"))
 
-  /** Oracle twin of [[ngrams]]: CTEs `tok`, `g0`, `g1(doc_id, g)` —
-    * one row per n-gram occurrence, built with a lead-window chain. */
+  /** Oracle twin of [[ngrams]]: CTEs `tok`, `g0`, `g1(doc_id, pos, g)`
+    * — one row per n-gram occurrence (pos 1-based, like
+    * `generate_subscripts`), built with a lead-window chain. */
   private def ngramSql(n: Int): String = {
     val parts = ("w" +: (1 until n).map(k => s"lead(w, $k) OVER win")).mkString(" || ' ' || ")
     s"""tok AS (
@@ -55,10 +61,10 @@ object TextQueries extends QueryModule {
                generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
         FROM documents),
       g0 AS (
-        SELECT doc_id, $parts AS g,
+        SELECT doc_id, pos, $parts AS g,
                lead(w, ${n - 1}) OVER win IS NOT NULL AS ok
         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      g1 AS (SELECT doc_id, g FROM g0 WHERE ok)"""
+      g1 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, g FROM g0 WHERE ok)"""
   }
 
   /** Canonical text normalization shared by [[textNormalize]] and
@@ -597,6 +603,88 @@ object TextQueries extends QueryModule {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Substring-level exact dedup — find every ≥20-token VERBATIM
+    * passage shared across documents (the granularity of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * duplicated substrings, not just whole-document dups, drive
+    * memorization). Doc-level exact ([[dedup]]), near-dup pairs and
+    * clusters (similarity module) cover the other dedup modalities.
+    *
+    * Algorithm: a shared substring of L ≥ 20 tokens is exactly a run
+    * of L-19 consecutive shared 20-grams at a CONSTANT position offset
+    * — so (1) inventory hashed 20-grams with positions, (2) block on
+    * the gram hash: ONE aggregation collects each gram's (doc, pos)
+    * occurrence list (sorted, so ordered cross-doc pairs fall out of
+    * nested HOF transforms — never a self-join of the gram stream),
+    * capped at 50 occurrences to kill boilerplate grams (the
+    * MaxShingleDf guard from the similarity module), (3) coalesce
+    * pair hits into maximal runs with the classic islands trick
+    * (pos − row_number per (pair, offset)), (4) one aggregate emits
+    * each passage's start positions and token length.
+    *
+    * 100 TB shape: cost is Σ bucket² over gram buckets (≤ C(50,2)
+    * each), never corpus²; singleton grams (the vast majority) die in
+    * the aggregation. Three shuffles: gram agg, islands window, final
+    * sort — the run aggregate reuses the window's (da, db, diff)
+    * hash partitioning (subset clustering), budget-pinned. The
+    * synthetic corpus shares no cross-doc 20-grams (0 rows — still
+    * hash-compared); TextOpsSpec plants shared passages to pin run
+    * coalescing, the 19-token negative, and within-doc repeats.
+    */
+  val substrDedup = Q(
+    "q_substr_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val occ = ngrams(t(s, dir, "documents"), 20)
+        .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+      val pairs = occ
+        .groupBy(col("gh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("os"))
+        .filter(size(col("os")).between(2, 50))
+        .select(explode(expr(
+          """flatten(transform(os,
+               (x, i) -> filter(
+                 transform(slice(os, i + 2, size(os)),
+                           y -> named_struct('da', x.doc_id, 'pa', x.pos,
+                                             'db', y.doc_id, 'pb', y.pos)),
+                 p -> p.da != p.db)))""")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          col("p.pa").as("pa"), col("p.pb").as("pb"))
+      val w = Window.partitionBy(col("da"), col("db"), col("diff"))
+        .orderBy(col("pa"))
+      pairs
+        .withColumn("diff", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("da"), col("db"), col("diff"), col("grp"))
+        .agg(
+          min(col("pa")).as("a_start"),
+          min(col("pb")).as("b_start"),
+          (count(lit(1)) + lit(19)).as("n_tokens"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("a_start"), col("b_start"), col("n_tokens"))
+        .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+    },
+    Some(s"""
+      WITH ${ngramSql(20)},
+      occ AS (SELECT doc_id, pos, md5(g) AS gh FROM g1),
+      keep AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) BETWEEN 2 AND 50),
+      pr AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        FROM occ a
+        JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        JOIN keep k ON k.gh = a.gh),
+      runs AS (
+        SELECT da, db, pa - pb AS diff, pa, pb,
+               pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+        FROM pr)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(min(pa) AS BIGINT) AS a_start,
+             CAST(min(pb) AS BIGINT) AS b_start,
+             CAST(count(*) + 19 AS BIGINT) AS n_tokens
+      FROM runs GROUP BY da, db, diff, grp
+      ORDER BY doc_a, doc_b, a_start, b_start""")
+  )
+
   /** Sequence packing — assign documents to fixed-capacity training
     * context windows (cap 2048 tokens), the step that turns a curated
     * corpus into dense training sequences. Docs pack by greedy
@@ -726,5 +814,5 @@ object TextQueries extends QueryModule {
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
-      repetition, contamination, pack, vocab, bigramScore)
+      repetition, contamination, substrDedup, pack, vocab, bigramScore)
 }

@@ -71,6 +71,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
     "q_contamination" -> 3,    // one gram-distinct + per-gram window + per-doc agg; single scan
     "q_grouping_sets" -> 2,    // ONE Expand+aggregate for all 3 sets + final sort
+    "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
     "q_pack" -> 2)             // per-shard cumsum window + final sort
 
   budgets.foreach { case (name, maxShuffles) =>
@@ -86,6 +87,12 @@ class PlanContractSpec extends AnyFunSuite {
     val plan = planOf("q_setops")
     val scans = plan.linesIterator.count(_.contains("FileScan"))
     assert(scans == 1, s"q_setops: $scans FileScans (want 1)\n$plan")
+  }
+
+  test("q_substr_dedup scans documents exactly once (gram pairs from one agg, no self-join)") {
+    val plan = planOf("q_substr_dedup")
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"q_substr_dedup: $scans FileScans (want 1)\n$plan")
   }
 
   test("q_lang_id tokenizes once — a single regex split survives optimization") {

@@ -106,6 +106,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Map(30L -> 2L))
   }
 
+  test("q_substr_dedup coalesces shared ≥20-token passages into maximal runs") {
+    // P is a 25-token passage: a shared copy must surface as ONE
+    // coalesced run of n_tokens=25 (6 shared 20-grams), not 6 rows.
+    // doc 3 shares only 19 consecutive tokens -> below threshold, no
+    // row. doc 4 contains P TWICE -> two runs per partner, at distinct
+    // b_start offsets (within-doc repeats are separate passages; the
+    // doc 4 self-pair is excluded).
+    val P = (1 to 25).map(i => s"s$i").mkString(" ")
+    val P19 = (1 to 19).map(i => s"s$i").mkString(" ")
+    val texts = Seq(
+      (1L, s"a1 a2 a3 $P"),        // P at pos 4
+      (2L, s"$P b1 b2"),           // P at pos 1
+      (3L, s"c1 c2 c3 $P19 c4"),   // 19-token share only -> clean
+      (4L, s"$P d1 $P"))           // P at pos 1 and pos 27
+    val dir = Files.createTempDirectory("substr").toString
+    texts.map { case (i, t) => (i, t, "xx", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.substrDedup.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 4L, 1L, 25L),
+      (1L, 4L, 4L, 1L, 25L), (1L, 4L, 4L, 27L, 25L),
+      (2L, 4L, 1L, 1L, 25L), (2L, 4L, 1L, 27L, 25L)))
+  }
+
   test("q_pack: per-shard greedy concatenation packing matches a JVM replica") {
     val dir = docsDir((0 until 200).map(i => Seq.fill(i % 40 + 1)("tok").mkString(" ")))
     val got = TextQueries.pack.run(spark, dir)

@@ -232,12 +232,27 @@ object SimilarityQueries extends QueryModule {
     * columns) instead of exploding shingles x seeds — 8x less shuffle
     * volume, and map-side partial min keeps reducer input tiny at any
     * corpus size — then a band-bucket equi-join. Unordered (callers
-    * order or consume). */
+    * order or consume).
+    *
+    * Hash family: ONE md5 per shingle (7 hex chars → a uniform
+    * h < 2^28), then the k-th minhash re-keys it affinely —
+    * ((2k+1)·h + 7919k) mod 268435399 (largest prime < 2^28) — the
+    * standard single-base-hash construction (what MinHashLSH models
+    * do) instead of 8 independent md5s per occurrence. md5 was ~8/9 of
+    * the pre-shuffle CPU of both consumers (the r05 slowest-query
+    * profile); the affine rehash is integer-exact and order-preserving
+    * cross-engine (products < 2^33, far inside i64 in both Spark and
+    * DuckDB), so the oracle reproduces the exact same pair set.
+    */
   private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val mhCols = (0 until 8).map(k =>
-      min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      min((col("h") * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L))
+        .as(s"mh$k"))
+    val mh = sh
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType).as("h"))
+      .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bands = mh
       .select(
         col("doc_id"),
@@ -258,13 +273,16 @@ object SimilarityQueries extends QueryModule {
     * `pairs(id1, id2, n_bands)`. */
   private val minhashPairsSqlCtes = s"""
       $shinglesSql,
+      hv AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT) AS h
+        FROM sh),
       mh AS (
         SELECT doc_id, t.range AS seed,
-               min(md5(t.range || ':' || s)) AS mh
-        FROM sh, range(8) t GROUP BY 1, 2),
+               min(((2 * t.range + 1) * h + 7919 * t.range) % 268435399) AS mh
+        FROM hv, range(8) t GROUP BY 1, 2),
       band AS (
         SELECT doc_id, seed // 2 AS band,
-               string_agg(mh, '|' ORDER BY seed) AS sig
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
         FROM mh GROUP BY 1, 2),
       pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
@@ -291,17 +309,23 @@ object SimilarityQueries extends QueryModule {
     * per-round equi-join shape. Rounds 0–3 skip the shortcut: near-dup
     * band graphs are diameter 1–3 (4 rounds at sf0.1 incl. the
     * stabilization round) and converge before it would fire, so the
-    * common path pays no extra join. Each round localCheckpoints
-    * to truncate lineage, so plans stay constant-size.
+    * common path pays no extra join. (Starting the shortcut at round 2
+    * was measured in r06: 2.8–3.2s at sf0.1 for BOTH variants across
+    * repeated runs — indistinguishable under ±15% harness noise — so
+    * the start stays at 4 where shallow graphs provably pay nothing.)
+    * Each round localCheckpoints to truncate lineage, so plans stay
+    * constant-size.
     *
-    * Convergence via the label-sum invariant: labels only ever decrease
-    * (propagation takes a min over a set containing the old label; the
-    * shortcut replaces a label with that node's own ≤ label), so the
-    * sum strictly decreases exactly when any label changed — one scalar
-    * aggregate per round instead of a self-join diff. At the fixpoint
-    * every edge joins equal labels, so each component is uniformly
-    * labeled; labels are only ever in-component node ids, hence the
-    * uniform label is the component minimum.
+    * Convergence via a changed-label count OBSERVED inside the round's
+    * own materialization job (labels only ever decrease — propagation
+    * takes a min over a set containing the old label; the shortcut
+    * takes a least with it — so "no decrease" is the fixpoint). The
+    * round's previous label travels with the data as an `old` column,
+    * so detecting convergence costs zero extra Spark jobs: ONE action
+    * per round total, versus checkpoint + separate sum-compare before.
+    * At the fixpoint every edge joins equal labels, so each component
+    * is uniformly labeled; labels are only ever in-component node ids,
+    * hence the uniform label is the component minimum.
     *
     * @param nodes single-column DF of node ids
     * @param edges two-column DF of undirected edges (symmetrized here)
@@ -313,26 +337,34 @@ object SimilarityQueries extends QueryModule {
       .union(e0.select(col("b"), col("a")))
       .toDF("src", "dst")
       .localCheckpoint(true) // computed once, reused every round
+    // Identity labels stay LAZY: round 1 reads them twice (message join
+    // + union) but that's two scans of a trivial projection, cheaper
+    // than an up-front materialization job; every later round reads the
+    // previous round's checkpoint. An edge-free graph (dup-free corpus)
+    // needs no special case — round 1 finds zero decreases and the loop
+    // exits after that single job.
     var labels = nodes.toDF("n")
       .select(col("n"), col("n").as("lbl"))
-      .localCheckpoint(true)
-    // coalesce: sum over an EMPTY nodes DF is NULL — an empty corpus
-    // must label to 0 rows, not NPE on getLong.
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
-    var prevSum = lblSum(labels)
-    // Edge-free graph (a dup-free corpus): every node is already its
-    // own component — skip the propagation loop entirely.
-    var converged = sym.isEmpty
+    var converged = false
     var round = 0
     while (!converged && round < 20) {
+      // Carry each node's PREVIOUS label through the round as `old`
+      // (message rows carry MaxValue, so min(old) per node is exactly
+      // the pre-round label), and count decreases via `observe` — the
+      // convergence signal rides the SAME job that materializes the
+      // round, instead of a separate aggregate action per round (the
+      // r05-verdict profiling item: those driver round-trips were ~25%
+      // of the query's wall time).
       val msgs = sym.as("e")
         .join(labels.as("l"), col("e.src") === col("l.n"))
-        .select(col("e.dst").as("n"), col("l.lbl").as("lbl"))
-      val prop = labels.union(msgs)
-        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
-      val next =
-        if (round < 4) prop.localCheckpoint(true)
+        .select(col("e.dst").as("n"), col("l.lbl").as("lbl"),
+          lit(Long.MaxValue).as("old"))
+      val prop = labels.select(col("n"), col("lbl"), col("lbl").as("old"))
+        .union(msgs)
+        .groupBy(col("n"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+      val stage =
+        if (round < 4) prop
         else {
           // Pointer doubling: every lbl is itself a node id (labels
           // start as identity and only ever copy node ids), so the
@@ -341,12 +373,34 @@ object SimilarityQueries extends QueryModule {
           val p = prop.localCheckpoint(true)
           val parent = p.select(col("n").as("pn"), col("lbl").as("plbl"))
           p.join(parent, p("lbl") === parent("pn"))
-            .select(p("n"), least(p("lbl"), parent("plbl")).as("lbl"))
-            .localCheckpoint(true)
+            .select(p("n"), least(p("lbl"), parent("plbl")).as("lbl"),
+              p("old"))
         }
-      val nextSum = lblSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // Labels only ever decrease (propagation mins over a set holding
+      // the old label; the shortcut takes a least with it), so
+      // "no label decreased this round" IS the fixpoint: propagation
+      // changed nothing, hence every edge already joins equal labels.
+      val obs = org.apache.spark.sql.Observation()
+      val next = stage
+        .observe(obs, sum(when(col("lbl") < col("old"), 1L).otherwise(0L))
+          .as("changed"))
+        .select(col("n"), col("lbl"))
+        .localCheckpoint(true)
+      // The checkpoint job executed the CollectMetrics node; delivery
+      // is a listener callback, so await the future with a bound and
+      // fall back to a direct (materialized-data) compare rather than
+      // ever hanging or silently assuming convergence.
+      val changed =
+        try {
+          val row = scala.concurrent.Await
+            .result(obs.future, scala.concurrent.duration.Duration("30s"))
+          Option(row.getAs[java.lang.Long]("changed")).fold(0L)(_.longValue)
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            next.as("a").join(labels.as("b"), col("a.n") === col("b.n"))
+              .filter(col("a.lbl") < col("b.lbl")).count()
+        }
+      converged = changed == 0L
       labels = next
       round += 1
     }

@@ -13,7 +13,8 @@ object SparkEntry {
       transform.RefCoreQueries,
       manifest.ManifestQueries,
       text.TextQueries,
-      similarity.SimilarityQueries
+      similarity.SimilarityQueries,
+      multimodal.MultimodalQueries
     ).flatMap(_.all)
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

@@ -356,6 +356,58 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Deterministic synthetic PNG corpus, generated DISTRIBUTED (one
+    * image per `spark.range` row, encoded map-side — no driver loop):
+    * ids 2k and 2k+1 render the same seed-keyed gradient pattern, with
+    * the odd id carrying a small solid block of noise, so consecutive
+    * pairs are planted near-duplicates for the aHash/banding path
+    * while distinct seeds produce unrelated signatures. Everything is
+    * a pure integer function of (id, x, y) → stable across runs, which
+    * is what lets [[graft.multimodal.MultimodalQueries.imageHash]]
+    * serve as a regression-gated bench entry.
+    */
+  def syntheticPngCorpus(spark: SparkSession, n: Int, side: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val seed = (id / 2).toInt
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val r = (x * (3 + seed % 5) + seed * 17) % 256
+              val g = (y * (2 + seed % 7) + seed * 29) % 256
+              val b = (x * y * (1 + seed % 3) + seed * 43) % 256
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          if (id % 2 == 1) {
+            // near-dup noise: a 4x4 solid block barely moves the 8x8
+            // aHash mean, so planted pairs stay within Hamming ~2
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) { img.setRGB(xx, yy, 0xFFFFFF); xx += 1 }
+              yy += 1
+            }
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val bytes = out.toByteArray
+          (id, "image", bytes,
+            ("synthetic-png", "image/png", bytes.length.toLong))
+        }
+      }
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
   /** Deterministic synthetic media table for tests/demos (the container
     * ships no real media): payload bytes are a pure function of id. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

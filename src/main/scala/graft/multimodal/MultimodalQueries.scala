@@ -1,0 +1,40 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+
+/** Registered queries for the multimodal path. The r05 verdict's gap:
+  * imageHashes/imageDupPairs and the resize pipeline ran only inside
+  * MultimodalSpec, so nothing TIMED them — a decode-path regression
+  * (e.g. the per-row ImageIO tmpfile-cache class of bug, fixed in r4)
+  * would have been invisible to the bench gate. Registering the
+  * pipeline as a query puts it in Bench's per-round numbers and under
+  * the SPARK_GRAFT_BENCH_BASELINE 2× gate like every other operator.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** End-to-end image dedup pipeline, timed: synthesize a deterministic
+    * 300-PNG corpus distributed (no driver loop), normalize via the
+    * REAL decode→bilinear-resize(32)→PNG-re-encode path, then aHash +
+    * 8×8-bit banded near-dup pairs. Output is the deterministic pair
+    * list (planted: ids 2k/2k+1 share a pattern), so rows are stable
+    * run-over-run and round-over-round.
+    *
+    * No oracle by design: DuckDB cannot decode PNGs — the driver
+    * records the rows-only check, and MultimodalSpec pins the planted
+    * pair semantics. The sf dir argument is deliberately unused so the
+    * timed work is identical at every SF.
+    */
+  val imageHash = Q(
+    "q_image_hash",
+    (s, _) => {
+      val media = Multimodal.syntheticPngCorpus(s, 300)
+      val resized = Multimodal.resizeImages(media, 32).toDF()
+        .select(col("media_id"), lit("image").as("kind"), col("payload"))
+      Multimodal.imageDupPairs(resized, maxDist = 5)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  override def all: Seq[Q] = Seq(imageHash)
+}

@@ -163,6 +163,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).duration_ms === 1000L)
   }
 
+  test("q_image_hash: every planted even/odd near-dup pair surfaces; output is deterministic") {
+    // The registered bench query over a 40-image corpus: ids 2k/2k+1
+    // share a seed pattern (odd carries a 4x4 noise block) and must all
+    // pair up through resize -> aHash -> banding; re-running yields the
+    // identical pair list (the determinism the bench gate relies on).
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def run() = {
+      val media = Multimodal.syntheticPngCorpus(spark, 40)
+      val resized = Multimodal.resizeImages(media, 32).toDF()
+        .select(col("media_id"), lit("image").as("kind"), col("payload"))
+      Multimodal.imageDupPairs(resized, maxDist = 5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    val got = run()
+    val planted = (0 until 20).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted pairs: ${(planted -- got).toSeq.sorted}")
+    assert(run() === got)
+  }
+
   test("codec is swappable without touching the dataflow (FakeCodec vs ImageIoCodec)") {
     import spark.implicits._
     val media = Seq((0L, "image", pngBytes(40, 30))).toDF("media_id", "kind", "payload")

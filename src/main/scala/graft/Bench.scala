@@ -82,20 +82,56 @@ object Bench {
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      try {
-        force(fn(spark, sfDir)) // warm-up: plan + JIT + page cache
-        val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-      } catch {
+    // Baseline loads BEFORE timing so first-pass suspects can be
+    // retry-confirmed below, and so a bad path fails fast.
+    val baseOpt = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map { p =>
+      val base = loadBaseline(p)
+      // An empty parse means the file isn't a bench artifact at all —
+      // gating against it would be a silent no-op, which is exactly the
+      // failure mode this block exists to prevent.
+      require(base.nonEmpty, s"baseline $p parsed to zero per-query entries")
+      val missing = uncovered(base, selected.map(_._1))
+      if (missing.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: baseline $p lacks ${missing.size}/${selected.size} " +
+            s"selected queries — these are NOT gated: ${missing.mkString(", ")}")
+      base
+    }
+    def time(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      force(fn(spark, sfDir)) // warm-up: plan + JIT + page cache
+      (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        force(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val firstPass = selected.map { case (name, fn) =>
+      try name -> time(fn)
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
           name -> -1.0
+      }
+    }
+    // Retry-confirm: an 80-query same-process run occasionally spikes a
+    // sub-second query >2x from JVM/GC interference alone (r05 verdict:
+    // q_fingerprint/q_hll_distinct on UNCHANGED code; reproduced r06 on
+    // q_rolling_hash — isolated re-run was 1.4x). Re-time first-pass
+    // suspects immediately and take the min — a REAL plan regression
+    // reproduces under isolation; noise does not. The confirmed numbers
+    // are also what's recorded, so the next round's baseline is cleaner.
+    val results = baseOpt.fold(firstPass) { base =>
+      val suspects = regressions(firstPass, base).map(_._1).toSet
+      firstPass.map { case (name, t) =>
+        if (!suspects.contains(name) || t < 0) name -> t
+        else {
+          val t2 = time(SparkEntry.queries(name))
+          System.err.println(
+            f"[bench] RETIMED $name: first pass $t%.2fs, isolated $t2%.2fs")
+          name -> math.min(t, t2)
+        }
       }
     }
     val ok = results.filter(_._2 >= 0)
@@ -117,23 +153,14 @@ object Bench {
     spark.stop()
 
     // Per-query budget gate vs a previous same-harness round, e.g.
-    // SPARK_GRAFT_BENCH_BASELINE=bench_local_r05.json (protects the
-    // honest noop-sink numbers from silent plan regressions).
-    val regressed = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq.flatMap { p =>
-      val base = loadBaseline(p)
-      // An empty parse means the file isn't a bench artifact at all —
-      // gating against it would be a silent no-op, which is exactly the
-      // failure mode this block exists to prevent.
-      require(base.nonEmpty, s"baseline $p parsed to zero per-query entries")
-      val missing = uncovered(base, selected.map(_._1))
-      if (missing.nonEmpty)
-        System.err.println(
-          s"[bench] WARNING: baseline $p lacks ${missing.size}/${selected.size} " +
-            s"selected queries — these are NOT gated: ${missing.mkString(", ")}")
+    // SPARK_GRAFT_BENCH_BASELINE=bench_local.json from the prior round
+    // (protects the honest noop-sink numbers from silent plan
+    // regressions). Only retry-confirmed regressions reach here.
+    val regressed = baseOpt.toSeq.flatMap { base =>
       val r = regressions(results, base)
       r.foreach { case (name, now, b) =>
         System.err.println(
-          f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x)")
+          f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x, confirmed isolated)")
       }
       r
     }

@@ -32,6 +32,7 @@ object ScaleSmoke {
     }
     Seq("q_dedup","q_minhash_lsh","q_ngram_jaccard","q_dedup_components",
       "q_simhash","q_lang_id","q_pii_scrub","q_repetition","q_contamination",
+      "q_substr_dedup","q_bigram_score","q_image_hash",
       "q_pack","q_vocab","q_embed_quant","q_ann_lsh","q_ann_ivf",
       "q_cosine_topk","q_embed_dedup").foreach(time)
     spark.stop()

@@ -80,5 +80,45 @@ object CoreQueries extends QueryModule {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
-  override def all: Seq[Q] = Seq(flagship, hashAgg)
+  /** TPC-H Q3-shaped (shipping-priority) query submitted through
+    * `spark.sql` over temp views — the one entry point the rest of the
+    * surface doesn't exercise (everything else is DataFrame API).
+    * Catalyst plans SQL text and DataFrame calls through the same
+    * logical plans, so this pins that the SQL front door produces the
+    * same exact results; the ORACLE IS THE SAME TEXT — every construct
+    * (TIMESTAMP literals, DECIMAL casts, alias in ORDER BY, LIMIT) is
+    * chosen to parse identically in Spark SQL and DuckDB.
+    *
+    * Scale shape: two selective fact filters reach the scans (pushed),
+    * customer⋈orders then ⋈lineitem as hash joins on the keys, AQE
+    * picks broadcast when a side is small; the ordered LIMIT plans as
+    * TakeOrdered (no global sort). Unique l_orderkey tiebreak keeps
+    * the top-10 deterministic.
+    */
+  private val Q3Text = """
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate  > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""
+
+  val sqlQ3 = Q(
+    "q_sql_q3",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q3Text)
+    },
+    Some(Q3Text))
+
+  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3)
 }

@@ -188,6 +188,48 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY gid, coalesce(status, '~'), coalesce(priority, '~')""")
   )
 
+  /** Map-column functions (§2.5 "map fns" — the one category row with
+    * no query obligation until now): per-user event-type histograms
+    * AGGREGATED INTO A MAP (`map_from_entries` over a sorted entry
+    * list), then consumed with `map_keys`, `element_at` (NULL on
+    * missing key → coalesce), and a `map_filter` lambda. Outputs are
+    * scalars/strings, not raw maps, so the oracle compare stays
+    * hash-exact; the DuckDB twin computes the same semantics map-free
+    * (conditional aggregation) — an independent mechanism agreeing on
+    * the result, as with q_dedup_components. Same two-level agg scale
+    * shape as q_vocab: the map is per-user, bounded by the event-type
+    * vocabulary, never by event count.
+    */
+  val mapFns = Q(
+    "q_map_fns",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(
+          col("user_id"),
+          lsize(map_keys(col("m"))).as("n_types"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("types_csv"),
+          coalesce(element_at(col("m"), lit("click")), lit(0L)).as("n_clicks"),
+          lsize(map_keys(map_filter(col("m"), (_, v) => v >= 5))).as("n_heavy"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH hist AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             count(*) AS n_types,
+             string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+             CAST(coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0)
+                  AS BIGINT) AS n_clicks,
+             CAST(count(CASE WHEN n >= 5 THEN 1 END) AS BIGINT) AS n_heavy
+      FROM hist GROUP BY user_id ORDER BY user_id""")
+  )
+
   /** Window ranking — rank/dense_rank/row_number of suppliers within
     * nation by account-balance band. Bands (floor(bal/1000)) create
     * real ties so rank != row_number; row_number carries a unique
@@ -956,7 +998,7 @@ object AnalyticsQueries extends QueryModule {
 
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
-    windowRank, windowFrame,
+    mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ)

@@ -127,7 +127,17 @@ object Bench {
       firstPass.map { case (name, t) =>
         if (!suspects.contains(name) || t < 0) name -> t
         else {
-          val t2 = time(SparkEntry.queries(name))
+          // A transient failure in the isolated re-run (OOM, flaky IO)
+          // must not crash the whole bench — fall back to the
+          // first-pass time, which then hits the gate as a regression.
+          val t2 =
+            try time(SparkEntry.queries(name))
+            catch {
+              case e: Throwable =>
+                System.err.println(
+                  s"[bench] RETIME of $name failed (${e.getMessage}); keeping first-pass time")
+                t
+            }
           System.err.println(
             f"[bench] RETIMED $name: first pass $t%.2fs, isolated $t2%.2fs")
           name -> math.min(t, t2)
@@ -141,15 +151,6 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
     println(line)
-    // Persist the builder's own COMPLETE per-query result in-repo so the
-    // next round can gate against a full same-harness baseline instead
-    // of the driver's front-truncated `tail` (see [[uncovered]]). Subset
-    // (ONLY) runs are partial by construction and must not overwrite it.
-    if (only.isEmpty && failed.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-      val w = new java.io.PrintWriter(out, "UTF-8")
-      try w.println(line) finally w.close()
-    }
     spark.stop()
 
     // Per-query budget gate vs a previous same-harness round, e.g.
@@ -163,6 +164,19 @@ object Bench {
           f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x, confirmed isolated)")
       }
       r
+    }
+    // Persist the builder's own COMPLETE per-query result in-repo so the
+    // next round can gate against a full same-harness baseline instead
+    // of the driver's front-truncated `tail` (see [[uncovered]]). Subset
+    // (ONLY) runs are partial by construction and must not overwrite it;
+    // neither may a run with confirmed regressions or failures — else the
+    // regressed timings become the next baseline and the budget ratchets
+    // (the regressed line goes to a side path for inspection instead).
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+      val target = if (failed.isEmpty && regressed.isEmpty) out else out + ".rejected"
+      val w = new java.io.PrintWriter(target, "UTF-8")
+      try w.println(line) finally w.close()
     }
     if (failed.nonEmpty) sys.exit(1)
     if (regressed.nonEmpty) sys.exit(2)

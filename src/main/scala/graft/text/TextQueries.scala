@@ -547,20 +547,26 @@ object TextQueries extends QueryModule {
     * every serious training pipeline runs (e.g. GPT-3 §C, PaLM §D.2:
     * n-gram overlap against benchmarks).
     *
-    * Scale shape — SINGLE SCAN, SINGLE GRAM SHUFFLE: both gram sets
-    * derive from the same `documents` table, so the gram stream is
-    * extracted ONCE and eval membership becomes a per-gram flag
-    * (window `max` over the gram key), not a second scan + broadcast
-    * join. The per-(gram, doc) dedupe rides the SAME exchange: a
-    * `row_number` window keyed (g, doc_id) is clustering-satisfied by
-    * the hash(g) partitioning the flag window already forced, so it
-    * adds a sort, not a shuffle (pinned by the budget below). Three
-    * shuffles total: gram window, per-doc count, final sort. Grams are
-    * md5-hashed so every exchange carries 16-byte keys, not raw text.
-    * The eval filter can NOT push below the window (doc_id is not the
-    * partition key), which is exactly what keeps eval rows visible to
-    * the flag. When the eval set is a genuinely separate small table,
-    * the broadcast-join form wins instead — that shape lives in
+    * Scale shape — SINGLE SCAN, SKEW-BOUNDED: both gram sets derive
+    * from the same `documents` table, so the gram stream is extracted
+    * ONCE and eval membership becomes a per-gram flag (window `max`
+    * over the gram key), not a second scan + broadcast join. The raw
+    * occurrence stream is first reduced to DISTINCT (gram, doc) pairs
+    * by a hash aggregate: its map-side partial combine removes
+    * within-doc multiplicity BEFORE any exchange, and its shuffle key
+    * (g, doc_id) is fine-grained — a hot boilerplate gram spreads
+    * across reducers by doc. Only distinct pairs reach the flag
+    * window, so the window partition for a gram holds df(g) rows
+    * (its document frequency), never its raw occurrence count — the
+    * r06 shape windowed raw occurrences and one hot 8-gram could pin
+    * a whole partition (ADVICE r06). df-bounded residual skew is
+    * inherent: eval semantics forbid a MaxShingleDf-style cap (a
+    * boilerplate gram shared with eval still contaminates). Four
+    * shuffles total: pair-distinct, gram flag window, per-doc count,
+    * final sort — one more than r06, each over 16-byte md5 keys, and
+    * the extra exchange carries the DEDUPED pair stream. When the
+    * eval set is a genuinely separate small table, the broadcast-join
+    * form wins instead — that shape lives in
     * [[graft.transform.RefCoreQueries.lookupEnrich]]. The synthetic
     * corpus shares no 8-grams across documents (0 rows — still
     * hash-compared); TextOpsSpec plants a contaminated doc to pin the
@@ -570,36 +576,31 @@ object TextQueries extends QueryModule {
     "q_contamination",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // Dedupe per (doc, gram) via rn=1: a doc repeating an eval gram
-      // counts it once. Eval multiplicity never matters — the flag is
-      // 0/1 however many eval docs carry the gram. rn's order key is
-      // constant within its partition (rows are (doc_id, g) only), so
-      // any tie-break yields the same surviving count.
-      val occ = ngrams(t(s, dir, "documents"), 8)
-        .select(col("doc_id"), md5(col("g")).as("g"))
-      occ
+      // Distinct per (gram, doc): a doc repeating an eval gram counts
+      // it once. Eval multiplicity never matters — the flag is 0/1
+      // however many eval docs carry the gram.
+      val pairs = ngrams(t(s, dir, "documents"), 8)
+        .select(md5(col("g")).as("g"), col("doc_id"))
+        .distinct()
+      pairs
         .withColumn("has_eval",
           max(when(col("doc_id") < 25, 1).otherwise(0))
             .over(Window.partitionBy(col("g"))))
-        .withColumn("rn",
-          row_number().over(
-            Window.partitionBy(col("g"), col("doc_id")).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1 && col("has_eval") === 1 && col("doc_id") >= 25)
+        .filter(col("has_eval") === 1 && col("doc_id") >= 25)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
       WITH ${ngramSql(8)},
-      g2 AS (SELECT doc_id, md5(g) AS g FROM g1),
+      g2 AS (SELECT DISTINCT md5(g) AS g, doc_id FROM g1),
       w AS (
         SELECT doc_id,
                max(CASE WHEN doc_id < 25 THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY g) AS has_eval,
-               row_number() OVER (PARTITION BY g, doc_id ORDER BY doc_id) AS rn
+                 OVER (PARTITION BY g) AS has_eval
         FROM g2)
       SELECT doc_id, count(*) AS n_shared_grams
-      FROM w WHERE rn = 1 AND has_eval = 1 AND doc_id >= 25
+      FROM w WHERE has_eval = 1 AND doc_id >= 25
       GROUP BY doc_id ORDER BY doc_id""")
   )
 

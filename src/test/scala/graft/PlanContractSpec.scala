@@ -69,7 +69,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_pii_scrub" -> 1,        // pure redaction projection + final sort
     "q_embed_quant" -> 1,      // pure quantize projection + final sort
     "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
-    "q_contamination" -> 3,    // one gram-distinct + per-gram window + per-doc agg; single scan
+    "q_contamination" -> 4,    // (g,doc) pair-distinct + per-gram flag window + per-doc agg + sort;
+                               // single scan; r07: +1 exchange buys df-bounded window skew (ADVICE r06)
     "q_grouping_sets" -> 2,    // ONE Expand+aggregate for all 3 sets + final sort
     "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
     "q_pack" -> 2)             // per-shard cumsum window + final sort

@@ -750,60 +750,54 @@ object SimilarityQueries extends QueryModule {
     * economics as LSH bucketing, but with data-adaptive cells, which
     * is why IVF wins on clustered real embeddings.
     */
-  val annIvf = Q(
-    "q_ann_ivf",
-    (s, dir) => {
-      val emb = normEmb(s, dir)
-      // Quantizer training: k-means centroids -> driver -> literals,
-      // cached per (dataset, mtime) so repeated invocations (bench
-      // iterations, plan builds) don't re-run the training jobs. The
-      // int->double bridge (/1e6, then an ascending-index norm) is
-      // IEEE-exact and mirrored verbatim by the oracle's cn CTE.
-      val cents: Array[(Long, Array[Double], Double)] =
-        centroidCache.getOrElseUpdate(centroidCacheKey(dir), {
-          trainIvfCentroids(s, dir).map { case (id, ci) =>
-            val cv = ci.map(_ / 1e6)
-            var ss = 0.0
-            var i = 0
-            while (i < cv.length) { ss += cv(i) * cv(i); i += 1 }
-            (id, cv, math.sqrt(ss))
-          }
-        })
-      def csim(c: (Long, Array[Double], Double)): Column =
-        round(
-          call_function("graft_dot", col("v"), array(c._2.map(lit(_)): _*))
-            / (col("nrm") * lit(c._3)),
-          6)
-      // (sim, -id) structs: lexicographic max = highest sim, then
-      // smallest centroid id — same tiebreak as the oracle's
-      // ORDER BY csim DESC, cent_id.
-      val simArr = array(cents.map(c =>
-        struct(csim(c).as("s"), lit(-c._1).as("nid"))): _*)
-      val sortedDesc = reverse(array_sort(simArr))
-      val withCells = emb
-        .withColumn("cell1", -element_at(sortedDesc, 1).getField("nid"))
-        .withColumn("cell2", -element_at(sortedDesc, 2).getField("nid"))
-      val assigned = withCells
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
-      val qprobe = withCells
-        .filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"),
-          explode(array(col("cell1"), col("cell2"))).as("cell"))
-      val scored = assigned.join(broadcast(qprobe), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim",
-          expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("vec_id"), col("cell"),
-          round(col("sim"), 6).as("sim_r"), col("rn"))
-        .orderBy(col("q_id"), col("rn"))
-    },
-    Some(s"""
-      WITH $normEmbSql,
+  /** Trained-quantizer cell assignment shared by [[annIvf]],
+    * [[kmeansCluster]] and [[semanticDedup]]: every vector tagged with
+    * its nearest ([[trainIvfCentroids]]) centroid cell. Returns
+    * (vec_id, v, nrm, cell1, cell2, sim1) where cell1/cell2 are the
+    * top-2 cells by 6dp-rounded cosine (smallest-id tiebreak) and sim1
+    * is the rounded cosine to cell1. PURE MAP-SIDE: per-row argmax
+    * over 8 literal-array dot products — no window, no shuffle of the
+    * corpus. Centroid literals come from the per-(dataset, mtime)
+    * cache, so repeated invocations (bench iterations, plan builds)
+    * don't re-run the training jobs. The int->double bridge (/1e6,
+    * then an ascending-index norm) is IEEE-exact and mirrored verbatim
+    * by the oracle's cn CTE ([[ivfAssignSql]]).
+    */
+  private def cellAssigned(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    val cents: Array[(Long, Array[Double], Double)] =
+      centroidCache.getOrElseUpdate(centroidCacheKey(dir), {
+        trainIvfCentroids(s, dir).map { case (id, ci) =>
+          val cv = ci.map(_ / 1e6)
+          var ss = 0.0
+          var i = 0
+          while (i < cv.length) { ss += cv(i) * cv(i); i += 1 }
+          (id, cv, math.sqrt(ss))
+        }
+      })
+    def csim(c: (Long, Array[Double], Double)): Column =
+      round(
+        call_function("graft_dot", col("v"), array(c._2.map(lit(_)): _*))
+          / (col("nrm") * lit(c._3)),
+        6)
+    // (sim, -id) structs: lexicographic max = highest sim, then
+    // smallest centroid id — same tiebreak as the oracle's
+    // ORDER BY csim DESC, cent_id.
+    val simArr = array(cents.map(c =>
+      struct(csim(c).as("s"), lit(-c._1).as("nid"))): _*)
+    val sortedDesc = reverse(array_sort(simArr))
+    emb
+      .withColumn("cell1", -element_at(sortedDesc, 1).getField("nid"))
+      .withColumn("cell2", -element_at(sortedDesc, 2).getField("nid"))
+      .withColumn("sim1", element_at(sortedDesc, 1).getField("s"))
+  }
+
+  /** Oracle twin of [[cellAssigned]]: trains the same two fixed-point
+    * Lloyd iterations in CTEs and ends with
+    * `assigned(vec_id, v, nrm, cell, csim)` — every vector with its
+    * nearest-cell id and 6dp cosine — plus `ranked` for callers that
+    * need lower-ranked cells (annIvf's nprobe=2). */
+  private lazy val ivfAssignSql = s"""$normEmbSql,
       vi AS (
         SELECT vec_id,
                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS vi
@@ -824,12 +818,38 @@ object SimilarityQueries extends QueryModule {
                      / (n.nrm * c.cnrm), 6) AS csim
         FROM n CROSS JOIN cn c),
       ranked AS (
-        SELECT vec_id, v, nrm, cent_id,
+        SELECT vec_id, v, nrm, cent_id, csim,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY csim DESC, cent_id) AS rk
         FROM sims),
       assigned AS (
-        SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE rk = 1),
+        SELECT vec_id, v, nrm, cent_id AS cell, csim FROM ranked WHERE rk = 1)"""
+
+  val annIvf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val withCells = cellAssigned(s, dir)
+      val assigned = withCells
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
+      val qprobe = withCells
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+      val scored = assigned.join(broadcast(qprobe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          round(col("sim"), 6).as("sim_r"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""
+      WITH $ivfAssignSql,
       qprobe AS (
         SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
         FROM ranked WHERE vec_id < 5 AND rk <= 2),
@@ -845,6 +865,103 @@ object SimilarityQueries extends QueryModule {
         FROM p)
       SELECT q_id, vec_id, cell, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 5 ORDER BY q_id, rn""")
+  )
+
+  /** k-means document clustering over the embedding column — the
+    * corpus-curation primitive behind cluster-balanced data mixes and
+    * SemDeDup-style pruning: every vector assigned to its trained
+    * centroid cell, with per-cluster population and cohesion stats.
+    * Reuses the IVF coarse quantizer ([[cellAssigned]]): training is
+    * the bounded 8-centroid artifact, assignment is a pure map-side
+    * argmax over literal centroids — the whole query is ONE hash
+    * aggregation over (cell) plus the final sort; the corpus shuffles
+    * once, post-aggregation rows are k.
+    *
+    * 100 TB shape: k grows with the corpus (k ≈ N / target cell size),
+    * but assignment stays map-side while k·dims fits a broadcast —
+    * millions of centroids before that breaks. The cohesion sum rides
+    * DECIMAL ([[graft.util.Tables.dsum]]) so partial-aggregation order
+    * can't perturb it; min/max pick existing 6dp-rounded values, so
+    * every output is cross-engine exact.
+    */
+  val kmeansCluster = Q(
+    "q_kmeans_cluster",
+    (s, dir) =>
+      cellAssigned(s, dir)
+        .groupBy(col("cell1").as("cell"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          dsum(col("sim1"), 6).as("sum_sim"),
+          min(col("sim1")).as("min_sim"),
+          max(col("sim1")).as("max_sim"))
+        .orderBy(col("cell")),
+    Some(s"""
+      WITH $ivfAssignSql
+      SELECT cell, count(*) AS n_vecs,
+             CAST(sum(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim,
+             min(csim) AS min_sim, max(csim) AS max_sim
+      FROM assigned GROUP BY cell ORDER BY cell""")
+  )
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): prune
+    * near-identical embeddings WITHIN each k-means cell — cluster
+    * first, then pairwise cosine only inside a cell, drop every vector
+    * that has a smaller-id neighbor above the threshold (the standard
+    * greedy keep-lowest-id rule; deterministic, no iteration). Reports
+    * per-cell population, pruned count, and a pruned-id checksum.
+    *
+    * This is the third dedup blocking scheme beside shingle/LSH
+    * ([[ngramJaccard]]/[[minhashLsh]]) and hyperplane buckets
+    * ([[embedDedup]]): data-adaptive cells concentrate true semantic
+    * neighbors, which is why SemDeDup prunes better than random-plane
+    * LSH at equal candidate budget. 100 TB shape: cost is Σ cell² —
+    * bounded by TARGET CELL SIZE, not corpus size, because k scales
+    * with N (k ≈ N / target size; the paper uses ~11k cells for LAION).
+    * k=8 here is the demo quantizer; the dataflow is k-agnostic.
+    * Threshold compares unrounded cosines — exact cross-engine because
+    * both sides sum the dot product in array order (graft_dot vs
+    * list_sum), the [[embedDedup]] precedent.
+    */
+  val semanticDedup = Q(
+    "q_semantic_dedup",
+    (s, dir) => {
+      val a = cellAssigned(s, dir)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
+      val right = a.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+      val pruned = a.join(right, Seq("cell"))
+        .filter(col("vec_id") < col("id2") &&
+          expr("graft_dot(v, v2)") / (col("nrm") * col("n2")) >= 0.4)
+        .select(col("cell"), col("id2"))
+        .distinct()
+      val perCell = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val perPruned = pruned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_pruned"), sum(col("id2")).as("pruned_id_sum"))
+      perCell.join(perPruned, Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+          coalesce(col("pruned_id_sum"), lit(0L)).as("pruned_id_sum"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH $ivfAssignSql,
+      pr AS (
+        SELECT DISTINCT a.cell, c.vec_id AS id2
+        FROM assigned a JOIN assigned c
+          ON a.cell = c.cell AND a.vec_id < c.vec_id
+        WHERE list_sum(list_transform(list_zip(a.v, c.v),
+                z -> struct_extract(z, 1) * struct_extract(z, 2)))
+              / (a.nrm * c.nrm) >= 0.4),
+      st AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+      rm AS (
+        SELECT cell, count(*) AS n_pruned,
+               CAST(sum(id2) AS BIGINT) AS pruned_id_sum
+        FROM pr GROUP BY cell)
+      SELECT s.cell, s.n_vecs,
+             COALESCE(r.n_pruned, 0) AS n_pruned,
+             COALESCE(r.pruned_id_sum, 0) AS pruned_id_sum
+      FROM st s LEFT JOIN rm r ON s.cell = r.cell
+      ORDER BY s.cell""")
   )
 
   /** Embedding-cosine near-duplicate pairs — dedup over the vector
@@ -954,5 +1071,6 @@ object SimilarityQueries extends QueryModule {
 
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, annLshShuffle,
-      annIvf, embedDedup, dedupComponents, embedQuant)
+      annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
+      embedQuant)
 }

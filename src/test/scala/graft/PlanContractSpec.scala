@@ -73,7 +73,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // single scan; r07: +1 exchange buys df-bounded window skew (ADVICE r06)
     "q_grouping_sets" -> 2,    // ONE Expand+aggregate for all 3 sets + final sort
     "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
-    "q_pack" -> 2)             // per-shard cumsum window + final sort
+    "q_pack" -> 2,             // per-shard cumsum window + final sort
+    "q_kmeans_cluster" -> 2,   // map-side cell assignment; one (cell) agg + sort
+    "q_semantic_dedup" -> 6)   // cell self-join (2) + pair distinct + 2 aggs + join/sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -279,6 +279,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q_kmeans_cluster partitions the whole corpus into k cells with exact cohesion sums") {
+    val rows = SimilarityQueries.kmeansCluster.run(spark, clusterDir).collect()
+    assert(rows.length <= 8, s"more cells than centroids: ${rows.length}")
+    assert(rows.map(_.getLong(1)).sum === 230L) // every vector lands in exactly one cell
+    rows.foreach { r =>
+      val (n, sum, mn, mx) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mx && sum >= n * mn - 1e-6 && sum <= n * mx + 1e-6,
+        s"cell ${r.getLong(0)}: cohesion sum $sum outside [$n*$mn, $n*$mx]")
+    }
+  }
+
+  test("q_semantic_dedup prunes planted near-duplicates inside their cell, keeps the corpus count") {
+    val rows = SimilarityQueries.semanticDedup.run(spark, clusterDir).collect()
+    assert(rows.map(_.getLong(1)).sum === 230L)
+    // The 25 planted neighbors (cosine ~0.998 to their center, which has a
+    // smaller vec_id and the same nearest cell on this fixture) must all be
+    // pruned; random 64-dim background vectors may add a few more pairs.
+    val pruned = rows.map(_.getLong(2)).sum
+    assert(pruned >= 25L, s"planted near-duplicates not pruned: only $pruned")
+    // A pruned vector is never the keeper: checksum only counts ids >= 5
+    // (centers 0-4 are the smallest ids in their cells on this fixture).
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+  }
+
   test("q_ann_lsh_shuffle returns exactly the broadcast variant's rows") {
     val a = SimilarityQueries.annLsh.run(spark, clusterDir)
       .collect().map(_.toSeq).toSet

@@ -34,7 +34,9 @@ object ScaleSmoke {
       "q_simhash","q_lang_id","q_pii_scrub","q_repetition","q_contamination",
       "q_substr_dedup","q_bigram_score","q_image_hash",
       "q_pack","q_vocab","q_embed_quant","q_ann_lsh","q_ann_ivf",
-      "q_cosine_topk","q_embed_dedup").foreach(time)
+      "q_cosine_topk","q_embed_dedup",
+      "q_tfidf","q_bpe_train","q_mix_sample","q_kmeans_cluster",
+      "q_semantic_dedup").foreach(time)
     spark.stop()
   }
 }

@@ -812,8 +812,231 @@ object TextQueries extends QueryModule {
       GROUP BY p.doc_id ORDER BY p.doc_id""")
   )
 
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * signal (salient-term extraction, topic tagging, quality
+    * filtering by informativeness). score = tf · ln(N/df), top 5 per
+    * doc.
+    *
+    * Scale shape: term frequencies are one (doc, term) hash aggregate
+    * with map-side combine; document frequencies derive from THAT
+    * (already-distinct) stream, so df is one more vocab-sized
+    * aggregate — the corpus token stream shuffles once. The df join
+    * is a plain equi-join on term (vocab-sized right side; Catalyst/
+    * AQE broadcasts when it fits). The corpus size N is a 1-row
+    * metadata-only count broadcast into the score expression. Top-5
+    * per doc is rank-filtered, so the window prunes before the final
+    * sort. Cross-engine: the score is 6dp-rounded BEFORE ranking and
+    * the tiebreak is (score DESC, term ASC), so Spark's Math.log vs
+    * DuckDB's ln can only disagree if two terms' unrounded scores
+    * straddle the same half-ulp-of-1e-6 boundary — and ties on the
+    * ROUNDED score resolve by term on both sides.
+    */
+  val tfidf = Q(
+    "q_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.groupBy().agg(count(lit(1)).as("n"))
+      val scored = tf
+        .join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_r",
+          round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_r").desc, col("term"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_r"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      s AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * ln(nn.n * 1.0 / d.df), 6) AS score_r
+        FROM tf t JOIN df d USING (term) CROSS JOIN nn),
+      r AS (
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               score_r,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_r DESC, term) AS rn
+        FROM s)
+      SELECT doc_id, term, tf, df, score_r, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY doc_id, rn""")
+  )
+
+  /** One BPE oracle iteration (CTE suffix `$k` over word table
+    * `w${k - 1}`): adjacent symbol pairs weighted by word count, the
+    * argmax pair (count DESC, pair ASC — the deterministic tiebreak),
+    * and the merged word table. Twin of one [[bpeTrain]] round. */
+  private def bpeIterSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    val pat = s"' ' || (SELECT pair FROM t$k) || ' '"
+    val rep = s"' ' || (SELECT merged FROM t$k) || ' '"
+    s"""s$k AS (SELECT sym, cnt, string_split(sym, ' ') AS l FROM $prev),
+      p$k AS (
+        SELECT cnt, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        FROM s$k),
+      c$k AS (
+        SELECT struct_extract(z, 1) || ' ' || struct_extract(z, 2) AS pair,
+               CAST(sum(cnt) AS BIGINT) AS c
+        FROM p$k GROUP BY 1),
+      t$k AS (
+        SELECT CAST($k AS BIGINT) AS it, pair, replace(pair, ' ', '') AS merged, c
+        FROM c$k ORDER BY c DESC, pair LIMIT 1),
+      w$k AS (
+        SELECT trim(replace(replace(' ' || sym || ' ', $pat, $rep), $pat, $rep))
+                 AS sym,
+               cnt
+        FROM $prev)"""
+  }
+
+  /** BPE merge learning — the first 3 merge rules of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016), as pure dataflow: count
+    * adjacent symbol pairs weighted by word frequency, take the argmax,
+    * rewrite the vocabulary with the merged symbol, repeat. Emits the
+    * learned merge table (iteration, pair, merged symbol, weighted
+    * count) — the artifact a tokenizer ships.
+    *
+    * Scale shape — THE reason BPE training is tractable at 100 TB:
+    * after one corpus-wide word-count aggregation, every iteration
+    * operates on the DISTINCT-WORD table (vocab-sized, millions of
+    * rows at web scale — not the corpus), so 3 iterations are 3
+    * vocab-sized aggregations plus a 1-row broadcast argmax each.
+    * The merge rewrite is a per-row string replace against the
+    * broadcast winning pair.
+    *
+    * Cross-engine exactness: the argmax tiebreak is (count DESC, pair
+    * ASC) on both sides; the merge applies via space-delimited literal
+    * replace run TWICE, because both engines' replace scans
+    * left-to-right consuming the shared delimiter — one pass misses
+    * every second merge site in a run of identical symbols (" a a a a "
+    * → " aa a a "), the second pass catches it (→ " aa aa "; verified
+    * identical in Spark's UTF8String.replace and DuckDB). Runs of 5+
+    * identical mergeable symbols would need a third pass — accepted
+    * approximation, identical on both engines, pinned by a
+    * planted-run unit test.
+    */
+  val bpeTrain = Q(
+    "q_bpe_train",
+    (s, dir) => {
+      val syms0 = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("word"))
+        .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      def pairCounts(wc: org.apache.spark.sql.DataFrame) = {
+        val l = split(col("sym"), " ")
+        wc.select(col("cnt"),
+            explode(
+              when(size(l) >= 2,
+                transform(sequence(lit(0), size(l) - 2),
+                  i => concat(element_at(l, i + 1), lit(" "), element_at(l, i + 2))))
+                .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+      }
+      def argmax(pc: org.apache.spark.sql.DataFrame, it: Int) =
+        pc.orderBy(col("c").desc, col("pair")).limit(1)
+          .select(lit(it.toLong).as("it"), col("pair"),
+            call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
+            col("c"))
+      def applyMerge(wc: org.apache.spark.sql.DataFrame,
+          top: org.apache.spark.sql.DataFrame) = {
+        val pat = concat(lit(" "), col("pair"), lit(" "))
+        val rep = concat(lit(" "), col("merged"), lit(" "))
+        val once = call_function("replace",
+          concat(lit(" "), col("sym"), lit(" ")), pat, rep)
+        wc.crossJoin(broadcast(top.select(col("pair"), col("merged"))))
+          .select(trim(call_function("replace", once, pat, rep)).as("sym"),
+            col("cnt"))
+      }
+      var wc = syms0
+      val tops = (1 to 3).map { it =>
+        val top = argmax(pairCounts(wc), it)
+        wc = applyMerge(wc, top)
+        top
+      }
+      tops.reduce(_ unionAll _).orderBy(col("it"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+      w0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+               count(*) AS cnt
+        FROM tok GROUP BY 1),
+      ${bpeIterSql(1)},
+      ${bpeIterSql(2)},
+      ${bpeIterSql(3)}
+      SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+      ORDER BY it""")
+  )
+
+  /** Domain-weighted mixture sampling — the static data-mix step every
+    * LLM pretraining corpus goes through (The Pile / LLaMA-style
+    * per-source weights): a WEIGHTS TABLE drives per-source keep
+    * rates, sampling is the deterministic salted-md5 bucket (same
+    * primitive as [[sampleStratified]], which hard-codes literal
+    * per-lang rates — this is the table-driven twin), and the output
+    * is the achieved-mix report (kept vs total per source, with an
+    * id-sum checksum pinning WHICH docs were kept, not just how
+    * many).
+    *
+    * Scale shape: the weights dim is broadcast (it is per-source —
+    * dozens of rows at any corpus size), the keep decision is
+    * scan-side, and the report is one hash aggregate — the corpus
+    * never shuffles unsampled. Unknown sources default to rate 10 via
+    * the left-join coalesce, so a new upstream source degrades to a
+    * trickle instead of vanishing or flooding.
+    */
+  val mixSample = Q(
+    "q_mix_sample",
+    (s, dir) => {
+      import s.implicits._
+      val weights = Seq(("src0", 50L), ("src1", 40L), ("src2", 25L))
+        .toDF("source", "rate")
+      val kept = hashBucket("mix:", col("doc_id")) < col("rate")
+      t(s, dir, "documents")
+        .join(broadcast(weights), Seq("source"), "left")
+        .withColumn("rate", coalesce(col("rate"), lit(10L)))
+        .groupBy(col("source"), col("rate"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(kept, col("doc_id"))), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT * FROM (VALUES ('src0', 50), ('src1', 40), ('src2', 25))
+          t(source, rate)),
+      d AS (
+        SELECT doc_id, d.source, COALESCE(w.rate, 10) AS rate,
+               ${hashBucketSql("mix:", "doc_id")} < COALESCE(w.rate, 10) AS kept
+        FROM documents d LEFT JOIN w ON d.source = w.source)
+      SELECT source, CAST(rate AS BIGINT) AS rate,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT), 0)
+               AS kept_id_sum
+      FROM d GROUP BY source, rate ORDER BY source""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
-      repetition, contamination, substrDedup, pack, vocab, bigramScore)
+      repetition, contamination, substrDedup, pack, vocab, bigramScore,
+      tfidf, mixSample, bpeTrain)
 }

@@ -75,7 +75,14 @@ class PlanContractSpec extends AnyFunSuite {
     "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
     "q_pack" -> 2,             // per-shard cumsum window + final sort
     "q_kmeans_cluster" -> 2,   // map-side cell assignment; one (cell) agg + sort
-    "q_semantic_dedup" -> 6)   // cell self-join (2) + pair distinct + 2 aggs + join/sort
+    "q_semantic_dedup" -> 6,   // cell self-join (2) + pair distinct + 2 aggs + join/sort
+    "q_mix_sample" -> 2,       // broadcast weights dim + one (source) agg + sort
+    "q_tfidf" -> 6,            // tf/df aggs + term join + doc window + sort; the static
+                               // plan re-derives tf for df — AQE exchange reuse collapses
+                               // the duplicate at runtime
+    "q_bpe_train" -> 14)       // 3 chained vocab-sized merge iterations; every exchange
+                               // after the word-count agg carries vocab rows, not corpus;
+                               // duplicated subplans reuse exchanges at runtime
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

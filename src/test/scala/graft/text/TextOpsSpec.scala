@@ -164,6 +164,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1) === ((1L, 2L, 4L, 1L))) // 3+1 mass, rarest b_c=1
   }
 
+  test("q_tfidf ranks each doc's unique term first; corpus-wide terms score zero") {
+    val dir = docsDir(Seq(
+      "the apple apple", "the banana", "the cherry", "the dates"))
+    val rows = TextQueries.tfidf.run(spark, dir)
+      .select("doc_id", "term", "score_r", "rn")
+      .as[(Long, String, Double, Long)].collect()
+    val first = rows.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    assert(first === Map(0L -> "apple", 1L -> "banana", 2L -> "cherry", 3L -> "dates"))
+    // "the" appears in all 4 docs: idf = ln(4/4) = 0 exactly
+    rows.filter(_._2 == "the").foreach(r => assert(r._3 === 0.0))
+  }
+
+  test("q_bpe_train learns the dominant merge and applies it TWICE per pass (run of identical symbols)") {
+    // "aaaa" x3: iter-1 pairs are (a a)x9 vs (b b)x3 -> merge "a a".
+    // Two-pass replace turns "a a a a" into "aa aa" (one pass leaves
+    // "aa a a" and iter 2 would learn "aa a" instead of "aa aa").
+    val dir = docsDir(Seq("aaaa aaaa aaaa bbbb"))
+    val got = TextQueries.bpeTrain.run(spark, dir)
+      .select("it", "pair", "merged", "c").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, "a a", "aa", 9L)))
+    assert(got(1) === ((2L, "aa aa", "aaaa", 3L)),
+      s"second merge ${got(1)} — single-pass replace would have left 'aa a a'")
+  }
+
+  test("q_mix_sample applies table rates, defaults unknown sources to 10, and is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextQueries.mixSample.run(spark, dir)
+      .select("source", "rate", "n_total", "n_kept", "kept_id_sum")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val bys = rows.map(r => r._1 -> r).toMap
+    assert(bys("src0")._2 === 50L && bys("src1")._2 === 40L && bys("src2")._2 === 25L)
+    rows.filterNot(r => Set("src0", "src1", "src2")(r._1))
+      .foreach(r => assert(r._2 === 10L, s"${r._1} should default to rate 10"))
+    rows.foreach(r => assert(r._4 <= r._3 && (r._4 > 0 || r._5 == 0)))
+    val again = TextQueries.mixSample.run(spark, dir)
+      .select("source", "rate", "n_total", "n_kept", "kept_id_sum")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

@@ -408,6 +408,39 @@ object Multimodal {
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }
 
+  /** Deterministic synthetic WAV corpus, distributed like
+    * [[syntheticPngCorpus]] (no driver loop): mono 16-bit PCM sine
+    * tones with id-cycled sample rates and id-varied lengths, written
+    * through the REAL `javax.sound.sampled` encoder so the decode path
+    * ([[audioMeta]]) exercises genuine WAV headers end-to-end. */
+  def syntheticWavCorpus(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    spark.range(n).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = rates((id % rates.length).toInt)
+        val frames = (rate / 10) * (1 + (id % 5).toInt) // 0.1s .. 0.5s
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        val bytes = out.toByteArray
+        (id, "audio", bytes, ("synthetic-wav", "audio/wav", bytes.length.toLong))
+      })
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
   /** Deterministic synthetic media table for tests/demos (the container
     * ships no real media): payload bytes are a pure function of id. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

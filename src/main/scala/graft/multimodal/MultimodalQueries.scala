@@ -36,5 +36,30 @@ object MultimodalQueries extends QueryModule {
     },
     None)
 
-  override def all: Seq[Q] = Seq(imageHash)
+  /** End-to-end audio metadata pipeline, timed: synthesize a
+    * deterministic 400-WAV corpus distributed, decode REAL headers via
+    * `javax.sound.sampled` ([[Multimodal.audioMeta]]), and aggregate
+    * per sample rate. Frame counts and durations are integer-exact
+    * functions of the generator, so rows are stable run-over-run —
+    * the audio twin of [[imageHash]], closing the same "decode path
+    * never timed" gap for the second modality. No oracle by design
+    * (DuckDB cannot parse WAV); rows-only check + MultimodalSpec pins
+    * the per-rate arithmetic.
+    */
+  val audioMetaQ = Q(
+    "q_audio_meta",
+    (s, _) => {
+      val media = Multimodal.syntheticWavCorpus(s, 400)
+      Multimodal.audioMeta(media).toDF()
+        .groupBy(col("sample_rate"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("duration_ms")).as("total_ms"),
+          max(col("channels")).as("max_channels"))
+        .orderBy(col("sample_rate"))
+    },
+    None)
+
+  override def all: Seq[Q] = Seq(imageHash, audioMetaQ)
 }

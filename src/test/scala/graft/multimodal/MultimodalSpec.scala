@@ -193,4 +193,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert((fake.width, fake.height) !== (40, 30)) // stub dims are payload-hash derived
     assert(real.checksum === fake.checksum)        // checksum is codec-independent
   }
+
+  test("q_audio_meta: real WAV decode aggregates match the generator arithmetic") {
+    val rows = MultimodalQueries.audioMetaQ.run(spark, "unused").collect()
+    val rates = Array(8000, 16000, 22050, 44100)
+    val expected = (0L until 400L).map { id =>
+      val rate = rates((id % 4).toInt)
+      val frames = (rate / 10) * (1 + (id % 5).toInt)
+      (rate, frames.toLong, frames * 1000L / rate)
+    }.groupBy(_._1).view.mapValues(v =>
+      (v.size.toLong, v.map(_._2).sum, v.map(_._3).sum)).toMap
+    assert(rows.length === 4, "every synthetic sample rate must decode")
+    rows.foreach { r =>
+      val (n, tf, tm) = expected(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, tf, tm)),
+        s"rate ${r.getInt(0)}: decoded aggregates drifted from the generator")
+      assert(r.getInt(4) === 1) // mono corpus
+    }
+  }
 }

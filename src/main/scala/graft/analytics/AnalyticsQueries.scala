@@ -571,6 +571,44 @@ object AnalyticsQueries extends QueryModule {
     None
   )
 
+  /** Offset + distribution window functions — lag/lead (the offset
+    * family the window surface still lacked) plus percent_rank and
+    * cume_dist over the same frame. One window spec → ONE exchange +
+    * sort serves all four functions (pinned by the plan contract);
+    * the partition key (order priority) is low-cardinality but each
+    * partition is value-sorted once, which is the shape a time-series
+    * delta query has at any scale. percent_rank/cume_dist are exact
+    * rational divisions of the same integers on both engines, so no
+    * rounding is needed; the unique orderkey sort key makes lag/lead
+    * deterministic.
+    */
+  val windowStats = Q(
+    "q_window_stats",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WHERE o_totalprice > 300000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderkey""")
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -1001,5 +1039,5 @@ object AnalyticsQueries extends QueryModule {
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
-    outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ)
+    outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats)
 }

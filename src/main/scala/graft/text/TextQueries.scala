@@ -877,6 +877,55 @@ object TextQueries extends QueryModule {
       FROM r WHERE rn <= 5 ORDER BY doc_id, rn""")
   )
 
+  /** Token-entropy quality signal — Shannon entropy of each document's
+    * unigram distribution, the standard gibberish/boilerplate filter
+    * axis (low entropy = repeated tokens, high = diverse vocabulary;
+    * used alongside the Gopher-style [[repetition]] profile).
+    *
+    * Determinism: entropy is computed as ln(n) − (Σ k·ln k)/n, so the
+    * floating sum ranges over PER-TERM contributions that are rounded
+    * to 9dp and summed in DECIMAL — aggregation order (Spark partials
+    * vs DuckDB) cannot perturb the result; only the final value is
+    * rounded to 6dp. Scale shape: one (doc, term) hash aggregate with
+    * map-side combine, then one per-doc aggregate that rides the same
+    * doc-hashable stream — 3 shuffles including the sort, no window.
+    */
+  val entropy = Q(
+    "q_entropy",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("k"))
+      tf.groupBy(col("doc_id"))
+        .agg(
+          sum(col("k")).as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          sum(round(col("k") * log(col("k")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("s"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_terms"),
+          round(log(col("n_tokens")) -
+            col("s").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"),
+            6).as("entropy_r"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_tokens,
+               count(*) AS n_terms,
+               sum(CAST(round(k * ln(k), 9) AS DECIMAL(18,9))) AS s
+        FROM tf GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_terms,
+             round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy_r
+      FROM agg ORDER BY doc_id""")
+  )
+
   /** One BPE oracle iteration (CTE suffix `$k` over word table
     * `w${k - 1}`): adjacent symbol pairs weighted by word count, the
     * argmax pair (count DESC, pair ASC — the deterministic tiebreak),
@@ -1038,5 +1087,5 @@ object TextQueries extends QueryModule {
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
-      tfidf, mixSample, bpeTrain)
+      tfidf, mixSample, bpeTrain, entropy)
 }

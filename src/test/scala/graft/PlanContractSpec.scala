@@ -80,6 +80,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_tfidf" -> 6,            // tf/df aggs + term join + doc window + sort; the static
                                // plan re-derives tf for df — AQE exchange reuse collapses
                                // the duplicate at runtime
+    "q_entropy" -> 3,          // (doc,term) agg + per-doc agg + sort; no window
+    "q_window_stats" -> 2,     // ONE window exchange serves all 4 functions + sort
     "q_bpe_train" -> 14)       // 3 chained vocab-sized merge iterations; every exchange
                                // after the word-count agg carries vocab rows, not corpus;
                                // duplicated subplans reuse exchanges at runtime

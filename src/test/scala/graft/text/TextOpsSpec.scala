@@ -205,6 +205,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("q_entropy: zero for a constant doc, ln(k) for a uniform one") {
+    val dir = docsDir(Seq(
+      "spam spam spam spam",        // constant -> entropy 0
+      "a b c d e f g h",            // 8 uniform tokens -> ln(8)
+      "x x y"))                     // 2/3,1/3 mix
+    val got = TextQueries.entropy.run(spark, dir)
+      .select("doc_id", "entropy_r").as[(Long, Double)].collect().toMap
+    assert(got(0L) === 0.0)
+    assert(math.abs(got(1L) - math.log(8)) < 1e-6)
+    val mix = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(2L) - mix) < 1e-6)
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

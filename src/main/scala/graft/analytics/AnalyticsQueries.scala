@@ -609,6 +609,87 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY o_orderkey""")
   )
 
+  /** Slowly-changing-dimension type 2 build — turn the event stream
+    * into versioned dimension rows: consecutive repeats of the same
+    * state collapse (lag change-detection), each surviving change
+    * opens a version valid [ts, next change), and the last version per
+    * user is current. THE warehouse temporal-modeling op (Kimball SCD2),
+    * and the batch twin of the streaming state machine in
+    * [[graft.streaming]].
+    *
+    * One window exchange serves both passes: the change-detection lag
+    * and the valid_to lead use the SAME (user_id) partitioning and
+    * (ts, event_id) sort, and the filter between them preserves both,
+    * so Catalyst plans a single exchange + sort (plan-pinned: 2 with
+    * the final orderBy). Validity bounds surface as epoch MICROS
+    * (unix_micros / epoch_us) so the compare is integer-exact.
+    */
+  val scd2 = Q(
+    "q_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id").as("version_id"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(col("valid_to_ts")).as("valid_to_us"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("version_id"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_type, event_id, ts,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT * FROM o WHERE prev IS NULL OR prev != event_type),
+      v AS (
+        SELECT user_id, event_type, event_id, ts,
+               lead(ts) OVER w2 AS valid_to_ts
+        FROM c
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_type, event_id AS version_id,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(valid_to_ts) AS valid_to_us,
+             valid_to_ts IS NULL AS is_current
+      FROM v ORDER BY user_id, valid_from_us, version_id""")
+  )
+
+  /** Shuffled-hash-join strategy control — the third physical join
+    * beside broadcast ([[graft.transform.RefCoreQueries.lookupEnrich]])
+    * and sort-merge ([[joinSmj]]): when the build side is too big to
+    * broadcast but small enough to hash per partition, SHJ skips BOTH
+    * the broadcast and the two sorts. The hint pins the strategy so a
+    * planner drift can't silently reintroduce sorts; the plan contract
+    * asserts ShuffledHashJoin is actually picked. Same shuffle count
+    * as SMJ (both sides exchange on the key) — the win is sort
+    * elimination, which at 100 TB is the difference between a hash
+    * probe and spilling a terabyte-scale sort per side.
+    */
+  val joinShj = Q(
+    "q_join_shj",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "customer").hint("SHUFFLE_HASH"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -1039,5 +1120,6 @@ object AnalyticsQueries extends QueryModule {
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
-    outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats)
+    outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
+    scd2, joinShj)
 }

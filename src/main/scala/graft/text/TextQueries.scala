@@ -926,6 +926,114 @@ object TextQueries extends QueryModule {
       FROM agg ORDER BY doc_id""")
   )
 
+  /** Fixed-window document chunking with overlap — the RAG/embedding
+    * ingestion step: 64-token chunks on a 48-token stride (16-token
+    * overlap so no boundary sentence is lost), each chunk carrying its
+    * position and a content hash ready for the embedding/indexing
+    * stage. PURE MAP-SIDE: tokenize once, generate chunk starts with
+    * `sequence`, slice + hash per chunk — zero shuffles before the
+    * final sort; chunking 100 TB is embarrassingly parallel. Chunk
+    * count is the integer closed form 1 + ceil(max(n-64,0)/48) on both
+    * engines (div arithmetic, no floats). Empty docs produce no
+    * chunks.
+    */
+  val chunk = Q(
+    "q_chunk",
+    (s, dir) => {
+      val ws = toks(col("text"))
+      val nChunks = when(size(ws) > 0,
+        lit(1) + floor((greatest(size(ws) - 64, lit(0)) + 47) / 48).cast("int"))
+        .otherwise(lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("w"), nChunks.as("nc"))
+        .select(col("doc_id"), col("w"),
+          posexplode(
+            when(col("nc") > 0, sequence(lit(0), col("nc") - 1))
+              .otherwise(array().cast("array<int>"))))
+        .select(
+          col("doc_id"),
+          col("col").cast(LongType).as("chunk_idx"),
+          (col("col") * 48 + 1).cast(LongType).as("start_tok"),
+          least(lit(64), size(col("w")) - col("col") * 48)
+            .cast(LongType).as("n_toks"),
+          md5(concat_ws(" ", slice(col("w"), col("col") * 48 + 1, lit(64))))
+            .as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+               CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                    THEN 1 + (greatest(len(string_split_regex(trim(text), '\s+')) - 64, 0) + 47) // 48
+                    ELSE 0 END AS nc
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, unnest(range(nc)) AS i FROM d WHERE nc > 0)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+             CAST(least(64, len(w) - i * 48) AS BIGINT) AS n_toks,
+             md5(array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_idx""")
+  )
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm) — positional local sampling of k-gram hashes: the
+    * minimum hash of every w consecutive grams is selected, giving the
+    * guarantee that any shared run of ≥ k+w-1 tokens contributes at
+    * least one COMMON fingerprint, at ~2/(w+1) sampling density. The
+    * plagiarism/near-dup fingerprint family member beside the global
+    * MinHash ([[graft.similarity.SimilarityQueries.minhashLsh]]) and
+    * the content-defined rolling hash ([[rollingHash]]).
+    *
+    * Shape: gram hashes are map-side (15-hex-digit md5 prefix →
+    * BIGINT, reproducible cross-engine); the per-doc sliding min is a
+    * rows-frame window; the distinct-fingerprint census rides the SAME
+    * doc-hash exchange (groupBy(doc_id) after the doc-partitioned
+    * window). Windows are per-document — bounded by doc length, no
+    * corpus-wide skew key exists.
+    */
+  val winnow = Q(
+    "q_winnow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = ngrams(t(s, dir, "documents"), 5)
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10)
+            .cast(LongType).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      val nw = Window.partitionBy(col("doc_id"))
+      hashed
+        .withColumn("mh", min(col("h")).over(w))
+        .withColumn("maxpos", max(col("pos")).over(nw))
+        .filter(col("pos") <= col("maxpos") - 3) // full windows only
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("mh")).as("n_fp"),
+          // XOR, not sum: 60-bit hashes summed over a long doc overflow
+          // BIGINT under ANSI; xor is order-independent and width-stable.
+          expr("bit_xor(DISTINCT mh)").as("fp_xor"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${ngramSql(5)},
+      h AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM g1),
+      m AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+               max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        FROM h)
+      SELECT doc_id,
+             CAST(count(DISTINCT mh) AS BIGINT) AS n_fp,
+             CAST(bit_xor(DISTINCT mh) AS BIGINT) AS fp_xor
+      FROM m WHERE pos <= maxpos - 3
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** One BPE oracle iteration (CTE suffix `$k` over word table
     * `w${k - 1}`): adjacent symbol pairs weighted by word count, the
     * argmax pair (count DESC, pair ASC — the deterministic tiebreak),
@@ -1087,5 +1195,5 @@ object TextQueries extends QueryModule {
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
-      tfidf, mixSample, bpeTrain, entropy)
+      tfidf, mixSample, bpeTrain, entropy, chunk, winnow)
 }

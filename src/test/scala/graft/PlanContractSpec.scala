@@ -81,6 +81,10 @@ class PlanContractSpec extends AnyFunSuite {
                                // plan re-derives tf for df — AQE exchange reuse collapses
                                // the duplicate at runtime
     "q_entropy" -> 3,          // (doc,term) agg + per-doc agg + sort; no window
+    "q_scd2" -> 2,             // lag + lead share ONE (user) window exchange + sort
+    "q_join_shj" -> 4,         // both sides exchange on key + agg + sort (no sorts in join)
+    "q_chunk" -> 1,            // pure map-side chunking + final sort
+    "q_winnow" -> 2,           // per-doc sliding-min window + per-doc agg rides it + sort
     "q_window_stats" -> 2,     // ONE window exchange serves all 4 functions + sort
     "q_bpe_train" -> 14)       // 3 chained vocab-sized merge iterations; every exchange
                                // after the word-count agg carries vocab rows, not corpus;
@@ -93,6 +97,14 @@ class PlanContractSpec extends AnyFunSuite {
       assert(n <= maxShuffles,
         s"$name: $n shuffle exchanges (budget $maxShuffles)\n$plan")
     }
+  }
+
+  test("q_join_shj actually plans a ShuffledHashJoin (hint honored, no sort-merge)") {
+    val plan = planOf("q_join_shj")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q_join_shj: SHUFFLE_HASH hint not honored\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_join_shj: planner fell back to sort-merge\n$plan")
   }
 
   test("q_setops scans customer exactly once (flag-OR rewrite, not 4 set-op scans)") {

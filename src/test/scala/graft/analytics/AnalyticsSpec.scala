@@ -87,6 +87,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.count(_._1.isEmpty) === 2 + 2) // +2 priority-set rows (status ungrouped, gid=2)
   }
 
+  test("q_scd2: versions chain gaplessly per user, repeats collapse, exactly one current") {
+    val rows = AnalyticsQueries.scd2.run(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (u, vs0) =>
+      val vs = vs0.sortBy(_.getLong(2))
+      assert(vs.count(_.getBoolean(4)) === 1, s"user $u: exactly one current version")
+      assert(vs.last.getBoolean(4) && vs.last.isNullAt(3),
+        s"user $u: the open-ended version must be the last")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2),
+            s"user $u: valid_to must equal the next valid_from (no gaps/overlaps)")
+          assert(a.getString(1) !== b.getString(1),
+            s"user $u: consecutive versions with the same state were not collapsed")
+        case _ =>
+      }
+    }
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

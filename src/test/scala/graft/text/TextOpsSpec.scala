@@ -218,6 +218,57 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - mix) < 1e-6)
   }
 
+  test("q_chunk: 64-token windows on a 48 stride with exact boundary arithmetic") {
+    val toks65 = (1 to 65).map(i => s"t$i")
+    val dir = docsDir(Seq(
+      toks65.mkString(" "),              // 65 tokens -> 2 chunks
+      (1 to 64).map(i => s"u$i").mkString(" "), // exactly 64 -> 1 chunk
+      "a b c"))                          // short -> 1 chunk
+    val got = TextQueries.chunk.run(spark, dir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(0L).map(c => (c._3, c._4)) === Seq((1L, 64L), (49L, 17L)))
+    assert(got(1L).map(c => (c._3, c._4)) === Seq((1L, 64L)))
+    assert(got(2L).map(c => (c._3, c._4)) === Seq((1L, 3L)))
+    // overlap: chunk 2 of doc 0 re-covers tokens 49..64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(0L)(1)._5 === md5hex(toks65.drop(48).mkString(" ")))
+  }
+
+  test("q_winnow matches a JVM replica and keeps the shared-run coverage guarantee") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token run >= k+w-1 = 8
+    val dir = docsDir(Seq(
+      s"alpha beta gamma $shared delta epsilon zeta",
+      s"one two three four five $shared six seven"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // replica of the engine's selection: 5-gram hashes, min per 4-window
+    def fps(text: String): Set[Long] = {
+      val w = text.trim.split("\\s+")
+      val hs = w.sliding(5).map(g => java.lang.Long.parseLong(
+        md5hex(g.mkString(" ")).take(15), 16)).toArray
+      hs.sliding(4).filter(_.length == 4).map(_.min).toSet
+    }
+    val texts = Seq(
+      s"alpha beta gamma $shared delta epsilon zeta",
+      s"one two three four five $shared six seven")
+    val expect = texts.map(fps)
+    assert(expect(0).intersect(expect(1)).nonEmpty,
+      "winnowing guarantee: a shared >= k+w-1 run must share a fingerprint")
+    val got = TextQueries.winnow.run(spark, dir)
+      .select("doc_id", "n_fp", "fp_xor").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val e = fps(t)
+      assert(got(i.toLong) === ((e.size.toLong, e.reduce(_ ^ _))),
+        s"doc $i: engine fingerprints diverge from the replica")
+    }
+  }
+
   test("q_rolling_hash folds over UTF-8 bytes, not codepoints") {
     val texts = Seq("aé", "日本", "plain ascii", "")
     val dir = docsDir(texts)

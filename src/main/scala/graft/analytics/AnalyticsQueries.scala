@@ -690,6 +690,112 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
+  /** Higher statistical moments — stddev, skewness, excess kurtosis per
+    * group, EXACTLY: the four power sums Σx..Σx⁴ ride DECIMAL (order-
+    * independent, overflow-checked by Spark's precision tracking), and
+    * the moment formulas are evaluated over those exact sums with
+    * TEXTUALLY IDENTICAL arithmetic on both engines, so the IEEE op
+    * tree — and therefore every last bit before the 6dp round — agrees.
+    * Built-in stddev/skewness/kurtosis aggregate doubles in partial
+    * order and are NOT cross-engine deterministic; this is the same
+    * dsum discipline every other float aggregate here follows, extended
+    * to the 3rd and 4th moments. One hash aggregate + sort.
+    */
+  val moments = Q(
+    "q_moments",
+    (s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val mexpr = Seq(
+        "round(s1/n, 6) AS mean_r",
+        "round(sqrt(s2/n - (s1/n)*(s1/n)), 6) AS std_r",
+        "round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n)) / " +
+          "(sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)) * " +
+          "sqrt(s2/n - (s1/n)*(s1/n))), 6) AS skew_r",
+        "round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - " +
+          "3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / " +
+          "((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6) AS kurt_r")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"),
+          sum(x * x * x).cast(DoubleType).as("s3"),
+          sum(x * x * x * x).cast(DoubleType).as("s4"))
+        .selectExpr(
+          Seq("l_returnflag", "CAST(n AS BIGINT) AS n") ++ mexpr: _*)
+        .orderBy(col("l_returnflag"))
+    }, {
+      val sums = """
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS s1,
+               CAST(sum(x*x) AS DOUBLE) AS s2,
+               CAST(sum(x*x*x) AS DOUBLE) AS s3,
+               CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x
+              FROM lineitem)
+        GROUP BY l_returnflag"""
+      Some(s"""
+      WITH a AS ($sums)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(s1/n, 6) AS mean_r,
+             round(sqrt(s2/n - (s1/n)*(s1/n)), 6) AS std_r,
+             round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n)) / (sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 6) AS skew_r,
+             round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6) AS kurt_r
+      FROM a ORDER BY l_returnflag""")
+    }
+  )
+
+  /** Z-order (Morton) multi-dimensional clustering — the layout
+    * primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`: bit-
+    * interleaving two keys gives a 1-D sort order in which BOTH
+    * dimensions stay locally tight, so per-file min/max statistics
+    * prune scans on EITHER predicate column — the thing a single-key
+    * sort can only do for its leading column. The z-value is pure
+    * integer bit arithmetic (8 bits per dimension here), identical on
+    * both engines.
+    *
+    * The query emits what the optimizer actually consumes: per
+    * coarse z-cell (top 8 bits — what would be one file after a
+    * z-sorted write), the row count and min/max of BOTH dimensions.
+    * Tight per-cell ranges on x AND y at once are the demonstrated
+    * win. Map-side z computation + one aggregate + sort.
+    */
+  val zorder = Q(
+    "q_zorder",
+    (s, dir) => {
+      val z = (0 until 8).map(i =>
+        s"(shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+      t(s, dir, "customer")
+        .selectExpr(
+          "CAST(c_custkey % 256 AS INT) AS x",
+          "CAST(c_nationkey AS INT) AS y")
+        .selectExpr("x", "y", s"CAST($z AS BIGINT) AS zval")
+        .selectExpr("zval >> 8 AS zcell", "x", "y")
+        .groupBy(col("zcell"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zcell"))
+    }, {
+      val z = (0 until 8).map(i =>
+        s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      Some(s"""
+      WITH d AS (
+        SELECT CAST(c_custkey % 256 AS INT) AS x, CAST(c_nationkey AS INT) AS y
+        FROM customer),
+      zd AS (SELECT x, y, CAST($z AS BIGINT) AS zval FROM d)
+      SELECT zval >> 8 AS zcell, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zd GROUP BY 1 ORDER BY zcell""")
+    }
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -1121,5 +1227,5 @@ object AnalyticsQueries extends QueryModule {
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
-    scd2, joinShj)
+    scd2, joinShj, moments, zorder)
 }

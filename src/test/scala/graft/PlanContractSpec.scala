@@ -82,6 +82,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // the duplicate at runtime
     "q_entropy" -> 3,          // (doc,term) agg + per-doc agg + sort; no window
     "q_scd2" -> 2,             // lag + lead share ONE (user) window exchange + sort
+    "q_moments" -> 2,          // one decimal power-sum agg + sort
+    "q_zorder" -> 2,           // map-side bit interleave + one cell agg + sort
     "q_join_shj" -> 4,         // both sides exchange on key + agg + sort (no sorts in join)
     "q_chunk" -> 1,            // pure map-side chunking + final sort
     "q_winnow" -> 2,           // per-doc sliding-min window + per-doc agg rides it + sort

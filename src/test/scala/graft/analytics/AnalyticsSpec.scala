@@ -108,6 +108,42 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_moments matches a sequential JVM replica of the exact power-sum formulas") {
+    val rows = AnalyticsQueries.moments.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val data = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    data.groupBy(_._1).foreach { case (flag, xs0) =>
+      val xs = xs0.map(_._2)
+      val n = xs.length.toDouble
+      def p(k: Int) = xs.map(x => math.pow(x, k)).sum / n
+      val m1 = p(1); val v = p(2) - m1 * m1; val sd = math.sqrt(v)
+      val skew = (p(3) - 3 * m1 * p(2) + 2 * m1 * m1 * m1) / (sd * sd * sd)
+      val kurt = (p(4) - 4 * m1 * p(3) + 6 * m1 * m1 * p(2) - 3 * math.pow(m1, 4)) / (v * v) - 3
+      val (gn, gm, gs, gsk, gku) = rows(flag)
+      assert(gn === xs.length.toLong)
+      assert(math.abs(gm - m1) < 1e-5, s"$flag mean")
+      assert(math.abs(gs - sd) < 1e-5, s"$flag std")
+      assert(math.abs(gsk - skew) < 1e-4, s"$flag skew")
+      assert(math.abs(gku - kurt) < 1e-4, s"$flag kurt")
+    }
+  }
+
+  test("q_zorder: every coarse z-cell keeps BOTH dimensions' ranges tight (<= 15)") {
+    val rows = AnalyticsQueries.zorder.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cell, maxX, minX, maxY, minY) =
+        (r.getLong(0), r.getInt(3), r.getInt(2), r.getInt(5), r.getInt(4))
+      // zcell fixes the top 4 bits of each 8-bit dimension, so within a
+      // cell each dimension spans at most its low 4 bits.
+      assert(maxX - minX <= 15, s"cell $cell: x range ${maxX - minX} not tight")
+      assert(maxY - minY <= 15, s"cell $cell: y range ${maxY - minY} not tight")
+    }
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

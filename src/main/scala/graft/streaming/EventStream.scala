@@ -52,4 +52,26 @@ object EventStream {
       .json(inputDir)
       .withWatermark("ts", "2 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrich — the dimension-lookup stage of every
+    * streaming ingest (the streaming twin of
+    * [[graft.transform.RefCoreQueries.lookupEnrich]]): join each
+    * micro-batch against a bounded static dimension, broadcast so the
+    * stream never shuffles and no streaming state is kept (unlike
+    * stream-stream joins, a static join needs no watermark buffering).
+    * Spark re-plans the static side per micro-batch, so a refreshed
+    * dim table is picked up without restarting the query. Misses are
+    * kept with a default weight (left join) — the drop-on-miss policy
+    * is the batch pipeline's P14; a stream drops nothing silently.
+    */
+  def enrichStream(spark: SparkSession, inputDir: String, dim: DataFrame): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .json(inputDir)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        coalesce(col("weight"), lit(0.0)).as("weight"),
+        (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted"))
 }

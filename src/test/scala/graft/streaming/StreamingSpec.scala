@@ -80,4 +80,25 @@ class StreamingSpec extends AnyFunSuite {
         ("2024-01-01 00:01:00", "view", 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("stream-static broadcast enrich joins each micro-batch, keeps misses with default") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("enrich_in").toString
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:10.000Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:20.000Z","user_id":2,"event_type":"view","value":4.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:00:30.000Z","user_id":3,"event_type":"mystery","value":8.0}"""
+    ).mkString("\n").getBytes)
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    val q = EventStream.enrichStream(spark, dir, dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, weight, weighted FROM enriched ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows === Array((1L, 1.5, 3.0), (2L, 0.5, 2.0), (3L, 0.0, 0.0)),
+        "dim hits weighted, the unknown type kept with default 0 — not dropped")
+    } finally q.stop()
+  }
 }

@@ -796,6 +796,83 @@ object AnalyticsQueries extends QueryModule {
     }
   )
 
+  /** Ordered funnel analysis — how many users performed
+    * view → click → purchase IN ORDER (each stage strictly after the
+    * previous one's first occurrence): the product-analytics staple
+    * that needs sequential, per-entity temporal logic rather than a
+    * plain aggregate. Implemented as staged conditional minima — t1 =
+    * first view, t2 = first click after t1, t3 = first purchase after
+    * t2 — because every stage is an equi-join + aggregate on user_id:
+    * three shuffles ON THE SAME KEY, so at scale the exchanges reuse
+    * one partitioning (and AQE elides the re-shuffles). Timestamps
+    * stay micros-integers internally; output is the stage census.
+    */
+  val funnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      t1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_then_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_then_purchase")))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      t1 AS (SELECT user_id, min(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM t1) AS n_view,
+             (SELECT count(*) FROM t2) AS n_then_click,
+             (SELECT count(*) FROM t3) AS n_then_purchase""")
+  )
+
+  /** Weekly cohort retention — the other product-analytics staple:
+    * users bucketed by first-activity week (ISO Monday truncation,
+    * identical in both engines), then distinct active users per
+    * (cohort week, week offset). Two aggregates on user_id + one
+    * distinct census; offsets are integer day-diffs / 7 between
+    * truncated Mondays, so every output is exact. The cohort dim
+    * (first week per user) is user-sized — at 100 TB it broadcast- or
+    * shuffle-joins on user_id exactly like the funnel stages.
+    */
+  val retention = Q(
+    "q_retention",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      e.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cw"),
+          (datediff(col("w"), col("cw")) / 7).cast(LongType).as("week_offset"))
+        .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+      c AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id)
+      SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', cw, w) / 7 AS BIGINT) AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -1227,5 +1304,5 @@ object AnalyticsQueries extends QueryModule {
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
-    scd2, joinShj, moments, zorder)
+    scd2, joinShj, moments, zorder, funnel, retention)
 }

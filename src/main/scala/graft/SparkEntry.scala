@@ -10,10 +10,12 @@ object SparkEntry {
     val qs = Seq(
       analytics.CoreQueries,
       analytics.AnalyticsQueries,
+      analytics.EventQueries,
       transform.RefCoreQueries,
       manifest.ManifestQueries,
       text.TextQueries,
       similarity.SimilarityQueries,
+      graph.GraphQueries,
       multimodal.MultimodalQueries
     ).flatMap(_.all)
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

@@ -1298,11 +1298,39 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY e.event_id""")
   )
 
+  /** Equi-width histogram — the profiling primitive behind every
+    * "distribution of X" dashboard tile: bucket = ⌊price / 20000⌋,
+    * per-bucket census with exact decimal mass and the true bucket
+    * envelope (min/max). One map-side bucket projection + one hash
+    * aggregation; at 100 TB the shuffle carries one row per bucket
+    * per map partition, nothing else.
+    */
+  val histogram = Q(
+    "q_histogram",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(20000.0)).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT CAST(floor(o_totalprice / CAST(20000 AS DOUBLE)) AS BIGINT) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1 ORDER BY bucket""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
-    scd2, joinShj, moments, zorder, funnel, retention)
+    scd2, joinShj, moments, zorder, funnel, retention, histogram)
 }

@@ -1,0 +1,173 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.{Q, QueryModule}
+import graft.util.Tables._
+
+/** Event-stream analytics: EWMA smoothing, time-grid gap fill (LOCF),
+  * and z-score anomaly flags (funnel + cohort retention live in
+  * AnalyticsQueries).
+  *
+  * The reference delegates its analytics surface to a Power BI iframe
+  * (reference `static/report.html:2`; SURVEY.md §2.5) — these are the
+  * event-product analyses such a dashboard runs, re-expressed as
+  * declarative Spark plans so Catalyst sees every filter and join.
+  *
+  * Scale notes (100 TB): every query aggregates per user / per
+  * (user, hour) FIRST — one hash shuffle keyed on the natural
+  * partition key — and only then works on the (much smaller)
+  * aggregate. Nothing here sorts the raw event stream globally; the
+  * only windows are partitioned per user (bounded key) or run on
+  * already-aggregated rows.
+  */
+object EventQueries extends QueryModule {
+
+  /** Exponentially weighted moving average (α = 1/2) of each user's
+    * event values, bounded to the last 8 observations so the window is
+    * a fixed-size frame, not unbounded recursion — the form that runs
+    * on a per-user window exchange at any scale. Weights are exact
+    * binary fractions and the numerator/denominator are summed in a
+    * fixed textual order, so both engines do the identical IEEE
+    * double arithmetic.
+    */
+  val ewma = Q(
+    "q_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wts = (1 to 7).map(i => math.pow(0.5, i))
+      val num = wts.zipWithIndex.foldLeft(col("value") * lit(1.0)) {
+        case (acc, (wt, i)) =>
+          acc + coalesce(lag(col("value"), i + 1).over(w) * lit(wt), lit(0.0))
+      }
+      val den = wts.zipWithIndex.foldLeft(lit(1.0)) {
+        case (acc, (wt, i)) =>
+          acc + when(lag(col("value"), i + 1).over(w).isNotNull, lit(wt))
+            .otherwise(lit(0.0))
+      }
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(num / den, 6).as("ewma_r"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             round((value * 1.0
+                    + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
+                    + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
+                    + coalesce(lag(value, 3) OVER w * 0.125, 0.0)
+                    + coalesce(lag(value, 4) OVER w * 0.0625, 0.0)
+                    + coalesce(lag(value, 5) OVER w * 0.03125, 0.0)
+                    + coalesce(lag(value, 6) OVER w * 0.015625, 0.0)
+                    + coalesce(lag(value, 7) OVER w * 0.0078125, 0.0))
+                   /
+                   (1.0
+                    + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+                    + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                    + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                    + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                    + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
+                   6) AS ewma_r
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""")
+  )
+
+  /** Hourly time-grid gap fill with last-observation-carried-forward:
+    * per user, build the dense hour spine between that user's first
+    * and last active hour, left-join the per-hour latest value
+    * (latest = max event_id in the hour — a unique, deterministic
+    * tiebreak), and LOCF-fill the holes with an ignore-nulls running
+    * last. The spine is generated FROM the per-user bounds aggregate
+    * (`sequence` explode is map-side), so nothing scans or shuffles
+    * the raw stream more than once.
+    */
+  val gapFill = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val spine = hourly
+        .groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .select(
+          col("user_id"), unix_millis(col("h")).as("h_ms"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+          when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
+        .orderBy(col("user_id"), col("h_ms"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               arg_max(value, event_id) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds),
+      j AS (
+        SELECT s.user_id, s.h, hourly.v
+        FROM spine s
+        LEFT JOIN hourly ON hourly.user_id = s.user_id AND hourly.h = s.h)
+      SELECT user_id, CAST(epoch_ms(h) AS BIGINT) AS h_ms,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+             CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      FROM j ORDER BY user_id, h_ms""")
+  )
+
+  /** Z-score anomaly flags: per-event-type mean/σ from DECIMAL-exact
+    * power sums (the q_moments idiom — order-independent partial
+    * aggregation), broadcast back onto the stream, and keep |z| > 2.
+    * The filter tests the ROUNDED z so the cut line is bit-identical
+    * in both engines. Stats side is one tiny row per event type →
+    * broadcast join, the stream never shuffles.
+    */
+  val anomaly = Q(
+    "q_anomaly",
+    (s, dir) => {
+      val x = col("value").cast(DecimalType(18, 2))
+      val stats = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"))
+      events(s, dir)
+        .join(broadcast(stats), Seq("event_type"))
+        .selectExpr(
+          "event_id", "event_type", "value",
+          "round((value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)), 6) AS z_r")
+        .filter(abs(col("z_r")) > lit(2.0))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS s1,
+               CAST(sum(x*x) AS DOUBLE) AS s2
+        FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x FROM events)
+        GROUP BY 1),
+      z AS (
+        SELECT event_id, e.event_type AS event_type, value,
+               round((value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)), 6) AS z_r
+        FROM events e JOIN stats ON e.event_type = stats.event_type)
+      SELECT * FROM z WHERE abs(z_r) > 2.0 ORDER BY event_id""")
+  )
+
+  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly)
+}

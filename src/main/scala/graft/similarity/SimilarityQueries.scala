@@ -461,25 +461,27 @@ object SimilarityQueries extends QueryModule {
     * reduces each partition to one 16-int state per doc, so shuffle
     * volume is O(docs), independent of token count.
     */
-  val simhash = Q(
-    "q_simhash",
-    (s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType))
-      val voteCols = (0 to 15).map(b =>
-        sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b"))
-      tok
-        .groupBy(col("doc_id"))
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(
-          col("doc_id"),
-          (0 to 15).map(b => when(col(s"v$b") >= 0, lit(1 << b)).otherwise(lit(0)))
-            .reduce(_ + _).cast(LongType).as("simhash"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH tok AS (
+  /** The 16-bit signature frame (doc_id, simhash) — shared by
+    * q_simhash and q_simhash_pairs. */
+  private def simhashDigest(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType))
+    val voteCols = (0 to 15).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b"))
+    tok
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 to 15).map(b => when(col(s"v$b") >= 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast(LongType).as("simhash"))
+  }
+
+  /** The matching oracle CTEs (text shared by both simhash queries):
+    * yields `sh(doc_id, simhash)`. */
+  private val simhashSqlCtes = """tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
         FROM documents),
       th AS (
@@ -489,10 +491,69 @@ object SimilarityQueries extends QueryModule {
         SELECT doc_id, CAST(t.range AS INTEGER) AS b,
                sum(CASE WHEN (h >> CAST(t.range AS INTEGER)) % 2 = 1
                         THEN 1 ELSE -1 END) AS v
-        FROM th, range(16) t GROUP BY 1, 2)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN v >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-      FROM votes GROUP BY doc_id ORDER BY doc_id""")
+        FROM th, range(16) t GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)"""
+
+  val simhash = Q(
+    "q_simhash",
+    (s, dir) => simhashDigest(s, dir).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $simhashSqlCtes
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id""")
+  )
+
+  /** SimHash Hamming-radius dedup — the retrieval side of the
+    * signature: all pairs within Hamming distance ≤ 3, found WITHOUT
+    * an all-pairs scan. Pigeonhole banding: split the 16 bits into 4
+    * bands of 4; any pair differing in ≤3 bits agrees on ≥1 whole
+    * band, so the equi-join on (band, band_value) is a complete
+    * candidate generator (no recall loss, unlike probabilistic LSH),
+    * and candidates are verified with an exact popcount on the XOR.
+    * Shuffle volume is O(docs·bands); in-bucket fan-out is bounded by
+    * band-value collisions, never the corpus square.
+    */
+  val simhashPairs = Q(
+    "q_simhash_pairs",
+    (s, dir) => {
+      // The signature frame is doc-count-sized and feeds BOTH sides of
+      // the band self-join — checkpoint so the token explode + 16-vote
+      // aggregation runs once, not once per join side.
+      val sh = simhashDigest(s, dir).localCheckpoint(true)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 to 3).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))): _*))
+          .as("bd"))
+        .select(col("doc_id"), col("simhash"),
+          col("bd.band").as("band"), col("bd.bv").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $simhashSqlCtes,
+      bands AS (
+        SELECT doc_id, simhash, CAST(t.range AS INTEGER) AS band,
+               (simhash >> (CAST(t.range AS INTEGER) * 4)) & 15 AS bv
+        FROM sh, range(4) t),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.simhash AS ha, y.simhash AS hb
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY doc_a, doc_b""")
   )
 
   /** Deterministic pseudo-random hyperplane weights for sign-LSH:
@@ -1070,7 +1131,8 @@ object SimilarityQueries extends QueryModule {
   )
 
   override def all: Seq[Q] =
-    Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, annLsh, annLshShuffle,
+    Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, simhashPairs,
+      annLsh, annLshShuffle,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       embedQuant)
 }

@@ -74,4 +74,37 @@ object EventStream {
         col("value"),
         coalesce(col("weight"), lit(0.0)).as("weight"),
         (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted"))
+
+  /** Stream-STREAM interval join — the correlation stage two live
+    * feeds need (impression ⋈ conversion, request ⋈ response): match
+    * each click to the same user's most recent view within 10 minutes.
+    * Both sides are watermarked and the join condition carries an
+    * EVENT-TIME RANGE, which is what lets Spark evict buffered rows:
+    * state per side is bounded by rate × (watermark + interval), not
+    * by stream length. An equi-join on user_id alone (no time bound)
+    * would be rejected for exactly that reason in append mode.
+    *
+    * Scale shape: state keys on user_id — the same bounded-key
+    * argument as the batch as-of join (q_asof_join); the interval
+    * filter runs inside the join, so nothing buffers past the horizon.
+    */
+  def clickAfterView(spark: SparkSession, viewDir: String, clickDir: String): DataFrame = {
+    def src(d: String, side: String): DataFrame =
+      spark.readStream.schema(eventSchema).json(d)
+        .select(
+          col("event_id").as(s"${side}_id"),
+          col("user_id").as(s"${side}_user"),
+          col("ts").as(s"${side}_ts"),
+          col("value").as(s"${side}_value"))
+        .withWatermark(s"${side}_ts", "2 minutes")
+    src(viewDir, "v").join(
+      src(clickDir, "c"),
+      expr("""v_user = c_user AND
+              c_ts >= v_ts AND
+              c_ts <= v_ts + interval 10 minutes"""))
+      .select(col("c_id"), col("v_id"), col("c_user").as("user_id"),
+        col("v_ts"), col("c_ts"),
+        (col("c_ts").cast("double") - col("v_ts").cast("double"))
+          .as("lag_sec"))
+  }
 }

@@ -1191,9 +1191,124 @@ object TextQueries extends QueryModule {
       FROM d GROUP BY source, rate ORDER BY source""")
   )
 
+  /** fastText-shaped linear quality classifier: hashed bag-of-words
+    * features with a fixed (hash-derived, deterministic) weight table,
+    * mean-pooled into a per-document score — the CCNet/fastText "keep
+    * or drop" gate as pure dataflow. Per-token weights are INTEGERS in
+    * [-1000, 1000] (md5-hash mod), so the pooled sum is an exact
+    * BIGINT — order-independent at any parallelism — and only the
+    * final mean touches doubles. The mean itself is rounded to 3 dp in
+    * PURE INTEGER arithmetic — half-up = ⌊(2s+n)/(2n)⌋, where the
+    * intermediate double quotient is a ratio of exactly-representable
+    * integers whose distance from the nearest integer is ≥ 1/(2n) ≫
+    * one ulp — so no engine-specific decimal `round` semantics ever
+    * touch a midpoint (the 6-dp `round(double)` idiom lost a row to
+    * exactly that on this dataset). The keep/drop label cuts on the
+    * same integer. Shape: token explode is map-side; ONE hash
+    * aggregation per doc. (A trained model would broadcast its real
+    * weight table in place of the hash — identical plan, different
+    * dimension table.)
+    */
+  val qualityClf = Q(
+    "q_quality_clf",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
+        .select(col("doc_id"), lower(col("w0")).as("w"))
+      tok
+        .withColumn("wt",
+          (conv(substring(md5(col("w")), 1, 6), 16, 10)
+            .cast(org.apache.spark.sql.types.IntegerType) % 2001 - 1000)
+            .cast(LongType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("s"))
+        .withColumn("score_milli",
+          floor((col("s") * 2 + col("n_tokens")) / (col("n_tokens") * 2)))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("score_milli").cast("double") / lit(1000.0)).as("score_r"),
+          when(col("score_milli") > 0, lit(1L)).otherwise(lit(0L)).as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok0 AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w0
+        FROM documents),
+      tok AS (SELECT doc_id, lower(w0) AS w FROM tok0),
+      wt AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(md5(w), 1, 6) AS INTEGER) % 2001
+                    - 1000 AS BIGINT) AS wt
+        FROM tok),
+      a AS (
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS s
+        FROM wt GROUP BY 1),
+      sc AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((s * 2 + n_tokens) / (n_tokens * 2)) AS BIGINT)
+                 AS score_milli
+        FROM a)
+      SELECT doc_id, n_tokens,
+             CAST(score_milli AS DOUBLE) / CAST(1000 AS DOUBLE) AS score_r,
+             CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+      FROM sc ORDER BY doc_id""")
+  )
+
+  /** PMI collocations — the corpus-statistics op behind phrase mining
+    * and tokenizer-merge candidates: pointwise mutual information of
+    * adjacent word pairs, ln((c_xy/N₂)/((c_x/N₁)(c_y/N₁))), support
+    * ≥ 5, top-25. Reuses the shared [[ngrams]] extraction (n=2) so
+    * bigrams can never drift from the other n-gram ops. All counts
+    * aggregate before any join — the joins carry vocabulary-sized
+    * frames, and the two scalar totals ride along as broadcast rows.
+    * PMI arithmetic is a fixed textual order of double ops + 6-dp
+    * round (transcendental values can't sit on round midpoints, unlike
+    * rational scores — see qualityClf).
+    */
+  val colloc = Q(
+    "q_colloc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bi = ngrams(docs, 2).select(col("g"))
+      val bc = bi.groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("x", split(col("g"), " ").getItem(0))
+        .withColumn("y", split(col("g"), " ").getItem(1))
+      val tok = docs.select(explode(toks(col("text"))).as("w"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nb = bi.groupBy().agg(count(lit(1)).as("n_bi"))
+      val nu = tok.groupBy().agg(count(lit(1)).as("n_uni"))
+      val ux = uni.select(col("w").as("x"), col("c").as("c_x"))
+      val uy = uni.select(col("w").as("y"), col("c").as("c_y"))
+      bc.join(ux, Seq("x")).join(uy, Seq("y"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("g"), col("c_xy"),
+          round(log((col("c_xy") * lit(1.0) * col("n_uni") * col("n_uni"))
+            / (col("n_bi") * lit(1.0) * col("c_x") * col("c_y"))), 6)
+            .as("pmi_r"))
+        .orderBy(col("pmi_r").desc, col("g"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH ${ngramSql(2)},
+      bc0 AS (SELECT g, count(*) AS c_xy FROM g1 GROUP BY g),
+      bc AS (
+        SELECT g, c_xy,
+               string_split(g, ' ')[1] AS x, string_split(g, ' ')[2] AS y
+        FROM bc0 WHERE c_xy >= 5),
+      uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      nb AS (SELECT count(*) AS n_bi FROM g1),
+      nu AS (SELECT count(*) AS n_uni FROM tok)
+      SELECT g, CAST(c_xy AS BIGINT) AS c_xy,
+             round(ln((c_xy * CAST(1 AS DOUBLE) * n_uni * n_uni)
+                      / (n_bi * CAST(1 AS DOUBLE) * cx.c * cy.c)), 6) AS pmi_r
+      FROM bc JOIN uni cx ON bc.x = cx.w JOIN uni cy ON bc.y = cy.w
+      CROSS JOIN nb CROSS JOIN nu
+      ORDER BY pmi_r DESC, g LIMIT 25""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
-      tfidf, mixSample, bpeTrain, entropy, chunk, winnow)
+      tfidf, mixSample, bpeTrain, entropy, chunk, winnow, qualityClf, colloc)
 }

@@ -88,9 +88,22 @@ class PlanContractSpec extends AnyFunSuite {
     "q_chunk" -> 1,            // pure map-side chunking + final sort
     "q_winnow" -> 2,           // per-doc sliding-min window + per-doc agg rides it + sort
     "q_window_stats" -> 2,     // ONE window exchange serves all 4 functions + sort
-    "q_bpe_train" -> 14)       // 3 chained vocab-sized merge iterations; every exchange
+    "q_bpe_train" -> 14,       // 3 chained vocab-sized merge iterations; every exchange
                                // after the word-count agg carries vocab rows, not corpus;
                                // duplicated subplans reuse exchanges at runtime
+    "q_ewma" -> 2,             // ONE per-user window exchange serves all 8 lags + sort
+    "q_anomaly" -> 2,          // stats agg (broadcast back onto stream) + final sort
+    "q_gap_fill" -> 3,         // (user,h) agg + per-user bounds/window + final sort;
+                               // spine explode is map-side off the bounds aggregate
+    "q_histogram" -> 2,        // map-side bucket projection + ONE hash agg + sort
+    "q_quality_clf" -> 2,      // map-side hash features + ONE per-doc agg + sort
+    "q_simhash_pairs" -> 2,    // checkpointed signatures + band equi-join + distinct;
+                               // TakeOrdered final (no sort exchange)
+    "q_pagerank" -> 1,         // final segment only: checkpoint-truncated iterations
+                               // (each round is one join + one agg, materialized), the
+                               // visible plan is just TakeOrdered over the last state
+    "q_colloc" -> 5)           // bigram agg + unigram agg + 2 scalar totals + vocab
+                               // joins; TakeOrdered final (no sort exchange)
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

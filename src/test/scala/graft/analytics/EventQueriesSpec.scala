@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantic invariants of the event-series operators, beyond the
+  * DuckDB hash compare: EWMA frame semantics at partition starts,
+  * LOCF fill completeness, and z-score cut symmetry.
+  */
+class EventQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("q_ewma: a user's first event smooths to exactly its own value") {
+    val ewma = EventQueries.ewma.run(spark, dir)
+    val firsts = graft.util.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("event_id"))
+    val rows = ewma.join(firsts, Seq("user_id", "event_id"))
+      .select(col("value"), col("ewma_r"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, e) =>
+      assert(e == BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, s"first-event ewma $e != round(value) for value $v")
+    }
+  }
+
+  test("q_ewma: smoothed value lies within the frame's min/max (convexity)") {
+    // Weights are positive and renormalized over present lags, so the
+    // EWMA is a convex combination of the last ≤8 values.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, 0)
+    val frame = graft.util.Tables.events(spark, dir)
+      .select(col("event_id"),
+        min(col("value")).over(w).as("lo"),
+        max(col("value")).over(w).as("hi"))
+    val bad = EventQueries.ewma.run(spark, dir)
+      .join(frame, Seq("event_id"))
+      .filter(col("ewma_r") < col("lo") - 1e-6 ||
+        col("ewma_r") > col("hi") + 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("q_gap_fill: fill is complete, first row per user is an observation") {
+    val out = EventQueries.gapFill.run(spark, dir).cache()
+    try {
+      assert(out.filter(col("v_fill").isNull).count() == 0,
+        "LOCF left a null after the first observation")
+      val firstRows = out.groupBy(col("user_id"))
+        .agg(min_by(col("is_gap"), col("h_ms")).as("first_gap"))
+        .filter(col("first_gap") =!= 0)
+      assert(firstRows.count() == 0, "a user's spine starts on a gap hour")
+      // spine density: per user, rows == (h1-h0)/3600000 + 1
+      val dense = out.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("rows"),
+          ((max(col("h_ms")) - min(col("h_ms"))) / 3600000 + 1).as("want"))
+        .filter(col("rows") =!= col("want"))
+      assert(dense.count() == 0, "hour spine has holes or duplicates")
+    } finally out.unpersist()
+  }
+
+  test("q_gap_fill: an observed hour carries that hour's own value") {
+    val observed = EventQueries.gapFill.run(spark, dir)
+      .filter(col("is_gap") === 0)
+    val hourly = graft.util.Tables.events(spark, dir)
+      .withColumn("h_ms", unix_millis(date_trunc("hour", col("ts"))))
+      .groupBy(col("user_id"), col("h_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val mismatched = observed.join(hourly, Seq("user_id", "h_ms"))
+      .filter(col("v_fill") =!= col("v"))
+    assert(mismatched.count() == 0)
+    assert(observed.count() == hourly.count())
+  }
+
+  test("q_anomaly: every flagged row is beyond 2 sigma and flags are rare") {
+    // The value distribution is bounded below (≥0), so only the upper
+    // tail can clear 2σ — don't assert a left tail that can't exist.
+    val out = EventQueries.anomaly.run(spark, dir)
+      .select(col("z_r")).as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(z => math.abs(z) > 2.0))
+    val total = graft.util.Tables.events(spark, dir).count()
+    assert(out.length < total / 10, "more than 10% of events flagged")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** PageRank invariants beyond the DuckDB hash compare: probability-mass
+  * conservation and an independent sequential JVM replica (same style
+  * as the k-means cross-check in SimilaritySpec).
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def roundAt(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_pagerank: top-25 matches a sequential in-memory replica") {
+    // Rebuild the undirected supplier↔part graph and iterate the same
+    // damped update with the same per-step rounding, single-threaded.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = (li ++ li.map(e => (e._2, e._1))).toSeq
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n = outdeg.size
+    var r: Map[Long, Double] = outdeg.map { case (k, _) => k -> roundAt(1.0 / n, 12) }
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        // DECIMAL-exact sum of 14-dp-rounded contributions
+        dst -> es.map(e => BigDecimal(roundAt(r(e._1) / outdeg(e._1), 14)))
+          .sum.toDouble
+      }
+      r = r.map { case (k, _) =>
+        k -> roundAt(0.15 / n + 0.85 * contribs.getOrElse(k, 0.0), 12)
+      }
+    }
+    val expect = r.toSeq.sortBy { case (k, v) => (-v, k) }.take(25)
+    val got = GraphQueries.pagerank.run(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === expect.map(_._1), "top-25 node order differs")
+    got.zip(expect).foreach { case ((_, gr), (_, er)) =>
+      assert(math.abs(gr - er) < 1e-9, s"rank $gr vs replica $er")
+    }
+  }
+
+  test("q_pagerank: ranks are valid probabilities (25 rows, each in (0,1), sum < 1)") {
+    val ranks = GraphQueries.pagerank.run(spark, dir).as[(Long, Double)].collect()
+    assert(ranks.length == 25)
+    assert(ranks.forall { case (_, v) => v > 0 && v < 1 })
+    assert(ranks.map(_._2).sum < 1.0 + 1e-9)
+  }
+}

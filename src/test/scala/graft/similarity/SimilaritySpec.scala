@@ -73,6 +73,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("q_simhash_pairs: banding loses NO pair within Hamming radius 3 (vs brute force)") {
+    // Pigeonhole completeness: compare against an all-pairs popcount
+    // over the real corpus signatures (500 docs → 125k pairs, trivial
+    // in memory, impossible at scale — which is the point of banding).
+    val dir = "/root/testdata/sf0.001"
+    val sigs = SimilarityQueries.simhash.run(spark, dir)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs
+      if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ida, idb, d.toLong)).toSet
+    val banded = SimilarityQueries.simhashPairs.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("q_simhash_pairs: planted exact duplicate pairs at Hamming 0") {
+    val pairs = SimilarityQueries.simhashPairs.run(spark, docsDir)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
   test("q_dedup_components clusters transitively and labels with the min doc_id") {
     // docs 0,1 exact copies, 2 a one-word edit of 0: the minhash pair
     // graph connects them (possibly only via 0) -> one cluster labeled

@@ -101,4 +101,30 @@ class StreamingSpec extends AnyFunSuite {
         "dim hits weighted, the unknown type kept with default 0 — not dropped")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches clicks to views within 10 minutes only") {
+    val vdir = Files.createTempDirectory("ssj_views").toString
+    val cdir = Files.createTempDirectory("ssj_clicks").toString
+    Files.write(Paths.get(vdir, "b1.json"), Seq(
+      """{"event_id":10,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":11,"ts":"2024-01-01T10:20:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":12,"ts":"2024-01-01T10:00:00.000Z","user_id":2,"event_type":"view","value":1.0}"""
+    ).mkString("\n").getBytes)
+    Files.write(Paths.get(cdir, "b1.json"), Seq(
+      """{"event_id":20,"ts":"2024-01-01T10:05:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":21,"ts":"2024-01-01T10:25:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":22,"ts":"2024-01-01T11:30:00.000Z","user_id":2,"event_type":"click","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.clickAfterView(spark, vdir, cdir)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT c_id, v_id, lag_sec FROM ssj ORDER BY c_id, v_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // click 20 matches view 10 (5 min ≤ 10); click 21 matches only
+      // view 11 (5 min — view 10 is 25 min back, outside the
+      // interval); user 2's click at +90 min matches nothing.
+      assert(rows === Array((20L, 10L, 300.0), (21L, 11L, 300.0)))
+    } finally q.stop()
+  }
 }

@@ -281,4 +281,17 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got(i.toLong) === expected(t), s"mismatch for <$t>")
     }
   }
+
+  test("q_quality_clf: label is sign(score), scores are centered, both classes occur") {
+    val rows = TextQueries.qualityClf.run(spark, "/root/testdata/sf0.001")
+      .select("score_r", "label").as[(Double, Long)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (s, l) =>
+      assert(l == (if (s > 0) 1L else 0L), s"label $l inconsistent with score $s")
+      assert(math.abs(s) <= 1.0, "mean of [-1,1] weights left the unit interval")
+    }
+    // hash weights are ~uniform on [-1000,1000]: a one-sided split
+    // would mean the hashing or pooling is broken
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L))
+  }
 }

@@ -36,7 +36,8 @@ object ScaleSmoke {
       "q_pack","q_vocab","q_embed_quant","q_ann_lsh","q_ann_ivf",
       "q_cosine_topk","q_embed_dedup",
       "q_tfidf","q_bpe_train","q_mix_sample","q_kmeans_cluster",
-      "q_semantic_dedup","q_chunk","q_winnow","q_entropy").foreach(time)
+      "q_semantic_dedup","q_chunk","q_winnow","q_entropy",
+      "q_simhash_pairs","q_quality_clf","q_colloc").foreach(time)
     spark.stop()
   }
 }

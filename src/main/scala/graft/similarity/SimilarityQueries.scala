@@ -588,17 +588,24 @@ object SimilarityQueries extends QueryModule {
     * to broadcast and the join must fall back to a shuffle hash/
     * sort-merge join on `bucket`.
     */
-  private def annPlan(
-      s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
-    val emb = normEmb(s, dir)
+  /** Sign-LSH bucket assignment over a [[normEmb]] frame — shared by
+    * the two ANN variants and the kNN-graph builder. Exact integer
+    * hyperplane dots (round(x·1e6)·w in BIGINT) so bucket membership
+    * is order-independent and oracle-identical. */
+  private def signBuckets(emb: DataFrame): DataFrame = {
     def dot(j: Int): Column = aggregate(
       zip_with(col("v"), array(planes(j).map(lit(_)): _*),
         (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
       lit(0L), (acc, x) => acc + x)
-    val bucketed = emb.withColumn(
+    emb.withColumn(
       "bucket",
       (0 until 4).map(j => when(dot(j) >= 0, lit(8 >> j)).otherwise(lit(0)))
         .reduce(_ + _))
+  }
+
+  private def annPlan(
+      s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
+    val bucketed = signBuckets(normEmb(s, dir))
     val q0 = bucketed
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -631,22 +638,28 @@ object SimilarityQueries extends QueryModule {
   /** Oracle for both ANN variants — the broadcast hint is a physical
     * choice invisible to SQL semantics, so the two Spark plans share
     * one oracle text. */
-  private val annOracleSql: String = {
+  /** Oracle twin of [[signBuckets]]: the `b(vec_id, v, nrm, bucket)`
+    * CTE, shared by the ANN oracles and the kNN-graph oracle. */
+  private lazy val signBucketSql: String = {
     def planeSql(j: Int): String = {
       val w = planes(j).mkString("[", ", ", "]")
       s"""CAST(list_sum(list_transform(list_zip(v, $w),
            z -> CAST(round(struct_extract(z, 1) * 1000000) AS BIGINT)
                 * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
     }
-    s"""
-      WITH $normEmbSql,
-      b AS (
+    s"""b AS (
         SELECT vec_id, v, nrm,
                (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END
               + CASE WHEN ${planeSql(1)} >= 0 THEN 4 ELSE 0 END
               + CASE WHEN ${planeSql(2)} >= 0 THEN 2 ELSE 0 END
               + CASE WHEN ${planeSql(3)} >= 0 THEN 1 ELSE 0 END) AS bucket
-        FROM n),
+        FROM n)"""
+  }
+
+  private val annOracleSql: String = {
+    s"""
+      WITH $normEmbSql,
+      $signBucketSql,
       q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM b WHERE vec_id < 5),
       q AS (
         SELECT q_id, qv, qnrm,
@@ -671,6 +684,55 @@ object SimilarityQueries extends QueryModule {
     "q_ann_lsh",
     (s, dir) => annPlan(s, dir, broadcastQueries = true),
     Some(annOracleSql))
+
+  /** kNN graph (k=3) over the embedding corpus — the data structure
+    * under SemDeDup-style cluster dedup, kNN-graph label propagation,
+    * and HNSW/UMAP construction. Candidates come from the shared
+    * sign-LSH buckets, so the self-join does Σ bucket² work instead of
+    * corpus² (≈1/16 of brute force here; more planes sharpen it), and
+    * each node keeps its 3 nearest in-bucket neighbours via one
+    * per-node window. Missing cross-bucket edges are the documented
+    * LSH recall trade — q_ann_lsh's multi-probe shows the fix where
+    * recall matters more than throughput.
+    */
+  val knnGraph = Q(
+    "q_knn_graph",
+    (s, dir) => {
+      // one bucket-assignment job feeds both sides of the self-join
+      val x = signBuckets(normEmb(s, dir)).localCheckpoint(true)
+      val nbrs = x.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nrm").as("nnrm"))
+      val scored = x.join(nbrs, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim",
+          expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id"), col("nbr_id"),
+          round(col("sim"), 6).as("sim_r"), col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
+    },
+    Some(s"""
+      WITH $normEmbSql,
+      $signBucketSql,
+      p AS (
+        SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+               list_sum(list_transform(list_zip(a.v, b2.v),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (a.nrm * b2.nrm) AS sim
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+      r AS (
+        SELECT vec_id, nbr_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, nbr_id) AS rn
+        FROM p)
+      SELECT vec_id, nbr_id, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 3 ORDER BY vec_id, rn""")
+  )
 
   /** Hint-free twin of q_ann_lsh for large probe batches: AQE picks the
     * join strategy, so when the query set outgrows the broadcast
@@ -1132,7 +1194,7 @@ object SimilarityQueries extends QueryModule {
 
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, simhashPairs,
-      annLsh, annLshShuffle,
+      annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       embedQuant)
 }

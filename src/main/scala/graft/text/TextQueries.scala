@@ -1306,9 +1306,76 @@ object TextQueries extends QueryModule {
       ORDER BY pmi_r DESC, g LIMIT 25""")
   )
 
+  /** Count-Min sketch (d=2 rows × w=256 buckets) — the mergeable
+    * heavy-hitter sketch every streaming/telemetry pipeline carries:
+    * per-row bucket counts are plain hash aggregations (the sketch IS
+    * a groupBy, so it merges across partitions/executors for free),
+    * and a term's estimate is the min over its d bucket counters —
+    * always ≥ the true count, exactly (one-sided error, pinned in
+    * TextOpsSpec). Unlike HLL the whole thing is deterministic
+    * integer arithmetic, so the DuckDB oracle verifies it exactly.
+    * The 512-row sketch is broadcast back onto the exact top-20 for
+    * the error report; at 100 TB the sketch size is unchanged.
+    */
+  val countMin = Q(
+    "q_countmin",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").select(explode(toks(col("text"))).as("w"))
+      def bkt(j: Int, c: Column): Column =
+        (conv(substring(md5(concat(lit(s"cm$j:"), c)), 1, 6), 16, 10)
+          .cast("int") % 256).cast(LongType)
+      val sketch = tok
+        .select(explode(array(
+          struct(lit(1).as("j"), bkt(1, col("w")).as("b")),
+          struct(lit(2).as("j"), bkt(2, col("w")).as("b")))).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("w")).limit(20)
+      val s1 = sketch.filter(col("j") === 1)
+        .select(col("b").as("b1"), col("c").as("c1"))
+      val s2 = sketch.filter(col("j") === 2)
+        .select(col("b").as("b2"), col("c").as("c2"))
+      top
+        .withColumn("b1", bkt(1, col("w")))
+        .withColumn("b2", bkt(2, col("w")))
+        .join(broadcast(s1), Seq("b1")).join(broadcast(s2), Seq("b2"))
+        .select(col("w"), col("true_c"),
+          least(col("c1"), col("c2")).as("est_c"))
+        .orderBy(col("true_c").desc, col("w"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      b AS (
+        SELECT w,
+               CAST(CAST('0x' || substring(md5('cm1:' || w), 1, 6) AS INTEGER)
+                    % 256 AS BIGINT) AS b1,
+               CAST(CAST('0x' || substring(md5('cm2:' || w), 1, 6) AS INTEGER)
+                    % 256 AS BIGINT) AS b2
+        FROM tok),
+      s1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY 1),
+      s2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY 1),
+      top AS (
+        SELECT w, count(*) AS true_c FROM tok GROUP BY 1
+        ORDER BY true_c DESC, w LIMIT 20),
+      topb AS (
+        SELECT w, true_c,
+               CAST(CAST('0x' || substring(md5('cm1:' || w), 1, 6) AS INTEGER)
+                    % 256 AS BIGINT) AS b1,
+               CAST(CAST('0x' || substring(md5('cm2:' || w), 1, 6) AS INTEGER)
+                    % 256 AS BIGINT) AS b2
+        FROM top)
+      SELECT w, true_c, least(c1, c2) AS est_c
+      FROM topb JOIN s1 USING (b1) JOIN s2 USING (b2)
+      ORDER BY true_c DESC, w""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
-      tfidf, mixSample, bpeTrain, entropy, chunk, winnow, qualityClf, colloc)
+      tfidf, mixSample, bpeTrain, entropy, chunk, winnow, qualityClf, colloc,
+      countMin)
 }

@@ -102,8 +102,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_pagerank" -> 1,         // final segment only: checkpoint-truncated iterations
                                // (each round is one join + one agg, materialized), the
                                // visible plan is just TakeOrdered over the last state
-    "q_colloc" -> 5)           // bigram agg + unigram agg + 2 scalar totals + vocab
+    "q_colloc" -> 5,           // bigram agg + unigram agg + 2 scalar totals + vocab
                                // joins; TakeOrdered final (no sort exchange)
+    "q_countmin" -> 3,         // sketch agg + exact top-20 agg + final sort; the
+                               // 512-row sketch broadcasts back, no join shuffle
+    "q_knn_graph" -> 2)        // checkpointed bucket frame; per-node window + sort
+                               // (bucket self-join is a broadcast, not an exchange)
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -65,6 +65,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("q_knn_graph: a planted duplicate is its twin's top-1 neighbour at sim 1") {
+    val dir = Files.createTempDirectory("knndocs").toString
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val ortho = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * math.cos(i * 0.3).toFloat)
+    Seq((0L, base.toSeq, 0), (1L, base.toSeq, 0), (2L, near.toSeq, 0),
+      (3L, ortho.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val g = SimilarityQueries.knnGraph.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val top0 = g.find(e => e._1 == 0L && e._4 == 1L).get
+    assert(top0._2 == 1L && top0._3 == 1.0, s"doc 0's top-1 was $top0")
+    // k caps the degree
+    assert(g.groupBy(_._1).values.forall(_.length <= 3))
+    // cosine stays in [-1, 1] (normalized frame)
+    assert(g.forall(e => e._3 >= -1.0 - 1e-9 && e._3 <= 1.0 + 1e-9))
+  }
+
   test("q_simhash: identical docs get identical signatures; unrelated docs differ") {
     val sig = SimilarityQueries.simhash.run(spark, docsDir)
       .as[(Long, Long)].collect().toMap

@@ -294,4 +294,13 @@ class TextOpsSpec extends AnyFunSuite {
     // would mean the hashing or pooling is broken
     assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L))
   }
+
+  test("q_countmin: estimates are one-sided (est >= true, every row)") {
+    val rows = TextQueries.countMin.run(spark, "/root/testdata/sf0.001")
+      .select("true_c", "est_c").as[(Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (t, e) =>
+      assert(e >= t, s"count-min UNDER-estimated: est=$e true=$t")
+    }
+  }
 }

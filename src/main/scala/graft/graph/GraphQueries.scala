@@ -103,5 +103,67 @@ object GraphQueries extends QueryModule {
       ORDER BY rank_r DESC, node LIMIT 25""")
   )
 
-  override def all: Seq[Q] = Seq(pagerank)
+  /** Triangle census + global clustering coefficient over the
+    * embedding kNN graph (graft.similarity.SimilarityQueries.knnGraph
+    * supplies the edges) — the structure metric that separates
+    * clustered corpora from noise, and the canonical "does your join
+    * strategy survive a graph workload" benchmark. The count uses the
+    * a<b<c orientation so every triangle is found exactly once via TWO
+    * equi-joins on the (deduplicated, checkpointed) undirected edge
+    * list — never an all-pairs or per-node neighborhood cross; wedges
+    * come from the degree aggregate in pure integers, so the
+    * coefficient 3·tri/wedges is the only double op (fixed order +
+    * 6 dp round).
+    */
+  val triangles = Q(
+    "q_triangles",
+    (s, dir) => {
+      val e = graft.similarity.SimilarityQueries.knnGraph.run(s, dir)
+        .select(
+          least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct()
+        .localCheckpoint(true) // both triangle joins + the degree agg reuse it
+      val nEdges = e.groupBy().agg(count(lit(1)).as("n_edges"))
+      val wedges = e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .groupBy().agg((sum(col("d") * (col("d") - 1)) / 2).cast("long")
+          .as("n_wedges"))
+      // per-role renamed projections keep the three-way self-join's
+      // keys unambiguous (all sides share the checkpointed frame's
+      // attribute ids)
+      val e1 = e.select(col("a").as("x"), col("b").as("y"))
+      val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+      val tri = e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .groupBy().agg(count(lit(1)).as("n_triangles"))
+      nEdges.crossJoin(wedges).crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6)
+            .as("clustering_r"))
+    },
+    Some(s"""
+      WITH ${graft.similarity.SimilarityQueries.knnSqlCtes},
+      ed AS (
+        SELECT DISTINCT least(vec_id, nbr_id) AS a,
+               greatest(vec_id, nbr_id) AS b
+        FROM kn),
+      ne AS (SELECT count(*) AS n_edges FROM ed),
+      deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed)
+        GROUP BY n),
+      wg AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+      tr AS (
+        SELECT count(*) AS n_triangles
+        FROM ed e1
+        JOIN ed e2 ON e1.b = e2.a
+        JOIN ed e3 ON e1.a = e3.a AND e2.b = e3.b)
+      SELECT n_edges, n_wedges, n_triangles,
+             round(n_triangles * CAST(3 AS DOUBLE) / n_wedges, 6) AS clustering_r
+      FROM ne CROSS JOIN wg CROSS JOIN tr""")
+  )
+
+  override def all: Seq[Q] = Seq(pagerank, triangles)
 }

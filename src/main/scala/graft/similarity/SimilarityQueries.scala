@@ -514,6 +514,13 @@ object SimilarityQueries extends QueryModule {
     * and candidates are verified with an exact popcount on the XOR.
     * Shuffle volume is O(docs·bands); in-bucket fan-out is bounded by
     * band-value collisions, never the corpus square.
+    *
+    * Width note (ScaleSmoke): a 16-bit signature saturates around
+    * ~10⁴ docs — random pairs collide within radius 3 at ~1%, so the
+    * TRUE pair set itself grows quadratically. At corpus scale the
+    * same plan runs with a 64/128-bit signature (more vote columns,
+    * more bands, same shapes), which keeps the collision rate flat;
+    * 16 bits is the oracle-friendly demo width.
     */
   val simhashPairs = Q(
     "q_simhash_pairs",
@@ -695,6 +702,25 @@ object SimilarityQueries extends QueryModule {
     * LSH recall trade — q_ann_lsh's multi-probe shows the fix where
     * recall matters more than throughput.
     */
+  /** Oracle CTEs for the kNN graph: yields `kn(vec_id, nbr_id, sim,
+    * rn)` with rn ≤ 3 — shared by q_knn_graph and the graph module's
+    * q_triangles. */
+  private[graft] lazy val knnSqlCtes: String = s"""$normEmbSql,
+      $signBucketSql,
+      p AS (
+        SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+               list_sum(list_transform(list_zip(a.v, b2.v),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (a.nrm * b2.nrm) AS sim
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+      r AS (
+        SELECT vec_id, nbr_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, nbr_id) AS rn
+        FROM p),
+      kn AS (SELECT vec_id, nbr_id, sim, rn FROM r WHERE rn <= 3)"""
+
   val knnGraph = Q(
     "q_knn_graph",
     (s, dir) => {
@@ -716,22 +742,9 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("vec_id"), col("rn"))
     },
     Some(s"""
-      WITH $normEmbSql,
-      $signBucketSql,
-      p AS (
-        SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
-               list_sum(list_transform(list_zip(a.v, b2.v),
-                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
-                 / (a.nrm * b2.nrm) AS sim
-        FROM b a JOIN b b2
-          ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
-      r AS (
-        SELECT vec_id, nbr_id, sim,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, nbr_id) AS rn
-        FROM p)
+      WITH $knnSqlCtes
       SELECT vec_id, nbr_id, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
-      FROM r WHERE rn <= 3 ORDER BY vec_id, rn""")
+      FROM kn ORDER BY vec_id, rn""")
   )
 
   /** Hint-free twin of q_ann_lsh for large probe batches: AQE picks the

@@ -106,8 +106,11 @@ class PlanContractSpec extends AnyFunSuite {
                                // joins; TakeOrdered final (no sort exchange)
     "q_countmin" -> 3,         // sketch agg + exact top-20 agg + final sort; the
                                // 512-row sketch broadcasts back, no join shuffle
-    "q_knn_graph" -> 2)        // checkpointed bucket frame; per-node window + sort
+    "q_knn_graph" -> 2,        // checkpointed bucket frame; per-node window + sort
                                // (bucket self-join is a broadcast, not an exchange)
+    "q_triangles" -> 8)        // checkpointed edge list; 3 census aggs (each ends in a
+                               // single-partition exchange) + 2-hop join pair — AQE
+                               // broadcasts the tiny sides at runtime
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

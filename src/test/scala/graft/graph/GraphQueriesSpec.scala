@@ -45,6 +45,27 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_triangles matches a brute-force census of the same kNN edge set") {
+    val edges = graft.similarity.SimilarityQueries.knnGraph.run(spark, dir)
+      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    // NB: iterate the neighbour set as a Seq — a for-comprehension
+    // whose inner generator is a Set would collapse the yielded marks
+    // and undercount edges that close more than one triangle
+    val tris = (for {
+      (a, b) <- edges.toSeq
+      c <- adj(a).toSeq if c > b && adj(b).contains(c)
+    } yield 1).size.toLong
+    val row = GraphQueries.triangles.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row._1 == edges.size.toLong, "edge count")
+    assert(row._2 == wedges, "wedge count")
+    assert(row._3 == tris, "triangle count")
+  }
+
   test("q_pagerank: ranks are valid probabilities (25 rows, each in (0,1), sum < 1)") {
     val ranks = GraphQueries.pagerank.run(spark, dir).as[(Long, Double)].collect()
     assert(ranks.length == 25)

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1326,11 +1327,130 @@ object AnalyticsQueries extends QueryModule {
       FROM orders GROUP BY 1 ORDER BY bucket""")
   )
 
+  /** RFM segmentation (recency / frequency / monetary quartiles) —
+    * the classic customer-scoring pipeline. Deliberately NOT built on
+    * a global ntile: an unpartitioned ranking window funnels every
+    * customer through one task. Instead the three quartile cut points
+    * come from ONE percentile aggregate (distributed, mergeable) and
+    * broadcast back, so bucketing is a map-side CASE at any scale —
+    * the same cutoff-vs-rank trade q_approx_percentile documents.
+    * Recency anchors on a fixed literal date so results are stable.
+    */
+  val rfm = Q(
+    "q_rfm",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          datediff(lit("1998-08-02").cast("date"), to_date(max(col("o_orderdate"))))
+            .cast(LongType).as("recency"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice"), 2).as("monetary"))
+      val cuts = per.groupBy().agg(
+        expr("percentile(recency, array(0.25D, 0.5D, 0.75D))").as("rc"),
+        expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fc"),
+        expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mc"))
+      def bucket(c: Column, cut: Column): Column =
+        (lit(1)
+          + when(c > element_at(cut, 1), 1).otherwise(0)
+          + when(c > element_at(cut, 2), 1).otherwise(0)
+          + when(c > element_at(cut, 3), 1).otherwise(0)).cast(LongType)
+      per.crossJoin(broadcast(cuts))
+        .select(col("o_custkey").as("custkey"),
+          col("recency"), col("frequency"), col("monetary"),
+          bucket(col("recency"), col("rc")).as("r_q"),
+          bucket(col("frequency"), col("fc")).as("f_q"),
+          bucket(col("monetary"), col("mc")).as("m_q"))
+        .withColumn("segment",
+          concat_ws("-", col("r_q"), col("f_q"), col("m_q")))
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              DATE '1998-08-02') AS BIGINT) AS recency,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1),
+      cuts AS (
+        SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rc,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        FROM per),
+      b AS (
+        SELECT custkey, recency, frequency, monetary,
+               CAST(1 + CASE WHEN recency > rc[1] THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rc[2] THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rc[3] THEN 1 ELSE 0 END AS BIGINT) AS r_q,
+               CAST(1 + CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END
+                      + CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END
+                      + CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END AS BIGINT) AS f_q,
+               CAST(1 + CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END
+                      + CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END
+                      + CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END AS BIGINT) AS m_q
+        FROM per CROSS JOIN cuts)
+      SELECT custkey, recency, frequency, monetary, r_q, f_q, m_q,
+             concat_ws('-', r_q, f_q, m_q) AS segment
+      FROM b ORDER BY custkey""")
+  )
+
+  /** Market-basket association (support + lift) — co-occurrence
+    * mining over order contents. The pair generation is a self-join
+    * keyed on the ORDER, so the blow-up is Σ items-per-basket², never
+    * catalog²; item and basket counts aggregate before any join, and
+    * the two dimension joins carry catalog-sized frames. Support ≥ 3
+    * prunes the pair tail BEFORE the dimension joins. Lift =
+    * P(xy)/(P(x)P(y)) in a fixed textual order + 6 dp round.
+    */
+  val basket = Q(
+    "q_basket",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val n = items.select(col("ok")).distinct()
+        .groupBy().agg(count(lit(1)).as("n_orders"))
+      val ic = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.select(col("ok"), col("p").as("x"))
+        .join(items.select(col("ok"), col("p").as("y")), Seq("ok"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 3)
+      pairs
+        .join(ic.select(col("p").as("x"), col("n_p").as("n_x")), Seq("x"))
+        .join(ic.select(col("p").as("y"), col("n_p").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+          round(col("n_xy") * lit(1.0) * col("n_orders")
+            / (col("n_x") * lit(1.0) * col("n_y")), 6).as("lift_r"))
+        .orderBy(col("lift_r").desc, col("x"), col("y"))
+        .limit(25)
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+      ic AS (SELECT p, count(*) AS n_p FROM items GROUP BY p),
+      pairs AS (
+        SELECT a.p AS x, b.p AS y, count(*) AS n_xy
+        FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT x, y, n_xy, cx.n_p AS n_x, cy.n_p AS n_y,
+             round(n_xy * CAST(1 AS DOUBLE) * n_orders
+                   / (cx.n_p * CAST(1 AS DOUBLE) * cy.n_p), 6) AS lift_r
+      FROM pairs
+      JOIN ic cx ON pairs.x = cx.p
+      JOIN ic cy ON pairs.y = cy.p
+      CROSS JOIN n
+      ORDER BY lift_r DESC, x, y LIMIT 25""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
-    scd2, joinShj, moments, zorder, funnel, retention, histogram)
+    scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket)
 }

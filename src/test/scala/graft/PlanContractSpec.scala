@@ -108,9 +108,14 @@ class PlanContractSpec extends AnyFunSuite {
                                // 512-row sketch broadcasts back, no join shuffle
     "q_knn_graph" -> 2,        // checkpointed bucket frame; per-node window + sort
                                // (bucket self-join is a broadcast, not an exchange)
-    "q_triangles" -> 8)        // checkpointed edge list; 3 census aggs (each ends in a
+    "q_triangles" -> 8,        // checkpointed edge list; 3 census aggs (each ends in a
                                // single-partition exchange) + 2-hop join pair — AQE
                                // broadcasts the tiny sides at runtime
+    "q_rfm" -> 4,              // per-customer agg + ONE percentile-cutoff agg
+                               // (broadcast back, map-side CASE buckets) + sort;
+                               // NO global ntile window
+    "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
+                               // + catalog-sized dim joins; TakeOrdered final
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -120,5 +120,38 @@ object CoreQueries extends QueryModule {
     },
     Some(Q3Text))
 
-  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3)
+  /** TPC-H Q5-shaped (local-supplier revenue) — the 6-table join that
+    * exercises Catalyst's join ORDERING breadth: two independent join
+    * conditions on supplier (line item's supplier AND the customer's
+    * nation) mean the optimizer must pick among genuinely different
+    * trees; the region/nation dims broadcast, the three fact joins
+    * hash-partition on their keys, and both date bounds push to the
+    * orders scan. Same SQL-text-as-oracle contract as q_sql_q3.
+    */
+  private val Q5Text = """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
+
+  val sqlQ5 = Q(
+    "q_sql_q5",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q5Text)
+    },
+    Some(Q5Text))
+
+  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5)
 }

@@ -169,5 +169,49 @@ object EventQueries extends QueryModule {
       SELECT * FROM z WHERE abs(z_r) > 2.0 ORDER BY event_id""")
   )
 
-  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly)
+  /** Last-touch attribution — every purchase credits the same user's
+    * most recent view, if one happened within the 7-day lookback.
+    * The "most recent preceding view" is a running conditional max
+    * over ONE per-user window (timestamps increase along the frame,
+    * so max(view ts so far) IS the last view) — no join at all, which
+    * is the cheapest as-of shape when both sides live in the same
+    * stream. Micros-integer timestamps keep the window arithmetic and
+    * the 7-day cut in exact integers.
+    */
+  val attribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("view_us",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"), col("view_us"),
+          when(col("view_us").isNotNull &&
+            col("us") - col("view_us") <= lit(604800000000L), 1L)
+            .otherwise(0L).as("attributed"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      a AS (
+        SELECT event_id, user_id, event_type, us,
+               max(CASE WHEN event_type = 'view' THEN us END) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us
+        FROM e)
+      SELECT event_id, user_id, us AS purchase_us, view_us,
+             CAST(CASE WHEN view_us IS NOT NULL
+                        AND us - view_us <= 604800000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS attributed
+      FROM a WHERE event_type = 'purchase' ORDER BY event_id""")
+  )
+
+  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly, attribution)
 }

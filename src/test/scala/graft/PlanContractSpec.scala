@@ -114,6 +114,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q_rfm" -> 4,              // per-customer agg + ONE percentile-cutoff agg
                                // (broadcast back, map-side CASE buckets) + sort;
                                // NO global ntile window
+    "q_sql_q5" -> 2,           // 6-table join: dims broadcast, facts co-partition;
+                               // one agg exchange + final sort
+    "q_attribution" -> 2,      // ONE per-user window (running view max) + sort;
+                               // no self-join for the as-of lookup
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

@@ -449,6 +449,64 @@ object SimilarityQueries extends QueryModule {
       FROM cc GROUP BY n ORDER BY doc_id""")
   )
 
+  /** Near-dup canonicalization — the step AFTER clustering that dedup
+    * pipelines actually ship: within each minhash-LSH connected
+    * component (q_dedup_components' clusters), keep the member with
+    * the best quality score (TextQueries.clfScores; all-integer, so
+    * the keep decision has no float boundary), tie-broken by doc_id.
+    * Composes three prior operators — pair generation, component
+    * labelling, quality scoring — as one dataflow; the per-component
+    * choice is a window over the component key (bounded: component
+    * sizes are near-dup cluster sizes), with the member census riding
+    * the same exchange.
+    */
+  val dedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      val comp = labelComponents(
+        t(s, dir, "documents").select(col("doc_id")),
+        minhashPairsPlan(s, dir).select(col("id1"), col("id2")))
+        .select(col("n").as("doc_id"), col("lbl").as("component"))
+      val scored = comp.join(
+        graft.text.TextQueries.clfScores(s, dir)
+          .select(col("doc_id"), col("score_milli")),
+        Seq("doc_id"))
+      val wOrd = Window.partitionBy(col("component"))
+        .orderBy(col("score_milli").desc, col("doc_id"))
+      val wAll = Window.partitionBy(col("component"))
+      scored
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("n_members"), col("score_milli"))
+        .orderBy(col("component"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSqlCtes,
+      sym AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      cc(n, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, c.lbl FROM cc c JOIN sym s ON s.src = c.n WHERE c.lbl < s.dst),
+      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM cc GROUP BY n),
+      ${graft.text.TextQueries.clfSqlCtes},
+      j AS (
+        SELECT component, comp.doc_id AS doc_id, score_milli
+        FROM comp JOIN sc ON comp.doc_id = sc.doc_id),
+      r AS (
+        SELECT component, doc_id, score_milli,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY score_milli DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component) AS n_members
+        FROM j)
+      SELECT component, doc_id AS keep_id,
+             CAST(n_members AS BIGINT) AS n_members, score_milli
+      FROM r WHERE rn = 1 ORDER BY component""")
+  )
+
   /** SimHash — 16-bit signature: each token votes ±1 on each bit of its
     * md5-derived hash; bit b of the signature is the sign of the vote
     * sum. Integer votes → order-independent aggregation, exact at any
@@ -1209,5 +1267,5 @@ object SimilarityQueries extends QueryModule {
     Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
-      embedQuant)
+      dedupKeepBest, embedQuant)
 }

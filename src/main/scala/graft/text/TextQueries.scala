@@ -1209,44 +1209,54 @@ object TextQueries extends QueryModule {
     * weight table in place of the hash — identical plan, different
     * dimension table.)
     */
-  val qualityClf = Q(
-    "q_quality_clf",
-    (s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
-        .select(col("doc_id"), lower(col("w0")).as("w"))
-      tok
-        .withColumn("wt",
-          (conv(substring(md5(col("w")), 1, 6), 16, 10)
-            .cast(org.apache.spark.sql.types.IntegerType) % 2001 - 1000)
-            .cast(LongType))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("s"))
-        .withColumn("score_milli",
-          floor((col("s") * 2 + col("n_tokens")) / (col("n_tokens") * 2)))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("score_milli").cast("double") / lit(1000.0)).as("score_r"),
-          when(col("score_milli") > 0, lit(1L)).otherwise(lit(0L)).as("label"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH tok0 AS (
+  /** The classifier core as a frame (doc_id, n_tokens, score_milli) —
+    * shared by [[qualityClf]] and the near-dup canonicalizer
+    * (SimilarityQueries.dedupKeepBest). */
+  private[graft] def clfScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+      .withColumn("wt",
+        (conv(substring(md5(col("w")), 1, 6), 16, 10)
+          .cast(org.apache.spark.sql.types.IntegerType) % 2001 - 1000)
+          .cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("s"))
+      .withColumn("score_milli",
+        floor((col("s") * 2 + col("n_tokens")) / (col("n_tokens") * 2)))
+
+  /** Oracle twin of [[clfScores]]: CTE names are `c`-prefixed so the
+    * chain composes with the similarity module's shingle/minhash CTEs
+    * without collisions; yields `sc(doc_id, n_tokens, score_milli)`. */
+  private[graft] val clfSqlCtes: String = """ctok0 AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w0
         FROM documents),
-      tok AS (SELECT doc_id, lower(w0) AS w FROM tok0),
-      wt AS (
+      ctok AS (SELECT doc_id, lower(w0) AS w FROM ctok0),
+      cwt AS (
         SELECT doc_id,
                CAST(CAST('0x' || substring(md5(w), 1, 6) AS INTEGER) % 2001
                     - 1000 AS BIGINT) AS wt
-        FROM tok),
-      a AS (
+        FROM ctok),
+      cagg AS (
         SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS s
-        FROM wt GROUP BY 1),
+        FROM cwt GROUP BY 1),
       sc AS (
         SELECT doc_id, n_tokens,
                CAST(floor((s * 2 + n_tokens) / (n_tokens * 2)) AS BIGINT)
                  AS score_milli
-        FROM a)
+        FROM cagg)"""
+
+  val qualityClf = Q(
+    "q_quality_clf",
+    (s, dir) =>
+      clfScores(s, dir)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("score_milli").cast("double") / lit(1000.0)).as("score_r"),
+          when(col("score_milli") > 0, lit(1L)).otherwise(lit(0L)).as("label"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $clfSqlCtes
       SELECT doc_id, n_tokens,
              CAST(score_milli AS DOUBLE) / CAST(1000 AS DOUBLE) AS score_r,
              CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS label

@@ -92,6 +92,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("q_dedup_keep_best: one keeper per near-dup cluster, quality-ranked, id tiebreak") {
+    val rows = SimilarityQueries.dedupKeepBest.run(spark, docsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // docs 0,1 (exact copies) + 2 (near-dup) cluster together; 3 alone.
+    val clustered = rows.find(_._3 >= 2).get
+    assert(clustered._1 == 0L, "cluster labelled by min doc_id")
+    // identical text ⇒ identical scores for 0 and 1 ⇒ the keeper is
+    // whichever of the cluster scores best, tie-broken by doc_id — so
+    // never doc 1 (doc 0 dominates it on the tiebreak)
+    assert(clustered._2 != 1L)
+    assert(rows.exists(r => r._1 == 3L && r._2 == 3L && r._3 == 1L),
+      "singleton keeps itself")
+    // exactly one keeper per component
+    assert(rows.map(_._1).distinct.size == rows.size)
+  }
+
   test("q_simhash_pairs: banding loses NO pair within Hamming radius 3 (vs brute force)") {
     // Pigeonhole completeness: compare against an all-pairs popcount
     // over the real corpus signatures (500 docs → 125k pairs, trivial

@@ -213,5 +213,32 @@ object EventQueries extends QueryModule {
       FROM a WHERE event_type = 'purchase' ORDER BY event_id""")
   )
 
-  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly, attribution)
+  /** Rolling median — the robust-statistics twin of q_ewma: an exact
+    * percentile evaluated as a WINDOWED aggregate over the last 8
+    * observations per user (the aggregate-in-frame combination the
+    * rest of the window surface doesn't exercise). The frame is
+    * fixed-size and the partition key bounded, so state per task is
+    * 8 values regardless of stream length; interpolation parity with
+    * DuckDB's quantile_cont is the same contract q_percentile pins.
+    */
+  val rollingMedian = Q(
+    "q_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-7, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("percentile(value, 0.5D)").over(w).as("med"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS med
+      FROM events ORDER BY event_id""")
+  )
+
+  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly, attribution, rollingMedian)
 }

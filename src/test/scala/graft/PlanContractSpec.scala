@@ -118,6 +118,7 @@ class PlanContractSpec extends AnyFunSuite {
                                // one agg exchange + final sort
     "q_attribution" -> 2,      // ONE per-user window (running view max) + sort;
                                // no self-join for the as-of lookup
+    "q_rolling_median" -> 2,   // ONE per-user window (framed percentile) + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

@@ -240,5 +240,51 @@ object EventQueries extends QueryModule {
       FROM events ORDER BY event_id""")
   )
 
-  override def all: Seq[Q] = Seq(ewma, gapFill, anomaly, attribution, rollingMedian)
+  /** Event-type transition matrix (first-order Markov) — the "what do
+    * users do next" path analysis behind journey diagrams: per-user
+    * lag pairs (prev_type → type) from ONE window exchange, counted
+    * corpus-wide, with the row-conditional probability derived from
+    * integer counts only at projection time (fixed-order double
+    * division + 6 dp round). Transition cardinality is event-types²
+    * regardless of stream size, so the count aggregate is the only
+    * real shuffle.
+    */
+  val transitions = Q(
+    "q_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(totals, Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n") * lit(1.0) / col("n_from"), 6).as("p_r"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      totals AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1)
+      SELECT pairs.prev_type AS prev_type, event_type, n,
+             round(n * CAST(1 AS DOUBLE) / n_from, 6) AS p_r
+      FROM pairs JOIN totals ON pairs.prev_type = totals.prev_type
+      ORDER BY prev_type, event_type""")
+  )
+
+  override def all: Seq[Q] =
+    Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions)
 }

@@ -119,6 +119,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_attribution" -> 2,      // ONE per-user window (running view max) + sort;
                                // no self-join for the as-of lookup
     "q_rolling_median" -> 2,   // ONE per-user window (framed percentile) + sort
+    "q_transitions" -> 6,      // lag window + pair/total aggs + types²-sized join
+                               // (AQE broadcasts) + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

@@ -1238,6 +1238,31 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY p_brand ORDER BY p_brand""")
   )
 
+  /** Salted two-phase AGGREGATION, the skew tool AQE doesn't cover
+    * (adaptive skew-split only rewrites joins; a hot GROUP BY key
+    * still lands on one reducer when map-side combine can't shrink
+    * its state). `Scale.saltedCountSum` pre-aggregates by (key, salt)
+    * then finalizes by key; feeding it a DECIMAL-cast value makes
+    * both phases exact, so the result is bit-identical to the plain
+    * one-phase aggregate — which is exactly what the oracle runs.
+    */
+  val saltedAggQ = Q(
+    "q_salted_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("k"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("v"))
+      graft.util.Scale.saltedCountSum(li, "k", "v", salts = 8)
+        .select(col("k").as("l_returnflag"), col("n"),
+          col("sum_value").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1450,7 +1475,8 @@ object AnalyticsQueries extends QueryModule {
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
-    percentile, approxPercentile, windowRange, saltedJoinQ, pivotQ, argmax,
+    percentile, approxPercentile, windowRange, saltedJoinQ, saltedAggQ,
+    pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket)
 }

@@ -1038,6 +1038,19 @@ object TextQueries extends QueryModule {
     * `w${k - 1}`): adjacent symbol pairs weighted by word count, the
     * argmax pair (count DESC, pair ASC — the deterministic tiebreak),
     * and the merged word table. Twin of one [[bpeTrain]] round. */
+  /** Oracle twin of the encoder's k-th merge application over the
+    * per-document symbol frame `d{k-1}` → `d{k}` (same double-replace
+    * as [[bpeIterSql]]'s word-count update). */
+  private def bpeApplySql(k: Int): String = {
+    val pat = s"' ' || (SELECT pair FROM t$k) || ' '"
+    val rep = s"' ' || (SELECT merged FROM t$k) || ' '"
+    s"""d$k AS (
+        SELECT doc_id,
+               trim(replace(replace(' ' || sym || ' ', $pat, $rep), $pat, $rep))
+                 AS sym
+        FROM d${k - 1})"""
+  }
+
   private def bpeIterSql(k: Int): String = {
     val prev = s"w${k - 1}"
     val pat = s"' ' || (SELECT pair FROM t$k) || ' '"
@@ -1086,46 +1099,53 @@ object TextQueries extends QueryModule {
     * approximation, identical on both engines, pinned by a
     * planted-run unit test.
     */
+  /** One BPE merge application: double-replace (overlapping runs need
+    * two passes — pinned by the planted-run test) of ` pair ` with
+    * ` merged ` inside the space-padded symbol string. Shared by the
+    * trainer (over word counts) and the encoder (over documents). */
+  private def bpeReplace(symCol: Column): Column = {
+    val pat = concat(lit(" "), col("pair"), lit(" "))
+    val rep = concat(lit(" "), col("merged"), lit(" "))
+    val once = call_function("replace",
+      concat(lit(" "), symCol, lit(" ")), pat, rep)
+    trim(call_function("replace", once, pat, rep))
+  }
+
+  /** The 3 trained merges, one single-row frame each (it, pair,
+    * merged, c) — shared by [[bpeTrain]] and [[bpeApply]]. */
+  private def bpeTops(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] = {
+    val syms0 = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("word"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+    def pairCounts(wc: org.apache.spark.sql.DataFrame) = {
+      val l = split(col("sym"), " ")
+      wc.select(col("cnt"),
+          explode(
+            when(size(l) >= 2,
+              transform(sequence(lit(0), size(l) - 2),
+                i => concat(element_at(l, i + 1), lit(" "), element_at(l, i + 2))))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+    }
+    def argmax(pc: org.apache.spark.sql.DataFrame, it: Int) =
+      pc.orderBy(col("c").desc, col("pair")).limit(1)
+        .select(lit(it.toLong).as("it"), col("pair"),
+          call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
+          col("c"))
+    var wc = syms0
+    (1 to 3).map { it =>
+      val top = argmax(pairCounts(wc), it)
+      wc = wc.crossJoin(broadcast(top.select(col("pair"), col("merged"))))
+        .select(bpeReplace(col("sym")).as("sym"), col("cnt"))
+      top
+    }
+  }
+
   val bpeTrain = Q(
     "q_bpe_train",
-    (s, dir) => {
-      val syms0 = t(s, dir, "documents")
-        .select(explode(toks(col("text"))).as("word"))
-        .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
-        .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
-      def pairCounts(wc: org.apache.spark.sql.DataFrame) = {
-        val l = split(col("sym"), " ")
-        wc.select(col("cnt"),
-            explode(
-              when(size(l) >= 2,
-                transform(sequence(lit(0), size(l) - 2),
-                  i => concat(element_at(l, i + 1), lit(" "), element_at(l, i + 2))))
-                .otherwise(array().cast("array<string>"))).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-      }
-      def argmax(pc: org.apache.spark.sql.DataFrame, it: Int) =
-        pc.orderBy(col("c").desc, col("pair")).limit(1)
-          .select(lit(it.toLong).as("it"), col("pair"),
-            call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
-            col("c"))
-      def applyMerge(wc: org.apache.spark.sql.DataFrame,
-          top: org.apache.spark.sql.DataFrame) = {
-        val pat = concat(lit(" "), col("pair"), lit(" "))
-        val rep = concat(lit(" "), col("merged"), lit(" "))
-        val once = call_function("replace",
-          concat(lit(" "), col("sym"), lit(" ")), pat, rep)
-        wc.crossJoin(broadcast(top.select(col("pair"), col("merged"))))
-          .select(trim(call_function("replace", once, pat, rep)).as("sym"),
-            col("cnt"))
-      }
-      var wc = syms0
-      val tops = (1 to 3).map { it =>
-        val top = argmax(pairCounts(wc), it)
-        wc = applyMerge(wc, top)
-        top
-      }
-      tops.reduce(_ unionAll _).orderBy(col("it"))
-    },
+    (s, dir) => bpeTops(s, dir).reduce(_ unionAll _).orderBy(col("it")),
     Some(s"""
       WITH tok AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -1139,6 +1159,58 @@ object TextQueries extends QueryModule {
       ${bpeIterSql(3)}
       SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
       ORDER BY it""")
+  )
+
+  /** BPE ENCODE — the apply side of [[bpeTrain]], closing the
+    * train→tokenize loop: run the 3 learned merges over every
+    * document (same double-replace, per word) and report the encoded
+    * token count next to the character count — the compression a
+    * tokenizer buys. Each merge is a single-row broadcast (the
+    * trained model IS the dimension table); the per-doc symbol frame
+    * is map-side between the tokenize explode and the final per-doc
+    * aggregate. Trained merges are checkpointed one-row frames so the
+    * training lineage runs once, not once per downstream reference.
+    */
+  val bpeApply = Q(
+    "q_bpe_apply",
+    (s, dir) => {
+      val tops = bpeTops(s, dir).map(_.localCheckpoint(true))
+      var d = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .select(col("doc_id"),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      for (top <- tops)
+        d = d.crossJoin(broadcast(top.select(col("pair"), col("merged"))))
+          .select(col("doc_id"), bpeReplace(col("sym")).as("sym"))
+      d.groupBy(col("doc_id"))
+        .agg(sum(lsize(split(col("sym"), " "))).as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+      w0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+               count(*) AS cnt
+        FROM tok GROUP BY 1),
+      ${bpeIterSql(1)},
+      ${bpeIterSql(2)},
+      ${bpeIterSql(3)},
+      d0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)),
+      ${bpeApplySql(1)},
+      ${bpeApplySql(2)},
+      ${bpeApplySql(3)}
+      SELECT doc_id,
+             CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+             count(*) AS n_words
+      FROM d3 GROUP BY doc_id ORDER BY doc_id""")
   )
 
   /** Domain-weighted mixture sampling — the static data-mix step every
@@ -1386,6 +1458,6 @@ object TextQueries extends QueryModule {
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
-      tfidf, mixSample, bpeTrain, entropy, chunk, winnow, qualityClf, colloc,
-      countMin)
+      tfidf, mixSample, bpeTrain, bpeApply, entropy, chunk, winnow,
+      qualityClf, colloc, countMin)
 }

@@ -121,6 +121,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_rolling_median" -> 2,   // ONE per-user window (framed percentile) + sort
     "q_transitions" -> 6,      // lag window + pair/total aggs + types²-sized join
                                // (AQE broadcasts) + sort
+    "q_bpe_apply" -> 2,        // merges are checkpointed 1-row broadcasts; tokenize
+                               // + 3 replaces are map-side, then per-doc agg + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

@@ -295,6 +295,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L))
   }
 
+  test("q_bpe_apply: merges strictly compress docs containing the merged pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val applied = TextQueries.bpeApply.run(spark, dir)
+      .select("doc_id", "n_bpe_tokens", "n_words")
+      .as[(Long, Long, Long)].collect()
+    assert(applied.length == 500)
+    applied.foreach { case (_, nBpe, nWords) =>
+      assert(nBpe >= nWords, "a word never encodes to fewer than 1 token")
+    }
+    // 3 corpus-level merges must shrink SOMETHING vs raw chars
+    val totalBpe = applied.map(_._2).sum
+    val totalChars = TestSpark.spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("CAST(sum(length(regexp_replace(text, '\\\\s+', ''))) AS LONG)")
+      .as[Long].collect().head
+    assert(totalBpe < totalChars, s"no compression: $totalBpe vs $totalChars chars")
+  }
+
   test("q_countmin: estimates are one-sided (est >= true, every row)") {
     val rows = TextQueries.countMin.run(spark, "/root/testdata/sf0.001")
       .select("true_c", "est_c").as[(Long, Long)].collect()

@@ -178,24 +178,39 @@ object SimilarityQueries extends QueryModule {
     * Jaccard is kept integral (10·|A∩B| >= |A∪B| ⇔ J >= 0.1) so the
     * oracle compare is exact.
     */
+  /** Per-shingle sorted doc lists — the inverted index behind the
+    * Jaccard pair expansion; shared by q_ngram_jaccard and
+    * q_minhash_est. */
+  private def shingleDocListsFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+
+  private def shingleDocLists(s: SparkSession, dir: String): DataFrame =
+    shingleDocListsFrom(shingles(s, dir))
+
+  /** Ordered candidate pairs + intersection counts from the inverted
+    * index (ONE aggregation, HOF pair expansion — no shingle
+    * self-join), plus per-doc shingle counts off the same grouping. */
+  private def shinglePairStats(grouped: DataFrame): (DataFrame, DataFrame) = {
+    val cnt = grouped
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds,
+             (x, i) -> transform(slice(ds, i + 2, size(ds)),
+                                 y -> named_struct('id1', x, 'id2', y))))"""))
+        .as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    (inter, cnt)
+  }
+
   val ngramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
-      val grouped = shingles(s, dir)
-        .groupBy(col("s"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      val cnt = grouped
-        .select(explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = grouped
-        .filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ds,
-               (x, i) -> transform(slice(ds, i + 2, size(ds)),
-                                   y -> named_struct('id1', x, 'id2', y))))"""))
-          .as("p"))
-        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
-        .agg(count(lit(1)).as("c"))
+      val (inter, cnt) = shinglePairStats(shingleDocLists(s, dir))
       inter
         .join(cnt.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
         .join(cnt.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
@@ -244,15 +259,22 @@ object SimilarityQueries extends QueryModule {
     * cross-engine (products < 2^33, far inside i64 in both Spark and
     * DuckDB), so the oracle reproduces the exact same pair set.
     */
-  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** The 8-seed signature frame (doc_id, mh0..mh7) — shared by the
+    * LSH pair generator and the estimator-accuracy report. */
+  private def minhashFrameFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until 8).map(k =>
       min((col("h") * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L))
         .as(s"mh$k"))
-    val mh = sh
-      .select(col("doc_id"),
+    sh.select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType).as("h"))
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  private def minhashFrame(s: SparkSession, dir: String): DataFrame =
+    minhashFrameFrom(shingles(s, dir))
+
+  /** LSH banding + candidate pairs over a [[minhashFrame]]. */
+  private def pairsFromMh(mh: DataFrame): DataFrame = {
     val bands = mh
       .select(
         col("doc_id"),
@@ -268,6 +290,9 @@ object SimilarityQueries extends QueryModule {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame =
+    pairsFromMh(minhashFrame(s, dir))
 
   /** Oracle twin of [[minhashPairsPlan]] as CTE bodies ending in
     * `pairs(id1, id2, n_bands)`. */
@@ -289,6 +314,69 @@ object SimilarityQueries extends QueryModule {
         FROM band a
         JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2)"""
+
+  /** MinHash estimator accuracy report — for every LSH candidate
+    * pair, the sketch's similarity estimate (agreeing seeds out of 8)
+    * next to the EXACT Jaccard evidence (intersection / union of
+    * DF-capped shingle sets). This is the calibration table a dedup
+    * operator tunes thresholds from (the countmin/HLL idea applied to
+    * similarity): every output is an INTEGER — matches, |∩|, |A∪B| —
+    * so the oracle compare is exact and no ratio ever meets a
+    * rounding boundary (1/128-grain rationals DO sit on 6-dp
+    * midpoints). Signatures come from ONE checkpointed aggregation
+    * feeding the band join and both match sides; intersections reuse
+    * the inverted-index pair expansion (no shingle self-join).
+    */
+  val minhashEst = Q(
+    "q_minhash_est",
+    (s, dir) => {
+      // ONE shingle pipeline (scan + window + DF cap), checkpointed,
+      // feeds the signatures AND the inverted index
+      val shf = shingles(s, dir).localCheckpoint(true)
+      val mh = minhashFrameFrom(shf).localCheckpoint(true)
+      val pairs = pairsFromMh(mh)
+      val a = mh.select(col("doc_id").as("id1") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"a$k")): _*)
+      val b = mh.select(col("doc_id").as("id2") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"b$k")): _*)
+      val matches = (0 until 8)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val (inter, cnt) = shinglePairStats(shingleDocListsFrom(shf))
+      pairs
+        .join(a, Seq("id1")).join(b, Seq("id2"))
+        .withColumn("n_matches", matches)
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+        .select(col("id1"), col("id2"), col("n_bands"), col("n_matches"),
+          coalesce(col("c"), lit(0L)).as("inter"),
+          (col("na") + col("nb") - coalesce(col("c"), lit(0L))).as("union_n"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      WITH $minhashPairsSqlCtes,
+      m AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_matches
+        FROM mh a JOIN mh b
+          ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      i AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      SELECT p.id1 AS id1, p.id2 AS id2, p.n_bands AS n_bands,
+             COALESCE(m.n_matches, 0) AS n_matches,
+             COALESCE(i.inter, 0) AS inter,
+             sa.n + sb.n - COALESCE(i.inter, 0) AS union_n
+      FROM pairs p
+      LEFT JOIN m ON m.id1 = p.id1 AND m.id2 = p.id2
+      LEFT JOIN i ON i.id1 = p.id1 AND i.id2 = p.id2
+      JOIN sz sa ON sa.doc_id = p.id1
+      JOIN sz sb ON sb.doc_id = p.id2
+      ORDER BY id1, id2""")
+  )
 
   val minhashLsh = Q(
     "q_minhash_lsh",
@@ -1264,7 +1352,7 @@ object SimilarityQueries extends QueryModule {
   )
 
   override def all: Seq[Q] =
-    Seq(cosineTopK, ngramJaccard, minhashLsh, simhash, simhashPairs,
+    Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, embedQuant)

@@ -123,6 +123,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // (AQE broadcasts) + sort
     "q_bpe_apply" -> 2,        // merges are checkpointed 1-row broadcasts; tokenize
                                // + 3 replaces are map-side, then per-doc agg + sort
+    "q_minhash_est" -> 8,      // ONE checkpointed shingle pipeline feeds signature
+                               // agg + inverted index; band join + match/size joins
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

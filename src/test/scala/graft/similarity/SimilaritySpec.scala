@@ -92,6 +92,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("q_minhash_est: exact duplicates estimate 8/8 with inter == union") {
+    val rows = SimilarityQueries.minhashEst.run(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (m01, i01, u01) = rows((0L, 1L))
+    assert(m01 == 8L, "identical docs must agree on every seed")
+    assert(i01 == u01, "identical docs: intersection == union")
+    // the near-dup (doc 2, one-token edit) estimates high but not
+    // necessarily perfect, and its true Jaccard is below 1
+    rows.get((0L, 2L)).foreach { case (m, i, u) =>
+      assert(m >= 4L && i < u)
+    }
+  }
+
   test("q_dedup_keep_best: one keeper per near-dup cluster, quality-ranked, id tiebreak") {
     val rows = SimilarityQueries.dedupKeepBest.run(spark, docsDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList

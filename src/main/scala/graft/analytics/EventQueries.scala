@@ -285,6 +285,48 @@ object EventQueries extends QueryModule {
       ORDER BY prev_type, event_type""")
   )
 
+  /** MAD outliers — the robust twin of [[anomaly]]: deviation from the
+    * per-type MEDIAN, scaled by the median absolute deviation, so a
+    * few extreme values can't drag the cut line the way they drag a
+    * mean/σ. Two percentile aggregates (type-sized, broadcast back)
+    * and the cut tests the ROUNDED score — same engine-parity
+    * contracts as q_anomaly and q_percentile.
+    */
+  val outlierMad = Q(
+    "q_outlier_mad",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val madAgg = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(madAgg), Seq("event_type"))
+        .withColumn("score_r", round(col("adev") / col("mad"), 6))
+        .filter(col("score_r") > lit(3.5))
+        .select(col("event_id"), col("event_type"), col("value"), col("score_r"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT event_id, e.event_type AS event_type, value,
+               abs(value - med) AS adev
+        FROM events e JOIN med ON e.event_type = med.event_type),
+      m2 AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT event_id, dev.event_type AS event_type, value,
+             round(adev / mad, 6) AS score_r
+      FROM dev JOIN m2 ON dev.event_type = m2.event_type
+      WHERE round(adev / mad, 6) > 3.5
+      ORDER BY event_id""")
+  )
+
   override def all: Seq[Q] =
-    Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions)
+    Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
+      outlierMad)
 }

@@ -125,6 +125,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // + 3 replaces are map-side, then per-doc agg + sort
     "q_minhash_est" -> 8,      // ONE checkpointed shingle pipeline feeds signature
                                // agg + inverted index; band join + match/size joins
+    "q_outlier_mad" -> 4,      // two type-sized percentile aggs broadcast back
+                               // (median, then MAD) + final sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

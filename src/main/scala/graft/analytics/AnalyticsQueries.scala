@@ -1263,6 +1263,61 @@ object AnalyticsQueries extends QueryModule {
       FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Snapshot diff — the CDC census "what changed between T1 and T2"
+    * computed in ONE scan: both snapshots are conditional aggregates
+    * over the same pass (never two scans + a self-join), the T2 bound
+    * pushes to the scan, and per-customer state classifies into
+    * new / increased / unchanged. Spend stays DECIMAL-exact through
+    * both conditional sums, so the status comparison has no float
+    * boundary.
+    */
+  val diffSnapshot = Q(
+    "q_diff_snapshot",
+    (s, dir) => {
+      val t1 = ts("1997-01-01")
+      val t2 = ts("1999-01-01")
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") < t2)
+        .groupBy(col("o_custkey"))
+        .agg(
+          dsum(when(col("o_orderdate") < t1, col("o_totalprice"))
+            .otherwise(lit(0.0)), 2).as("spend_t1"),
+          dsum(col("o_totalprice"), 2).as("spend_t2"),
+          sum(when(col("o_orderdate") < t1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("status",
+          when(col("n1") === 0, "new")
+            .when(col("spend_t2") > col("spend_t1"), "increased")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("spend_t2") - col("spend_t1"), 2).as("delta_spend"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 AS spend_t1,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS spend_t2,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1),
+      cl AS (
+        SELECT CASE WHEN n1 = 0 THEN 'new'
+                    WHEN spend_t2 > spend_t1 THEN 'increased'
+                    ELSE 'unchanged' END AS status,
+               spend_t2 - spend_t1 AS delta
+        FROM st)
+      SELECT status, count(*) AS n_customers,
+             CAST(sum(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS delta_spend
+      FROM cl GROUP BY status ORDER BY status""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1478,5 +1533,6 @@ object AnalyticsQueries extends QueryModule {
     percentile, approxPercentile, windowRange, saltedJoinQ, saltedAggQ,
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
-    scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket)
+    scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
+    diffSnapshot)
 }

@@ -326,7 +326,73 @@ object EventQueries extends QueryModule {
       ORDER BY event_id""")
   )
 
+  /** A/B readout — Welch z on the value metric: users hash-split into
+    * variants (deterministic md5 bucket, the same primitive as the
+    * samplers), then a two-sample z statistic on mean event value
+    * from DECIMAL power sums (the q_moments idiom: order-independent
+    * partials; the only doubles are the final fixed-order formula).
+    * Chosen over a two-proportion test because a saturating
+    * conversion metric (every heavy user converts) zeroes the pooled
+    * variance — a continuous metric's Welch denominator can't
+    * degenerate. Significance cuts on the ROUNDED z. One per-event
+    * pass + a 2-row variant aggregate.
+    */
+  val abtest = Q(
+    "q_abtest",
+    (s, dir) => {
+      val x = col("value").cast(DecimalType(18, 2))
+      val agg = events(s, dir)
+        .withColumn("variant",
+          conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 6), 16, 10)
+            .cast("int") % 2)
+        .groupBy(col("variant"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"))
+      val a = agg.filter(col("variant") === 0)
+        .select(col("n").as("n_a"), col("s1").as("s1_a"), col("s2").as("s2_a"))
+      val b = agg.filter(col("variant") === 1)
+        .select(col("n").as("n_b"), col("s1").as("s1_b"), col("s2").as("s2_b"))
+      val zExpr = """round(
+             (s1_a / n_a - s1_b / n_b)
+             / sqrt((s2_a / n_a - (s1_a / n_a) * (s1_a / n_a)) / n_a
+                  + (s2_b / n_b - (s1_b / n_b) * (s1_b / n_b)) / n_b), 6)"""
+      a.crossJoin(b)
+        .selectExpr(
+          "n_a", "round(s1_a / n_a, 6) AS mean_a",
+          "n_b", "round(s1_b / n_b, 6) AS mean_b",
+          s"$zExpr AS z_r",
+          s"CAST(CASE WHEN abs($zExpr) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(value AS DECIMAL(18,2)) AS x,
+               CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 6)
+                    AS INTEGER) % 2 AS variant
+        FROM events),
+      agg AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS s1,
+               CAST(sum(x*x) AS DOUBLE) AS s2
+        FROM e GROUP BY 1),
+      a AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM agg WHERE variant = 0),
+      b AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM agg WHERE variant = 1)
+      SELECT n_a, round(s1_a / n_a, 6) AS mean_a,
+             n_b, round(s1_b / n_b, 6) AS mean_b,
+             round(
+               (s1_a / n_a - s1_b / n_b)
+               / sqrt((s2_a / n_a - (s1_a / n_a) * (s1_a / n_a)) / n_a
+                    + (s2_b / n_b - (s1_b / n_b) * (s1_b / n_b)) / n_b), 6) AS z_r,
+             CAST(CASE WHEN abs(round(
+               (s1_a / n_a - s1_b / n_b)
+               / sqrt((s2_a / n_a - (s1_a / n_a) * (s1_a / n_a)) / n_a
+                    + (s2_b / n_b - (s1_b / n_b) * (s1_b / n_b)) / n_b), 6)) > 1.96
+               THEN 1 ELSE 0 END AS BIGINT) AS significant
+      FROM a CROSS JOIN b""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad)
+      outlierMad, abtest)
 }

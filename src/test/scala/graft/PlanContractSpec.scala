@@ -127,6 +127,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // agg + inverted index; band join + match/size joins
     "q_outlier_mad" -> 4,      // two type-sized percentile aggs broadcast back
                                // (median, then MAD) + final sort
+    "q_abtest" -> 2,           // ONE power-sum aggregate by variant + scalar cross
+    "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
+                               // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
                                // + catalog-sized dim joins; TakeOrdered final
 

@@ -1454,10 +1454,39 @@ object TextQueries extends QueryModule {
       ORDER BY true_c DESC, w""")
   )
 
+  /** Per-source duplication report — the data-quality dashboard tile
+    * a corpus owner watches: documents vs distinct texts vs dup rows,
+    * per source, all integers (no rate division to round). Exact-dup
+    * groups come from one (source, md5) aggregate; the per-source
+    * roll-up rides the same partitioning prefix.
+    */
+  val dupeStats = Q(
+    "q_dupe_stats",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("n") - 1).as("n_dup_rows"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, md5(text) AS h, count(*) AS n
+        FROM documents GROUP BY 1, 2)
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             count(*) AS n_unique,
+             CAST(sum(n - 1) AS BIGINT) AS n_dup_rows
+      FROM g GROUP BY source ORDER BY source""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
       tfidf, mixSample, bpeTrain, bpeApply, entropy, chunk, winnow,
-      qualityClf, colloc, countMin)
+      qualityClf, colloc, countMin, dupeStats)
 }

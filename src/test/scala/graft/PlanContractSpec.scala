@@ -142,6 +142,16 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q_topk plans WindowGroupLimit (bounded per-key heap, not sort-everything)") {
+    // The declarative rank-then-filter form earns Spark's native
+    // group-limit operator (partial + final bounded heaps) — the
+    // "let Catalyst optimize" payoff a hand-built top-k operator
+    // would merely duplicate. This pins that the rewrite keeps firing.
+    val plan = planOf("q_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_topk lost the WindowGroupLimit rewrite\n$plan")
+  }
+
   test("q_join_shj actually plans a ShuffledHashJoin (hint honored, no sort-merge)") {
     val plan = planOf("q_join_shj")
     assert(plan.contains("ShuffledHashJoin"),

@@ -37,7 +37,9 @@ object ScaleSmoke {
       "q_cosine_topk","q_embed_dedup",
       "q_tfidf","q_bpe_train","q_mix_sample","q_kmeans_cluster",
       "q_semantic_dedup","q_chunk","q_winnow","q_entropy",
-      "q_simhash_pairs","q_quality_clf","q_colloc").foreach(time)
+      "q_simhash_pairs","q_quality_clf","q_colloc",
+      "q_minhash_est","q_dedup_keep_best","q_bpe_apply","q_knn_graph",
+      "q_countmin","q_dupe_stats").foreach(time)
     spark.stop()
   }
 }

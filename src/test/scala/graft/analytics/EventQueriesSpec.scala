@@ -77,6 +77,32 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(observed.count() == hourly.count())
   }
 
+  test("q_attribution: every attributed purchase has its view at or before it, within 7 days") {
+    val rows = EventQueries.attribution.run(spark, dir)
+      .collect().map(r => (r.isNullAt(3), if (r.isNullAt(3)) 0L else r.getLong(3),
+        r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (noView, viewUs, purchaseUs, attributed) =>
+      if (attributed == 1L) {
+        assert(!noView && viewUs <= purchaseUs)
+        assert(purchaseUs - viewUs <= 604800000000L)
+      } else {
+        assert(noView || purchaseUs - viewUs > 604800000000L)
+      }
+    }
+  }
+
+  test("q_transitions: probabilities are row-stochastic per source state") {
+    val sums = EventQueries.transitions.run(spark, dir)
+      .groupBy(col("prev_type"))
+      .agg(sum(col("p_r")).as("total"))
+      .as[(String, Double)].collect()
+    assert(sums.length == 5)
+    sums.foreach { case (t, p) =>
+      assert(math.abs(p - 1.0) < 1e-4, s"$t rows sum to $p")
+    }
+  }
+
   test("q_anomaly: every flagged row is beyond 2 sigma and flags are rare") {
     // The value distribution is bounded below (≥0), so only the upper
     // tail can clear 2σ — don't assert a left tail that can't exist.

@@ -392,7 +392,58 @@ object EventQueries extends QueryModule {
       FROM a CROSS JOIN b""")
   )
 
+  /** Lag-1 autocorrelation of the hourly volume series — the
+    * seasonality probe behind anomaly baselines and capacity models.
+    * The raw stream reduces to the hourly census FIRST (one keyed
+    * aggregate); the global lag window then runs on the SERIES, whose
+    * length is bounded by the time range, not the data volume — the
+    * one place an unpartitioned window is the right call at 100 TB.
+    * Counts are integers, so every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    * is exact BIGINT arithmetic and only the final Pearson formula
+    * touches doubles (fixed order + 6 dp round, the q_corr contract).
+    */
+  val autocorr = Q(
+    "q_autocorr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val p = hourly
+        .withColumn("prev", lag(col("c"), 1).over(Window.orderBy(col("h"))))
+        .filter(col("prev").isNotNull)
+      p.agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("sx"), sum(col("prev")).as("sy"),
+          sum(col("c") * col("prev")).as("sxy"),
+          sum(col("c") * col("c")).as("sxx"),
+          sum(col("prev") * col("prev")).as("syy"))
+        .selectExpr("n",
+          """round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_r""")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT c, lag(c, 1) OVER (ORDER BY h) AS prev FROM hourly),
+      m AS (
+        SELECT count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy,
+               CAST(sum(c * prev) AS BIGINT) AS sxy,
+               CAST(sum(c * c) AS BIGINT) AS sxx,
+               CAST(sum(prev * prev) AS BIGINT) AS syy
+        FROM p WHERE prev IS NOT NULL)
+      SELECT n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_r
+      FROM m""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest)
+      outlierMad, abtest, autocorr)
 }

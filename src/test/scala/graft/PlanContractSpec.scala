@@ -128,6 +128,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q_outlier_mad" -> 4,      // two type-sized percentile aggs broadcast back
                                // (median, then MAD) + final sort
     "q_abtest" -> 2,           // ONE power-sum aggregate by variant + scalar cross
+    "q_autocorr" -> 2,         // hourly census agg + bounded-series lag window
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

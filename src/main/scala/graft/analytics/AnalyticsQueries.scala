@@ -1318,6 +1318,77 @@ object AnalyticsQueries extends QueryModule {
       FROM cl GROUP BY status ORDER BY status""")
   )
 
+  /** Share-of-total report — each nation's revenue as a fraction of
+    * the grand total. The total is a broadcast SCALAR off the same
+    * aggregate, NOT an unpartitioned window over the detail (the
+    * subtle single-task trap in most "percent of total" SQL); the
+    * share is integer-exact decimal cents divided once at projection
+    * time, rounded for the cut-proof compare.
+    */
+  val percentTotal = Q(
+    "q_percent_total",
+    (s, dir) => {
+      val byNation = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("s_acctbal").cast(DecimalType(18, 2))).as("bal"))
+      val total = byNation.groupBy()
+        .agg(sum(col("bal")).as("total"))
+      byNation.crossJoin(broadcast(total))
+        .select(col("n_name"),
+          col("bal").cast(DoubleType).as("bal"),
+          round(col("bal").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("share_r"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT n_name, sum(CAST(s_acctbal AS DECIMAL(18,2))) AS bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1),
+      t AS (SELECT sum(bal) AS total FROM b)
+      SELECT n_name, CAST(bal AS DOUBLE) AS bal,
+             round(CAST(bal AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_r
+      FROM b CROSS JOIN t ORDER BY n_name""")
+  )
+
+  /** Column-profiling census via UNPIVOT — the `stack` expression
+    * turns one wide scan into per-column quality rows (null count,
+    * distinct count) without N separate scans; the DuckDB oracle
+    * spells the same thing as a UNION ALL. This is the data-quality
+    * sweep a 100 TB ingest runs per batch, and the one relational
+    * surface (unpivot) nothing else exercised.
+    */
+  val colProfile = Q(
+    "q_col_profile",
+    (s, dir) => {
+      events(s, dir)
+        .selectExpr("""stack(3,
+            'event_type', event_type,
+            'props', props,
+            'value', CAST(value AS STRING)) AS (col_name, v)""")
+        .groupBy(col("col_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT 'event_type' AS col_name, event_type AS v FROM events
+        UNION ALL
+        SELECT 'props', props FROM events
+        UNION ALL
+        SELECT 'value', CAST(value AS VARCHAR) FROM events)
+      SELECT col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             count(DISTINCT v) AS n_distinct
+      FROM u GROUP BY col_name ORDER BY col_name""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1534,5 +1605,5 @@ object AnalyticsQueries extends QueryModule {
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
-    diffSnapshot)
+    diffSnapshot, percentTotal, colProfile)
 }

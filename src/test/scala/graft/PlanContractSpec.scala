@@ -129,6 +129,10 @@ class PlanContractSpec extends AnyFunSuite {
                                // (median, then MAD) + final sort
     "q_abtest" -> 2,           // ONE power-sum aggregate by variant + scalar cross
     "q_autocorr" -> 2,         // hourly census agg + bounded-series lag window
+    "q_percent_total" -> 4,    // nation agg + scalar total broadcast + sort;
+                               // NO unpartitioned percent-of-total window
+    "q_col_profile" -> 3,      // ONE scan unpivoted via stack + census agg
+                               // (distinct expand) + sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

@@ -103,6 +103,48 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rolling_median: a user's first event is its own median") {
+    val firsts = graft.util.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("event_id"))
+    val rows = EventQueries.rollingMedian.run(spark, dir)
+      .join(firsts, Seq("user_id", "event_id"))
+      .select(col("value"), col("med")).as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, m) => assert(m == v) }
+  }
+
+  test("q_outlier_mad: flags are a strict subset of the distribution's far tail") {
+    val flagged = EventQueries.outlierMad.run(spark, dir).cache()
+    try {
+      val scores = flagged.select(col("score_r")).as[Double].collect()
+      assert(scores.forall(_ > 3.5))
+      val total = graft.util.Tables.events(spark, dir).count()
+      assert(scores.length < total / 4, "MAD flagged too much of the stream")
+    } finally flagged.unpersist()
+  }
+
+  test("q_abtest: variant means bracket the global mean; z is finite") {
+    val row = EventQueries.abtest.run(spark, dir).collect().head
+    val (nA, mA, nB, mB, z) = (row.getLong(0), row.getDouble(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4))
+    assert(nA > 0 && nB > 0)
+    val global = graft.util.Tables.events(spark, dir)
+      .agg(avg(col("value"))).as[Double].collect().head
+    assert(math.min(mA, mB) <= global && global <= math.max(mA, mB))
+    assert(!z.isNaN && !z.isInfinite)
+    // a random hash split of the same distribution shouldn't "win"
+    assert(math.abs(z) < 10, s"implausible z $z for an A/A-style split")
+  }
+
+  test("q_autocorr: coefficient is a valid correlation in [-1, 1]") {
+    val (n, r) = EventQueries.autocorr.run(spark, dir)
+      .as[(Long, Double)].collect().head
+    assert(n > 100, "hourly series long enough to be meaningful")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
   test("q_anomaly: every flagged row is beyond 2 sigma and flags are rare") {
     // The value distribution is bounded below (≥0), so only the upper
     // tail can clear 2σ — don't assert a left tail that can't exist.

@@ -1389,6 +1389,47 @@ object AnalyticsQueries extends QueryModule {
       FROM u GROUP BY col_name ORDER BY col_name""")
   )
 
+  /** Time intelligence — monthly revenue with an exact running total
+    * and year-over-year ratio, the dashboard triple the reference's
+    * Power BI pane exists for. The stream reduces to the month series
+    * FIRST (one keyed aggregate); cumulative sum runs in DECIMAL over
+    * the bounded series (order-independent partials, exact at any
+    * parallelism) and only the YoY ratio touches doubles. Months
+    * without a year-ago partner yield NULL, preserved on both sides.
+    */
+  val timeIntel = Q(
+    "q_timeintel",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val w = Window.orderBy(col("mon"))
+      monthly.select(
+          col("mon").cast("string").as("mon"),
+          col("rev").cast(DoubleType).as("revenue"),
+          sum(col("rev"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("cum_revenue"),
+          round(col("rev").cast(DoubleType)
+            / lag(col("rev"), 12).over(w).cast(DoubleType), 6).as("yoy_r"))
+        .orderBy(col("mon"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+      SELECT CAST(mon AS VARCHAR) AS mon,
+             CAST(rev AS DOUBLE) AS revenue,
+             CAST(sum(rev) OVER (ORDER BY mon
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_revenue,
+             round(CAST(rev AS DOUBLE)
+                   / CAST(lag(rev, 12) OVER (ORDER BY mon) AS DOUBLE), 6)
+               AS yoy_r
+      FROM m ORDER BY mon""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1605,5 +1646,5 @@ object AnalyticsQueries extends QueryModule {
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
-    diffSnapshot, percentTotal, colProfile)
+    diffSnapshot, percentTotal, colProfile, timeIntel)
 }

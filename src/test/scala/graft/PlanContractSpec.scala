@@ -133,6 +133,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // NO unpartitioned percent-of-total window
     "q_col_profile" -> 3,      // ONE scan unpivoted via stack + census agg
                                // (distinct expand) + sort
+    "q_timeintel" -> 2,        // month census agg + ONE bounded-series window
+                               // (cumsum + lag12 share it) + sort rides it
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

@@ -1430,6 +1430,51 @@ object AnalyticsQueries extends QueryModule {
       FROM m ORDER BY mon""")
   )
 
+  /** 2-D skyline (Pareto frontier): parts no other part beats on BOTH
+    * cheap price and large size. Never the quadratic dominance join —
+    * the classic distributed shape: (1) per x-bucket LOCAL frontier
+    * via a running lexicographic struct-min over the (x, y)-sorted
+    * bucket (a preceding point dominates iff its (y, x) sorts
+    * strictly lower — equal points survive, strictness is exactly lex
+    * order), then (2) the same pass over the union of local frontiers
+    * (skyline-of-skylines is the skyline; survivors are frontier-
+    * sized, so the unpartitioned second window runs on a reduced
+    * set). The ORACLE is the INDEPENDENT O(n²) NOT-EXISTS dominance
+    * definition — two different algorithms must agree row-for-row,
+    * the dedup-components style of verification.
+    */
+  val skyline = Q(
+    "q_skyline",
+    (s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_partkey").as("k"), col("p_retailprice").as("x"),
+          (-col("p_size")).cast(DoubleType).as("y"))
+      def frontier(df: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+        df.withColumn("m", min(struct(col("y"), col("x")))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("m").isNull || !(col("m") < struct(col("y"), col("x"))))
+          .drop("m")
+      val local = frontier(
+        pts.withColumn("b", floor(col("x") / lit(100.0))),
+        Window.partitionBy(col("b")).orderBy(col("x"), col("y"), col("k")))
+      frontier(local, Window.orderBy(col("x"), col("y"), col("k")))
+        .select(col("k").as("p_partkey"), col("x").as("price"),
+          (-col("y")).cast(LongType).as("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT p_partkey AS k, p_retailprice AS x,
+               -CAST(p_size AS DOUBLE) AS y
+        FROM part)
+      SELECT k AS p_partkey, x AS price, CAST(-y AS BIGINT) AS p_size
+      FROM pts q
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts p
+        WHERE p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR p.y < q.y))
+      ORDER BY p_partkey""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1646,5 +1691,5 @@ object AnalyticsQueries extends QueryModule {
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
-    diffSnapshot, percentTotal, colProfile, timeIntel)
+    diffSnapshot, percentTotal, colProfile, timeIntel, skyline)
 }

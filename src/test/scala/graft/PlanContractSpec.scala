@@ -135,6 +135,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // (distinct expand) + sort
     "q_timeintel" -> 2,        // month census agg + ONE bounded-series window
                                // (cumsum + lag12 share it) + sort rides it
+    "q_skyline" -> 3,          // bucketed local-frontier window + reduced global
+                               // window + sort; never a dominance join
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

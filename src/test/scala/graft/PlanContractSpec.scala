@@ -137,6 +137,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // (cumsum + lag12 share it) + sort rides it
     "q_skyline" -> 3,          // bucketed local-frontier window + reduced global
                                // window + sort; never a dominance join
+    "q_edit_dist" -> 7,        // minhash band-join candidates + two doc-text joins
+                               // (AQE broadcasts) + sort; banded DP is map-side
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

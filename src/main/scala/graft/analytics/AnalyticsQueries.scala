@@ -1475,6 +1475,38 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY p_partkey""")
   )
 
+  /** Deterministic ordered string aggregation — each source's top-3
+    * doc ids by length, concatenated IN ORDER. Spark has no ORDER BY
+    * inside aggregates, so the portable pattern is sort_array over a
+    * (sort-key, payload) struct list, sliced then joined — vs
+    * DuckDB's native string_agg(... ORDER BY). Pins that a list
+    * aggregate can be made order-stable at any parallelism (the
+    * determinism rule every collect_list consumer must follow).
+    */
+  val groupConcat = Q(
+    "q_group_concat",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(
+          (-col("n_chars")).as("neg_len"), col("doc_id")))).as("xs"))
+        .select(col("source"),
+          concat_ws(",",
+            expr("transform(slice(xs, 1, 3), x -> CAST(x.doc_id AS STRING))"))
+            .as("top3"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT source,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top3
+      FROM r WHERE rn <= 3 GROUP BY source ORDER BY source""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1691,5 +1723,5 @@ object AnalyticsQueries extends QueryModule {
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
-    diffSnapshot, percentTotal, colProfile, timeIntel, skyline)
+    diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat)
 }

@@ -139,6 +139,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // window + sort; never a dominance join
     "q_edit_dist" -> 7,        // minhash band-join candidates + two doc-text joins
                                // (AQE broadcasts) + sort; banded DP is map-side
+    "q_group_concat" -> 2,     // ONE per-source list aggregate (sorted in the
+                               // projection, not a window) + final sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

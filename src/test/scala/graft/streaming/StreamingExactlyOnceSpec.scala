@@ -48,4 +48,31 @@ class StreamingExactlyOnceSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L),
       s"each event exactly once across the restart, got ${ids.mkString(",")}")
   }
+
+  test("maxFilesPerTrigger drains a backlog in bounded micro-batches") {
+    // Backfill discipline: pointing a new stream at a month of landed
+    // files must NOT load them as one giant batch — the trigger cap
+    // turns the backlog into bounded, checkpointed increments.
+    val in = Files.createTempDirectory("rate_in").toString
+    def line(id: Long): String =
+      s"""{"event_id":$id,"ts":"2024-01-01T00:00:0$id.000Z","user_id":1,"event_type":"click","value":1.0}"""
+    (1 to 3).foreach { i =>
+      Files.write(Paths.get(in, s"f$i.json"), line(i.toLong).getBytes)
+    }
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream
+      .schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(in)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += df.count() }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sizes.sum == 3, s"all rows drained, got $sizes")
+    assert(sizes.length == 3 && sizes.forall(_ == 1),
+      s"backlog must arrive one file per micro-batch, got $sizes")
+  }
 }

@@ -1507,6 +1507,40 @@ object AnalyticsQueries extends QueryModule {
       FROM r WHERE rn <= 3 GROUP BY source ORDER BY source""")
   )
 
+  /** Deterministic MODE per group — the most frequent order priority
+    * per status. Both engines ship a `mode()` aggregate but neither
+    * defines its tie-break, so cross-engine (and cross-run) stability
+    * requires the explicit form: count per (group, value), then
+    * rank with a declared tiebreak. The rank runs on the counted
+    * frame (groups × values), not the raw table.
+    */
+  val modeQ = Q(
+    "q_mode",
+    (s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      FROM r WHERE rn = 1 ORDER BY o_orderstatus""")
+  )
+
   /** ORDER BY + LIMIT — global top-N. Spark plans this as TakeOrderedAndProject:
     * per-partition top-N then a single driver-side merge of N·P rows —
     * never a full global sort.
@@ -1723,5 +1757,6 @@ object AnalyticsQueries extends QueryModule {
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
-    diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat)
+    diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
+    modeQ)
 }

@@ -141,6 +141,8 @@ class PlanContractSpec extends AnyFunSuite {
                                // (AQE broadcasts) + sort; banded DP is map-side
     "q_group_concat" -> 2,     // ONE per-source list aggregate (sorted in the
                                // projection, not a window) + final sort
+    "q_mode" -> 3,             // (group,value) count agg + rank on the counted
+                               // frame + final sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
     "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs

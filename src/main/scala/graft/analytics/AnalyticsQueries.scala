@@ -1698,20 +1698,56 @@ object AnalyticsQueries extends QueryModule {
       FROM b ORDER BY custkey""")
   )
 
+  /** Hard cap on items per basket for [[basket]]. Σ items-per-basket²
+    * is fine when baskets are bounded (TPC-H orders carry ≤ 7 lines)
+    * but ONE degenerate basket — a bot session, a bulk order — with
+    * 10⁵ items makes 10¹⁰ pairs on a single key, and the support
+    * filter runs AFTER pair expansion so it cannot save you. Baskets
+    * above the cap are dropped from the analysis entirely (the same
+    * declared-truncation contract as [[graft.similarity.SimilarityQueries.MaxShingleDf]]):
+    * a 10⁵-item basket is noise for association mining, not signal.
+    * Worst case per basket is C(64,2) ≈ 2k pairs.
+    */
+  val MaxBasketItems = 64
+
+  /** Drop baskets carrying more than `cap` distinct items (see
+    * [[MaxBasketItems]]). Factored out so AnalyticsSpec can plant a
+    * synthetic mega-basket and prove the pair count collapses. The
+    * right side (oversized basket keys) is explicitly broadcast — it
+    * is bounded-tiny by construction, so the cap costs one partial
+    * aggregation and zero extra shuffles on the items frame.
+    */
+  private[analytics] def capBasketSize(
+      items: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    val big = items.groupBy(col("ok"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("ok"))
+    items.join(broadcast(big), Seq("ok"), "left_anti")
+  }
+
   /** Market-basket association (support + lift) — co-occurrence
     * mining over order contents. The pair generation is a self-join
     * keyed on the ORDER, so the blow-up is Σ items-per-basket², never
-    * catalog²; item and basket counts aggregate before any join, and
-    * the two dimension joins carry catalog-sized frames. Support ≥ 3
-    * prunes the pair tail BEFORE the dimension joins. Lift =
-    * P(xy)/(P(x)P(y)) in a fixed textual order + 6 dp round.
+    * catalog² — and per-basket cost is bounded by [[MaxBasketItems]]:
+    * oversized baskets are removed by a broadcast anti-join BEFORE the
+    * self-join (the oversize list is tiny at any corpus size, so the
+    * anti-join replicates, never shuffles). Item and basket counts
+    * aggregate before any join, and the two dimension joins carry
+    * catalog-sized frames. Support ≥ 3 prunes the pair tail BEFORE
+    * the dimension joins. Lift = P(xy)/(P(x)P(y)) in a fixed textual
+    * order + 6 dp round.
     */
   val basket = Q(
     "q_basket",
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
+      val raw = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
+      // Checkpointed: the capped frame feeds FOUR consumers (total,
+      // item counts, both sides of the pair join) — materialize the
+      // distinct+cap once instead of re-deriving it per consumer.
+      val items = capBasketSize(raw, MaxBasketItems).localCheckpoint(true)
       val n = items.select(col("ok")).distinct()
         .groupBy().agg(count(lit(1)).as("n_orders"))
       val ic = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
@@ -1730,9 +1766,11 @@ object AnalyticsQueries extends QueryModule {
         .orderBy(col("lift_r").desc, col("x"), col("y"))
         .limit(25)
     },
-    Some("""
-      WITH items AS (
+    Some(s"""
+      WITH items0 AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      big AS (SELECT ok FROM items0 GROUP BY ok HAVING count(*) > $MaxBasketItems),
+      items AS (SELECT i.ok, i.p FROM items0 i ANTI JOIN big b ON i.ok = b.ok),
       n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
       ic AS (SELECT p, count(*) AS n_p FROM items GROUP BY p),
       pairs AS (

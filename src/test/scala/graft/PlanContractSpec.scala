@@ -145,8 +145,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // frame + final sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
-    "q_basket" -> 9)           // basket self-join on order key + pair/item/total aggs
-                               // + catalog-sized dim joins; TakeOrdered final
+    "q_basket" -> 9)           // checkpointed capped-items frame (distinct + MaxBasketItems
+                               // anti-join materialized once) + self-join on order key +
+                               // pair/item/total aggs + catalog-sized dim joins; TakeOrdered
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -144,6 +144,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_basket: a planted mega-basket is dropped BEFORE pair expansion") {
+    // 10 small baskets of 5 items (C(5,2)=10 pairs each) plus one
+    // 200-item mega-basket (C(200,2)=19,900 pairs if it ever reached
+    // the self-join). The cap must collapse the pair count to the
+    // small baskets' 100, and the anti-join must broadcast (the
+    // oversize list is tiny by construction — replication, not a
+    // shuffle of the items frame).
+    val small = for (ok <- 1L to 10L; p <- 1L to 5L) yield (ok, p)
+    val mega = (1L to 200L).map(p => (999L, p))
+    val items = (small ++ mega).toDF("ok", "p")
+    val capped = AnalyticsQueries.capBasketSize(items, AnalyticsQueries.MaxBasketItems)
+    assert(capped.filter(col("ok") === 999L).count() === 0L)
+    assert(capped.count() === small.size.toLong)
+    def nPairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("ok"), col("p").as("x"))
+        .join(df.select(col("ok"), col("p").as("y")), Seq("ok"))
+        .filter(col("x") < col("y"))
+        .count()
+    assert(nPairs(items) === 100L + 19900L, "uncapped blow-up baseline")
+    assert(nPairs(capped) === 100L, "cap must remove the quadratic key")
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"basket cap should be a broadcast anti-join\n$plan")
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

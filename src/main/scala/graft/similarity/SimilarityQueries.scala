@@ -291,6 +291,42 @@ object SimilarityQueries extends QueryModule {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** [[pairsFromMh]] that also carries both documents' full 8-hash
+    * signatures through the band join and emits the per-seed match
+    * count directly. Consumers that need seed agreement
+    * (q_minhash_est) previously re-joined the `mh` frame twice on
+    * id1/id2 to attach each side's columns pair-wise — two shuffled joins.
+    * Here the 8 longs ride the (already shuffled) band rows instead,
+    * and collapse in the same aggregation that counts bands (`first`
+    * is sound: the signature is functionally dependent on doc_id).
+    * Output: id1, id2, n_bands, n_matches.
+    */
+  private def pairsFromMhWithMatches(mh: DataFrame): DataFrame = {
+    val sigged = mh.select(col("doc_id"),
+      array((0 until 8).map(k => col(s"mh$k")): _*).as("sig"))
+    val bands = sigged.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        concat_ws("|",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("sig"),
+        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val matches = (0 until 8)
+      .map(k => when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1),
+        1L).otherwise(0L))
+      .reduce(_ + _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("a.sig")).as("sa"), first(col("b.sig")).as("sb"))
+      .select(col("id1"), col("id2"), col("n_bands"), matches.as("n_matches"))
+  }
+
   private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame =
     pairsFromMh(minhashFrame(s, dir))
 
@@ -324,8 +360,10 @@ object SimilarityQueries extends QueryModule {
     * so the oracle compare is exact and no ratio ever meets a
     * rounding boundary (1/128-grain rationals DO sit on 6-dp
     * midpoints). Signatures come from ONE checkpointed aggregation
-    * feeding the band join and both match sides; intersections reuse
-    * the inverted-index pair expansion (no shingle self-join).
+    * whose 8 hashes ride the band join itself
+    * ([[pairsFromMhWithMatches]] — no pair-wise re-join of the
+    * signature frame); intersections reuse the inverted-index pair
+    * expansion (no shingle self-join).
     */
   val minhashEst = Q(
     "q_minhash_est",
@@ -333,19 +371,32 @@ object SimilarityQueries extends QueryModule {
       // ONE shingle pipeline (scan + window + DF cap), checkpointed,
       // feeds the signatures AND the inverted index
       val shf = shingles(s, dir).localCheckpoint(true)
-      val mh = minhashFrameFrom(shf).localCheckpoint(true)
-      val pairs = pairsFromMh(mh)
-      val a = mh.select(col("doc_id").as("id1") +:
-        (0 until 8).map(k => col(s"mh$k").as(s"a$k")): _*)
-      val b = mh.select(col("doc_id").as("id2") +:
-        (0 until 8).map(k => col(s"mh$k").as(s"b$k")): _*)
-      val matches = (0 until 8)
-        .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      val (inter, cnt) = shinglePairStats(shingleDocListsFrom(shf))
+      // The candidate frame is band-collision-bounded (tiny at any
+      // corpus size) — checkpoint IT, not the signature frame: the
+      // band self-join's two sides share one reused exchange, and the
+      // materialized candidates then broadcast into the intersection
+      // pipeline below as a semi-join filter.
+      val pairs = pairsFromMhWithMatches(minhashFrameFrom(shf))
+        .localCheckpoint(true)
+      val cnt = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // Exact intersections for CANDIDATES ONLY: the inverted-index
+      // pair expansion is semi-joined against the broadcast candidate
+      // set BEFORE the (id1,id2) aggregation, so the agg shuffles
+      // candidate evidence, not every co-shingle pair in the corpus
+      // (q_ngram_jaccard wants them all; this query does not).
+      val inter = shingleDocListsFrom(shf)
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds,
+               (x, i) -> transform(slice(ds, i + 2, size(ds)),
+                                   y -> named_struct('id1', x, 'id2', y))))"""))
+          .as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .join(broadcast(pairs.select(col("id1"), col("id2"))),
+          Seq("id1", "id2"), "left_semi")
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("c"))
       pairs
-        .join(a, Seq("id1")).join(b, Seq("id2"))
-        .withColumn("n_matches", matches)
         .join(inter, Seq("id1", "id2"), "left")
         .join(cnt.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
         .join(cnt.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")

@@ -1333,6 +1333,9 @@ object AnalyticsQueries extends QueryModule {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("s_acctbal").cast(DecimalType(18, 2))).as("bal"))
+        // nation-bounded frame, TWO consumers (total + detail):
+        // materialize once instead of running the join+agg twice
+        .localCheckpoint(true)
       val total = byNation.groupBy()
         .agg(sum(col("bal")).as("total"))
       byNation.crossJoin(broadcast(total))
@@ -1394,8 +1397,12 @@ object AnalyticsQueries extends QueryModule {
     * Power BI pane exists for. The stream reduces to the month series
     * FIRST (one keyed aggregate); cumulative sum runs in DECIMAL over
     * the bounded series (order-independent partials, exact at any
-    * parallelism) and only the YoY ratio touches doubles. Months
-    * without a year-ago partner yield NULL, preserved on both sides.
+    * parallelism) and only the YoY ratio touches doubles. YoY is a
+    * DATE-KEYED lookup (this month joined to mon − 12 months), not a
+    * 12-row lag — a lag silently compares against the wrong month the
+    * moment any month is absent from the series; the join degrades to
+    * NULL instead. Months without a year-ago partner yield NULL,
+    * preserved on both sides.
     */
   val timeIntel = Q(
     "q_timeintel",
@@ -1403,15 +1410,21 @@ object AnalyticsQueries extends QueryModule {
       val monthly = t(s, dir, "orders")
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        // bounded month series, TWO consumers (current + year-ago side)
+        .localCheckpoint(true)
       val w = Window.orderBy(col("mon"))
-      monthly.select(
+      val prior = monthly.select(
+        add_months(col("mon"), 12).as("mon"), col("rev").as("rev_prior"))
+      monthly
+        .join(broadcast(prior), Seq("mon"), "left")
+        .select(
           col("mon").cast("string").as("mon"),
           col("rev").cast(DoubleType).as("revenue"),
           sum(col("rev"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast(DoubleType).as("cum_revenue"),
           round(col("rev").cast(DoubleType)
-            / lag(col("rev"), 12).over(w).cast(DoubleType), 6).as("yoy_r"))
+            / col("rev_prior").cast(DoubleType), 6).as("yoy_r"))
         .orderBy(col("mon"))
     },
     Some("""
@@ -1419,15 +1432,15 @@ object AnalyticsQueries extends QueryModule {
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         FROM orders GROUP BY 1)
-      SELECT CAST(mon AS VARCHAR) AS mon,
-             CAST(rev AS DOUBLE) AS revenue,
-             CAST(sum(rev) OVER (ORDER BY mon
+      SELECT CAST(m.mon AS VARCHAR) AS mon,
+             CAST(m.rev AS DOUBLE) AS revenue,
+             CAST(sum(m.rev) OVER (ORDER BY m.mon
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS cum_revenue,
-             round(CAST(rev AS DOUBLE)
-                   / CAST(lag(rev, 12) OVER (ORDER BY mon) AS DOUBLE), 6)
+             round(CAST(m.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6)
                AS yoy_r
-      FROM m ORDER BY mon""")
+      FROM m LEFT JOIN m p ON m.mon = CAST(p.mon + INTERVAL 12 MONTH AS DATE)
+      ORDER BY mon""")
   )
 
   /** 2-D skyline (Pareto frontier): parts no other part beats on BOTH

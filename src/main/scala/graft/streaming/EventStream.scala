@@ -77,7 +77,12 @@ object EventStream {
 
   /** Stream-STREAM interval join — the correlation stage two live
     * feeds need (impression ⋈ conversion, request ⋈ response): match
-    * each click to the same user's most recent view within 10 minutes.
+    * each click to ALL of the same user's views in the preceding
+    * 10 minutes (a click preceded by two in-window views emits two
+    * rows — downstream pairs carry lag_sec, so a "most recent only"
+    * consumer takes min(lag_sec) per click in its own aggregation;
+    * folding that top-1 into the join itself would re-introduce
+    * per-key ordering state the interval join exists to avoid).
     * Both sides are watermarked and the join condition carries an
     * EVENT-TIME RANGE, which is what lets Spark evict buffered rows:
     * state per side is bounded by rate × (watermark + interval), not

@@ -127,4 +127,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Array((20L, 10L, 300.0), (21L, 11L, 300.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: a click preceded by TWO in-window views emits both rows") {
+    val vdir = Files.createTempDirectory("ssj2_views").toString
+    val cdir = Files.createTempDirectory("ssj2_clicks").toString
+    Files.write(Paths.get(vdir, "b1.json"), Seq(
+      """{"event_id":30,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":31,"ts":"2024-01-01T10:04:00.000Z","user_id":1,"event_type":"view","value":1.0}"""
+    ).mkString("\n").getBytes)
+    Files.write(Paths.get(cdir, "b1.json"), Seq(
+      """{"event_id":40,"ts":"2024-01-01T10:06:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.clickAfterView(spark, vdir, cdir)
+      .writeStream.format("memory").queryName("ssj2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT c_id, v_id, lag_sec FROM ssj2 ORDER BY v_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // ALL in-window views match (documented contract — the join is
+      // not top-1); a most-recent-only consumer takes min(lag_sec).
+      assert(rows === Array((40L, 30L, 360.0), (40L, 31L, 120.0)))
+    } finally q.stop()
+  }
 }

@@ -62,23 +62,48 @@ object Bench {
         b > 0 && t > b * factor && t > floorSec) => (name, t, base(name))
     }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
-    // Local-iteration subset, e.g. SPARK_GRAFT_BENCH_ONLY=q_lang_id,q_setops
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = util.GraftSession.build("graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
-
-    // A typo'd or empty ONLY must fail, not silently bench (and gate)
-    // nothing — an interpolated-but-unset shell var yields "".
-    only.foreach { names =>
+  /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
+    * bench everything). Both knobs validate loudly — a typo'd or empty
+    * value must fail, not silently bench (and gate) nothing — and when
+    * both are set the selection is their UNION, so one command can time
+    * a module plus a stray query.
+    */
+  private[graft] def selection(
+      only: Option[String], family: Option[String]): Option[Set[String]] = {
+    val byName = only.map { v =>
+      val names = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
       require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but selects no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      names
     }
+    val byFamily = family.map { v =>
+      val fams = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(fams.nonEmpty, "SPARK_GRAFT_BENCH_FAMILY is set but selects no families")
+      val unknown = fams -- SparkEntry.families.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_FAMILY names unknown families: ${unknown.mkString(", ")} " +
+          s"(known: ${SparkEntry.families.keys.toSeq.sorted.mkString(", ")})")
+      fams.flatMap(SparkEntry.families)
+    }
+    (byName, byFamily) match {
+      case (None, None) => None
+      case (a, b)       => Some(a.getOrElse(Set.empty) ++ b.getOrElse(Set.empty))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
+    // Local-iteration subsets: SPARK_GRAFT_BENCH_ONLY=q_lang_id,q_setops
+    // and/or SPARK_GRAFT_BENCH_FAMILY=similarity,graph (union when both).
+    val only = selection(
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY"),
+      sys.env.get("SPARK_GRAFT_BENCH_FAMILY"))
+    val spark = util.GraftSession.build("graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

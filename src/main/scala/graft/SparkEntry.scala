@@ -23,6 +23,23 @@ object SparkEntry {
     qs
   }
 
+  /** Query names by module family — the unit Bench's
+    * SPARK_GRAFT_BENCH_FAMILY knob selects by, so local iteration on
+    * one module times just that module's queries. Families mirror the
+    * registry 1:1 (pinned by BenchGateSpec).
+    */
+  private[graft] def families: Map[String, Set[String]] = Map(
+    "core" -> analytics.CoreQueries,
+    "analytics" -> analytics.AnalyticsQueries,
+    "events" -> analytics.EventQueries,
+    "refcore" -> transform.RefCoreQueries,
+    "manifest" -> manifest.ManifestQueries,
+    "text" -> text.TextQueries,
+    "similarity" -> similarity.SimilarityQueries,
+    "graph" -> graph.GraphQueries,
+    "multimodal" -> multimodal.MultimodalQueries
+  ).map { case (k, m) => k -> m.all.map(_.name).toSet }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     analytics.CoreQueries.flagship.run(spark, "/root/testdata/sf0.001")

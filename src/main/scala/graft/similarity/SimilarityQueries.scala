@@ -636,6 +636,29 @@ object SimilarityQueries extends QueryModule {
     * sizes are near-dup cluster sizes), with the member census riding
     * the same exchange.
     */
+  /** Post-labeling stage of [[dedupKeepBest]], factored out so
+    * PlanContractSpec can pin its shape (join + component-keyed
+    * windows + sort) against a synthetic labeling — the labeling loop
+    * itself runs driver actions at plan-build, so the full query
+    * cannot be plan-pinned directly.
+    *
+    * @param comp   (doc_id, component) — labeled documents
+    * @param scores (doc_id, score_milli) — integer quality scores
+    */
+  private[graft] def keepBestStage(comp: DataFrame, scores: DataFrame): DataFrame = {
+    val scored = comp.join(scores, Seq("doc_id"))
+    val wOrd = Window.partitionBy(col("component"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("component"))
+    scored
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("n_members"), col("score_milli"))
+      .orderBy(col("component"))
+  }
+
   val dedupKeepBest = Q(
     "q_dedup_keep_best",
     (s, dir) => {
@@ -643,20 +666,9 @@ object SimilarityQueries extends QueryModule {
         t(s, dir, "documents").select(col("doc_id")),
         minhashPairsPlan(s, dir).select(col("id1"), col("id2")))
         .select(col("n").as("doc_id"), col("lbl").as("component"))
-      val scored = comp.join(
+      keepBestStage(comp,
         graft.text.TextQueries.clfScores(s, dir)
-          .select(col("doc_id"), col("score_milli")),
-        Seq("doc_id"))
-      val wOrd = Window.partitionBy(col("component"))
-        .orderBy(col("score_milli").desc, col("doc_id"))
-      val wAll = Window.partitionBy(col("component"))
-      scored
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n_members", count(lit(1)).over(wAll))
-        .filter(col("rn") === 1)
-        .select(col("component"), col("doc_id").as("keep_id"),
-          col("n_members"), col("score_milli"))
-        .orderBy(col("component"))
+          .select(col("doc_id"), col("score_milli")))
     },
     Some(s"""
       WITH RECURSIVE $minhashPairsSqlCtes,

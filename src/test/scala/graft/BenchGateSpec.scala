@@ -55,6 +55,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.uncovered(base, Seq("q_b", "q_c")).isEmpty)
   }
 
+  test("families mirror the registry exactly — every query in exactly one family") {
+    val all = SparkEntry.families.values.toSeq
+    val union = all.flatten.toSet
+    assert(union == SparkEntry.queries.keySet,
+      s"families/registry drift: only-in-families=${union -- SparkEntry.queries.keySet} " +
+        s"only-in-registry=${SparkEntry.queries.keySet -- union}")
+    assert(all.map(_.size).sum == union.size, "a query appears in two families")
+  }
+
+  test("FAMILY knob expands a module, unions with ONLY, and fails loudly on typos") {
+    val sim = Bench.selection(None, Some("similarity"))
+    assert(sim.exists(s => s.contains("q_minhash_est") && !s.contains("q_pagerank")))
+    val both = Bench.selection(Some("q_pagerank"), Some("similarity"))
+    assert(both.exists(s => s.contains("q_pagerank") && s.contains("q_minhash_lsh")))
+    assert(Bench.selection(None, None).isEmpty)
+    intercept[IllegalArgumentException](Bench.selection(None, Some("similarty")))
+    intercept[IllegalArgumentException](Bench.selection(None, Some(" , ")))
+    intercept[IllegalArgumentException](Bench.selection(Some("q_nope"), None))
+  }
+
   test("the r05 driver tail really is front-truncated — the blind spot uncovered() exists for") {
     // Committed driver artifact: its `tail` lost the alphabetically-first
     // queries (q_ann_ivf etc.). uncovered() must surface that against

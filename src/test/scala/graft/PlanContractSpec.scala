@@ -160,6 +160,28 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_keep_best post-labeling stage: bounded shape, one shared window exchange") {
+    // The full query runs driver actions at plan-build (the labeling
+    // loop), so pin the stage AFTER labeling against a synthetic
+    // component assignment: score join + BOTH window functions sharing
+    // ONE component-keyed exchange + final sort, and never a cartesian.
+    import org.apache.spark.sql.functions._
+    val comp = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).as("component"))
+    val scores = graft.text.TextQueries.clfScores(spark, dir)
+      .select(col("doc_id"), col("score_milli"))
+    val plan = graft.similarity.SimilarityQueries.keepBestStage(comp, scores)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val n = shuffles(plan)
+    assert(n <= 5, s"keep-best stage: $n shuffle exchanges (budget 5)\n$plan")
+    val compExchanges = plan.linesIterator.count(l =>
+      l.dropWhile(c => "+-:| ".contains(c)).startsWith("Exchange hashpartitioning(component"))
+    assert(compExchanges == 1,
+      s"rank + member-census windows must share ONE component exchange " +
+        s"(found $compExchanges)\n$plan")
+  }
+
   test("q_topk plans WindowGroupLimit (bounded per-key heap, not sort-everything)") {
     // The declarative rank-then-filter form earns Spark's native
     // group-limit operator (partial + final bounded heaps) — the

@@ -70,8 +70,17 @@ object SimilarityQueries extends QueryModule {
     */
   private[similarity] def shingles(
       s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame =
+    shinglesOf(t(s, dir, "documents").select(col("doc_id"), col("text")), maxDf)
+
+  /** [[shingles]] over an arbitrary (doc_id, text) frame — the
+    * incremental-dedup path shingles only the NEW batch, so the
+    * pipeline can't be tied to a full-table scan. The DF cap applies
+    * within the given frame (each signing batch caps its own hot
+    * shingles; a persisted index was capped within the corpus it
+    * indexed). */
+  private[similarity] def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame =
     capShingleDf(
-      t(s, dir, "documents")
+      docs
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .select(
           col("doc_id"),
@@ -98,22 +107,28 @@ object SimilarityQueries extends QueryModule {
     sh.join(hot, Seq("s"), "left_anti")
   }
 
-  /** Oracle-side twin of [[shingles]] as a CTE body (including the
-    * DF cap). */
-  private val shinglesSql = s"""
-      tok AS (
+  /** Oracle-side twin of [[shinglesOf]] as a CTE body (including the
+    * per-batch DF cap), parameterized: `pred` filters the documents
+    * scan, `sfx` suffixes every CTE name so two differently-filtered
+    * copies (index side / new-batch side) coexist in one oracle
+    * query. */
+  private def shinglesSqlFor(sfx: String, pred: String): String = s"""
+      tok$sfx AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
                generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-        FROM documents),
-      sh0 AS (
+        FROM documents WHERE $pred),
+      sh0$sfx AS (
         SELECT doc_id,
                w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
                  || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS s,
                lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS ok
-        FROM tok),
-      sh_all AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE ok),
-      hot AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) > $MaxShingleDf),
-      sh AS (SELECT a.doc_id, a.s FROM sh_all a ANTI JOIN hot h ON a.s = h.s)"""
+        FROM tok$sfx),
+      sh_all$sfx AS (SELECT DISTINCT doc_id, s FROM sh0$sfx WHERE ok),
+      hot$sfx AS (SELECT s FROM sh_all$sfx GROUP BY s HAVING count(*) > $MaxShingleDf),
+      sh$sfx AS (SELECT a.doc_id, a.s FROM sh_all$sfx a ANTI JOIN hot$sfx h ON a.s = h.s)"""
+
+  /** Oracle-side twin of [[shingles]] (full table, unsuffixed names). */
+  private val shinglesSql = shinglesSqlFor("", "TRUE")
 
   /** Brute-force cosine top-k — the correctness baseline for ANN. The
     * bounded query set (5 vectors) is broadcast against the corpus:
@@ -273,16 +288,21 @@ object SimilarityQueries extends QueryModule {
   private def minhashFrame(s: SparkSession, dir: String): DataFrame =
     minhashFrameFrom(shingles(s, dir))
 
-  /** LSH banding + candidate pairs over a [[minhashFrame]]. */
-  private def pairsFromMh(mh: DataFrame): DataFrame = {
-    val bands = mh
-      .select(
+  /** Band rows (doc_id, band, sig) off a signature frame — 4 bands of
+    * 2 hashes each. This is also the PERSISTED row format of the
+    * incremental dedup index ([[signatureIndex]]). */
+  private[similarity] def bandsOf(mh: DataFrame): DataFrame =
+    mh.select(
         col("doc_id"),
         explode(array((0 until 4).map(b => struct(
           lit(b).as("band"),
           concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
           .as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** LSH banding + candidate pairs over a [[minhashFrame]]. */
+  private def pairsFromMh(mh: DataFrame): DataFrame = {
+    val bands = bandsOf(mh)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -330,21 +350,26 @@ object SimilarityQueries extends QueryModule {
   private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame =
     pairsFromMh(minhashFrame(s, dir))
 
+  /** Oracle twin of hash→minhash→band over `sh$sfx` (suffixed like
+    * [[shinglesSqlFor]]), ending in `band$sfx(doc_id, band, sig)`. */
+  private def mhBandSqlFor(sfx: String): String = s"""
+      hv$sfx AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT) AS h
+        FROM sh$sfx),
+      mh$sfx AS (
+        SELECT doc_id, t.range AS seed,
+               min(((2 * t.range + 1) * h + 7919 * t.range) % 268435399) AS mh
+        FROM hv$sfx, range(8) t GROUP BY 1, 2),
+      band$sfx AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        FROM mh$sfx GROUP BY 1, 2)"""
+
   /** Oracle twin of [[minhashPairsPlan]] as CTE bodies ending in
     * `pairs(id1, id2, n_bands)`. */
   private val minhashPairsSqlCtes = s"""
       $shinglesSql,
-      hv AS (
-        SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT) AS h
-        FROM sh),
-      mh AS (
-        SELECT doc_id, t.range AS seed,
-               min(((2 * t.range + 1) * h + 7919 * t.range) % 268435399) AS mh
-        FROM hv, range(8) t GROUP BY 1, 2),
-      band AS (
-        SELECT doc_id, seed // 2 AS band,
-               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
-        FROM mh GROUP BY 1, 2),
+      ${mhBandSqlFor("")},
       pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
         FROM band a
@@ -693,6 +718,120 @@ object SimilarityQueries extends QueryModule {
       SELECT component, doc_id AS keep_id,
              CAST(n_members AS BIGINT) AS n_members, score_milli
       FROM r WHERE rn = 1 ORDER BY component""")
+  )
+
+  /** Documents with doc_id below this are the "existing corpus" for
+    * [[dedupIncremental]]; at/above are the incremental batch. */
+  private[graft] val IncrementalCutoff = 400L
+
+  /** (dir, documents-mtime, cutoff, session) → registered index table
+    * name, so bench iterations and repeated plan builds reuse one
+    * build and a changed dataset re-indexes instead of silently
+    * serving stale signatures. */
+  private val sigIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The PERSISTED dedup signature index — every current dedup query
+    * recomputes signatures from the corpus per run; this is the
+    * production shape instead: band rows ([[bandsOf]]) for the
+    * existing corpus (doc_id < [[IncrementalCutoff]]) written ONCE as
+    * a parquet table BUCKETED AND SORTED on the join key (band, sig),
+    * 32 buckets to match the session's shuffle width (thousands on a
+    * real cluster). Rows are repartitioned by the bucket hash before
+    * the write — repartition and bucketing share Spark's murmur3
+    * HashPartitioning, so every bucket lands as exactly ONE sorted
+    * file and the incremental join reads the index with ZERO exchange
+    * AND zero sort on the index side. At 100 TB the index is the only
+    * artifact the corpus leaves behind: incremental batches never
+    * re-shingle it (plan-pinned in PlanContractSpec).
+    */
+  private[graft] def signatureIndex(s: SparkSession, dir: String): DataFrame = {
+    val key = s"$dir@${new java.io.File(s"$dir/documents.parquet").lastModified()}" +
+      s"@$IncrementalCutoff@${System.identityHashCode(s)}"
+    val tbl = sigIndexCache.getOrElseUpdate(key, {
+      val name = s"graft_sig_idx_${java.lang.Long.toHexString(
+        key.hashCode.toLong & 0xffffffffL)}_${java.lang.Long.toHexString(System.nanoTime())}"
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") < IncrementalCutoff)
+        .select(col("doc_id"), col("text"))
+      bandsOf(minhashFrameFrom(shinglesOf(corpus, MaxShingleDf)))
+        .repartition(32, col("band"), col("sig"))
+        .write.mode("overwrite")
+        .option("path", s"${sys.props("java.io.tmpdir")}/graft_sig_idx/$name")
+        .bucketBy(32, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(name)
+      name
+    })
+    s.table(tbl)
+  }
+
+  /** Band signatures of the incremental batch (doc_id ≥ cutoff) —
+    * the ONLY path that touches the documents table in
+    * [[dedupIncremental]], with the batch predicate pushed to the
+    * parquet scan (plan-pinned). */
+  private[graft] def newBatchSignatures(s: SparkSession, dir: String): DataFrame =
+    bandsOf(minhashFrameFrom(shinglesOf(
+      t(s, dir, "documents")
+        .filter(col("doc_id") >= IncrementalCutoff)
+        .select(col("doc_id"), col("text")),
+      MaxShingleDf)))
+
+  /** Old-vs-new candidate stage of [[dedupIncremental]], factored so
+    * the plan contract can pin the scale shape: the index side is a
+    * bucketed scan with NO exchange — only the (small) new batch ever
+    * shuffles on the band key. */
+  private[graft] def incrementalCandidates(idx: DataFrame, newSigs: DataFrame): DataFrame =
+    idx.as("a")
+      .join(newSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_bands"))
+
+  /** Incremental dedup — near-dup candidates for an arriving batch
+    * against a PERSISTED signature index plus within the batch
+    * itself, without ever re-reading (let alone re-shingling) the
+    * existing corpus: the index side comes from [[signatureIndex]]'s
+    * bucketed table, the batch signs itself once
+    * ([[newBatchSignatures]], checkpointed — it feeds the index join
+    * and the in-batch self-join). Output is the union of
+    * corpus-vs-batch and batch-vs-batch band-collision pairs — id1 <
+    * id2 holds in both by construction (corpus ids < cutoff ≤ batch
+    * ids; the self-join orders explicitly). The oracle rebuilds the
+    * index in CTEs (each side capped within itself, exactly like the
+    * engine).
+    */
+  val dedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val idx = signatureIndex(s, dir)
+      val newSigs = newBatchSignatures(s, dir).localCheckpoint(true)
+      val newNew = newSigs.as("a")
+        .join(newSigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_bands"))
+      incrementalCandidates(idx, newSigs)
+        .union(newNew)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      WITH ${shinglesSqlFor("_old", s"doc_id < $IncrementalCutoff")},
+      ${mhBandSqlFor("_old")},
+      ${shinglesSqlFor("_new", s"doc_id >= $IncrementalCutoff")},
+      ${mhBandSqlFor("_new")},
+      p_on AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
+        FROM band_old a JOIN band_new b ON a.band = b.band AND a.sig = b.sig
+        GROUP BY 1, 2),
+      p_nn AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
+        FROM band_new a JOIN band_new b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT * FROM (SELECT * FROM p_on UNION ALL SELECT * FROM p_nn)
+      ORDER BY id1, id2""")
   )
 
   /** SimHash — 16-bit signature: each token votes ±1 on each bit of its
@@ -1456,5 +1595,5 @@ object SimilarityQueries extends QueryModule {
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
-      dedupKeepBest, embedQuant)
+      dedupKeepBest, dedupIncremental, embedQuant)
 }

@@ -160,6 +160,58 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: the corpus is NEVER read on the incremental path") {
+    // The existing corpus lives only in the persisted signature index:
+    // the full query plan must contain ZERO documents scans (the new
+    // batch signs itself pre-plan via checkpoint; the index is a
+    // bucketed table scan) and exactly ONE index table scan.
+    val plan = planOf("q_dedup_incremental")
+    val docScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 0, s"incremental path re-reads documents\n$plan")
+    val idxScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft_sig_idx"))
+    assert(idxScans == 1, s"expected exactly one index scan, got $idxScans\n$plan")
+  }
+
+  test("q_dedup_incremental: batch predicate is PUSHED to the one documents scan") {
+    val plan = graft.similarity.SimilarityQueries
+      .newBatchSignatures(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // The shingle pipeline statically re-derives its scan for the
+    // hot-shingle side (AQE exchange reuse collapses it at runtime) —
+    // the contract is that EVERY documents scan pushes the batch
+    // cutoff, so corpus rows never leave the parquet reader.
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty, s"no documents scan found\n$plan")
+    assert(docScans.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
+      s"batch cutoff not pushed to every scan\n${docScans.mkString("\n")}")
+  }
+
+  test("q_dedup_incremental: index side of the candidate join never shuffles (bucketed scan)") {
+    // Broadcast disabled so the static plan shows the at-scale join:
+    // sort-merge with ONE exchange — the new batch's — and the index
+    // read straight from its 32 (band, sig) buckets, pre-sorted.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = graft.similarity.SimilarityQueries.signatureIndex(spark, dir)
+      val newSigs = graft.similarity.SimilarityQueries
+        .newBatchSignatures(spark, dir).localCheckpoint(true)
+      val plan = graft.similarity.SimilarityQueries
+        .incrementalCandidates(idx, newSigs)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan lost its bucketing\n$plan")
+      val bandExchanges = plan.linesIterator.count(l =>
+        l.dropWhile(c => "+-:| ".contains(c)).startsWith("Exchange hashpartitioning(band"))
+      assert(bandExchanges == 1,
+        s"exactly the new-batch side may shuffle on the band key " +
+          s"(found $bandExchanges exchanges)\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_dedup_keep_best post-labeling stage: bounded shape, one shared window exchange") {
     // The full query runs driver actions at plan-build (the labeling
     // loop), so pin the stage AFTER labeling against a synthetic

@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side design is real and tested (MultimodalSpec): schema,
   * partition-parallel batch execution via `mapPartitions` (the Scala
-  * analogue of `mapInPandas` batches), and the output contract. The
-  * codec itself is STUBBED — no image/audio libraries exist in this
-  * container — behind [[FakeCodec]], a deterministic stand-in marked
-  * for replacement; swap in a real decoder without touching the
-  * dataflow.
+  * analogue of `mapInPandas` batches), and the output contract. All
+  * three modalities decode REAL bytes with pure-JDK codecs: images via
+  * `javax.imageio` ([[ImageIoCodec]]), audio via `javax.sound.sampled`
+  * ([[audioMeta]]), video via the JDK's multi-frame GIF reader
+  * ([[GifVideoCodec]], [[videoFrames]]). [[FakeCodec]] remains only as
+  * the declared row-wise degradation target for payloads the JDK has
+  * no reader for (e.g. MP4/H.264) — swap a richer decoder in through
+  * the [[Codec]] seam without touching the dataflow.
   *
   * Scale notes: payloads never shuffle — decode runs map-side on the
   * scan partitioning; only extracted (small) features flow into joins
@@ -59,10 +62,10 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], everyK: Int): Int
   }
 
-  /** STUB — deterministic fake codec for the media kinds the JVM can't
-    * decode without external libraries (audio duration, video frames).
-    * Every value is a pure function of the payload bytes so tests are
-    * stable.
+  /** STUB — deterministic fallback for payloads no JDK reader claims
+    * (e.g. MP4/H.264 video; images and GIF video have REAL paths via
+    * [[ImageIoCodec]]/[[GifVideoCodec]]). Every value is a pure
+    * function of the payload bytes so tests are stable.
     */
   object FakeCodec extends Codec {
     override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) = {
@@ -294,24 +297,139 @@ object Multimodal {
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
               catch { case _: java.io.IOException | _: RuntimeException => null }
-          Option(img).map { src =>
-            val small = new java.awt.image.BufferedImage(
-              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val g = small.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(src, 0, 0, 8, 8, null)
-            } finally g.dispose()
-            val px = new Array[Int](64)
-            var i = 0
-            while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
-            val mean = px.sum / 64
-            var sig = 0L
-            i = 0
-            while (i < 64) { if (px(i) > mean) sig |= (1L << i); i += 1 }
-            ImageHash(id, sig)
+          Option(img).map(src => ImageHash(id, aHashOf(src)))
+        }
+      }
+  }
+
+  /** 64-bit average-hash of a decoded frame: bilinear 8×8 grayscale
+    * downsample, threshold against the mean. Shared by the image and
+    * video (per-frame) dedup paths. */
+  private def aHashOf(src: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val px = new Array[Int](64)
+    var i = 0
+    while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+    val mean = px.sum / 64
+    var sig = 0L
+    i = 0
+    while (i < 64) { if (px(i) > mean) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** REAL video path — animated GIF via the JDK's multi-frame
+    * `javax.imageio` GIF reader (zero new dependencies): frame counts
+    * come from the container directory and sampled frames are ACTUALLY
+    * decoded. This replaces [[FakeCodec]] as the video seam: kind ==
+    * "image" delegates to [[ImageIoCodec]]; undecodable video payloads
+    * degrade to the deterministic stub values row-wise, same policy as
+    * the image path (corrupt data must not kill a 100 TB extract).
+    */
+  object GifVideoCodec extends Codec {
+    private def withGifReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => A): Option[A] = {
+      if (payload == null || payload.isEmpty) None
+      else {
+        val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(in)
+            Some(f(reader))
+          } catch {
+            case _: java.io.IOException | _: RuntimeException => None
+          } finally {
+            reader.dispose()
+            in.close()
+          }
+        }
+      }
+    }
+
+    override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
+      if (kind != "video") ImageIoCodec.decodeDims(kind, payload)
+      else withGifReader(payload)(r => (r.getWidth(0), r.getHeight(0)))
+        .getOrElse(FakeCodec.decodeDims(kind, payload))
+
+    /** REAL frame sampling: every k-th frame is decoded (not just
+      * counted) — the pixels are touched, exactly what a training
+      * pipeline's frame extractor pays. Returns the number of frames
+      * decoded. */
+    override def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+      withGifReader(payload) { r =>
+        val n = r.getNumImages(true)
+        val k = math.max(everyK, 1)
+        var i = 0
+        var sampled = 0
+        while (i < n) { r.read(i); sampled += 1; i += k }
+        sampled
+      }.filter(_ > 0) // non-GIF bytes "parse" to 0 frames, not an error
+        .getOrElse(FakeCodec.sampleFrames(payload, everyK))
+  }
+
+  /** One sampled, decoded video frame: container facts ride along so
+    * one decode pass serves both per-frame dedup and per-video
+    * metadata. */
+  final case class VideoFrame(
+      media_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      frame_idx: Int,
+      ahash: Long)
+
+  /** Decode every k-th frame of each video payload (animated GIF) and
+    * aHash it — the video analogue of [[imageHashes]]: map-side on the
+    * scan partitioning, each payload collapses to a handful of 8-byte
+    * frame signatures, so a 100 TB video corpus dedups by joining
+    * signatures (frame-level or video-level) with payloads never
+    * shuffling. Undecodable payloads are dropped like [[resizeImages]].
+    */
+  def videoFrames(media: DataFrame, everyK: Int = 2): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val k = math.max(everyK, 1)
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          if (payload == null || payload.isEmpty) Iterator.empty
+          else {
+            val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              val in = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                reader.setInput(in)
+                val n = reader.getNumImages(true)
+                val w = reader.getWidth(0)
+                val h = reader.getHeight(0)
+                (0 until n by k).map { i =>
+                  VideoFrame(id, n, w, h, i, aHashOf(reader.read(i)))
+                }.iterator
+              } catch {
+                case _: java.io.IOException | _: RuntimeException => Iterator.empty
+              } finally {
+                reader.dispose()
+                in.close()
+              }
+            }
           }
         }
       }
@@ -437,6 +555,73 @@ object Multimodal {
         val bytes = out.toByteArray
         (id, "audio", bytes, ("synthetic-wav", "audio/wav", bytes.length.toLong))
       })
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
+  /** Deterministic synthetic animated-GIF corpus, distributed like
+    * [[syntheticPngCorpus]]: 2 + (seed%4)·2 frames per video (2/4/6/8),
+    * each frame the seed-keyed gradient shifted per frame index, written
+    * through the REAL multi-frame `javax.imageio` GIF writer so the
+    * decode path ([[videoFrames]], [[GifVideoCodec]]) exercises genuine
+    * container directories and per-frame rasters end-to-end. Ids 2k and
+    * 2k+1 render the same seed pattern with a small noise block on the
+    * odd id — planted near-duplicate VIDEOS whose matching frames stay
+    * within small Hamming distance of each other. */
+  def syntheticGifCorpus(spark: SparkSession, n: Int, side: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val seed = (id / 2).toInt
+          val nFrames = 2 + (seed % 4) * 2
+          val out = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < side) {
+                var x = 0
+                while (x < side) {
+                  // per-frame shift: consecutive frames differ, so the
+                  // sampler provably reads distinct rasters
+                  val r = (x * (3 + seed % 5) + seed * 17 + f * 23) % 256
+                  val g = (y * (2 + seed % 7) + seed * 29 + f * 11) % 256
+                  val b = (x * y * (1 + seed % 3) + seed * 43) % 256
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              if (id % 2 == 1) {
+                var yy = 0
+                while (yy < 4) {
+                  var xx = 0
+                  while (xx < 4) { img.setRGB(xx, yy, 0xFFFFFF); xx += 1 }
+                  yy += 1
+                }
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
+          val bytes = out.toByteArray
+          (id, "video", bytes, ("synthetic-gif", "image/gif", bytes.length.toLong))
+        }
+      }
       .toDF("media_id", "kind", "payload", "meta")
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }

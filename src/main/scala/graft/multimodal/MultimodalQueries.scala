@@ -61,5 +61,29 @@ object MultimodalQueries extends QueryModule {
     },
     None)
 
-  override def all: Seq[Q] = Seq(imageHash, audioMetaQ)
+  /** End-to-end VIDEO pipeline, timed: synthesize a deterministic
+    * 150-animated-GIF corpus distributed, decode every 2nd frame for
+    * real through the JDK's multi-frame GIF reader
+    * ([[Multimodal.videoFrames]]), aHash each sampled frame, and
+    * aggregate per video (container frame count, dims, frames actually
+    * decoded, distinct frame signatures). Completes the modality
+    * trio — the former FakeCodec video seam is now a real decode
+    * path. No oracle by design (DuckDB cannot parse GIF containers);
+    * rows-only check + MultimodalSpec pins the planted-frame
+    * semantics and the sampling arithmetic.
+    */
+  val videoMetaQ = Q(
+    "q_video_meta",
+    (s, _) => {
+      val media = Multimodal.syntheticGifCorpus(s, 150)
+      Multimodal.videoFrames(media, everyK = 2).toDF()
+        .groupBy(col("media_id"), col("n_frames"), col("width"), col("height"))
+        .agg(
+          count(lit(1)).as("frames_sampled"),
+          countDistinct(col("ahash")).as("n_frame_sigs"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  override def all: Seq[Q] = Seq(imageHash, audioMetaQ, videoMetaQ)
 }

@@ -194,6 +194,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real.checksum === fake.checksum)        // checksum is codec-independent
   }
 
+  test("videoFrames: real GIF containers decode — frame counts, dims, sampling arithmetic") {
+    import spark.implicits._
+    val media = Multimodal.syntheticGifCorpus(spark, 12)
+    val frames = Multimodal.videoFrames(media, everyK = 2).collect()
+    val bySeed = frames.groupBy(_.media_id)
+    assert(bySeed.keySet === (0L until 12L).toSet, "every video must decode")
+    (0L until 12L).foreach { id =>
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2 // generator: 2/4/6/8 frames
+      val f = bySeed(id).sortBy(_.frame_idx)
+      assert(f.head.n_frames === nExpected, s"video $id container frame count")
+      assert(f.map(_.frame_idx).toSeq === (0 until nExpected by 2).toSeq,
+        s"video $id sampled indices")
+      assert(f.forall(v => v.width === 64 && v.height === 64))
+      // consecutive frames render different rasters — their hashes differ
+      assert(f.map(_.ahash).distinct.length > 1 || f.length == 1,
+        s"video $id sampled frames all hashed identically")
+    }
+  }
+
+  test("planted near-dup VIDEOS: matching frames of ids 2k/2k+1 stay Hamming-close") {
+    import spark.implicits._
+    val media = Multimodal.syntheticGifCorpus(spark, 10)
+    val frames = Multimodal.videoFrames(media, everyK = 2).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    (0 until 5).foreach { k =>
+      val (even, odd) = (frames(2L * k), frames(2L * k + 1))
+      assert(even.length === odd.length)
+      even.zip(odd).foreach { case (a, b) =>
+        val d = java.lang.Long.bitCount(a.ahash ^ b.ahash)
+        assert(d <= 5,
+          s"videos ${2 * k}/${2 * k + 1} frame ${a.frame_idx}: Hamming $d")
+      }
+    }
+  }
+
+  test("GifVideoCodec: real dims + real frame sampling, stub fallback for garbage") {
+    val media = Multimodal.syntheticGifCorpus(spark, 2)
+    val payload = media.orderBy("media_id").collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.GifVideoCodec.decodeDims("video", payload) === ((64, 64)))
+    // seed 0 -> 2 frames; everyK=1 decodes both, everyK=2 decodes one
+    assert(Multimodal.GifVideoCodec.sampleFrames(payload, 1) === 2)
+    assert(Multimodal.GifVideoCodec.sampleFrames(payload, 2) === 1)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(Multimodal.GifVideoCodec.sampleFrames(garbage, 2) ===
+      Multimodal.FakeCodec.sampleFrames(garbage, 2), "undecodable falls back to stub")
+  }
+
+  test("q_video_meta: per-video aggregates match the generator arithmetic; deterministic") {
+    def run() = MultimodalQueries.videoMetaQ.run(spark, "unused").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSeq
+    val rows = run()
+    assert(rows.length === 150, "one row per synthetic video")
+    rows.foreach { case (id, nFrames, sampled) =>
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2
+      assert(nFrames === nExpected, s"video $id frame count")
+      assert(sampled === (nExpected + 1) / 2, s"video $id sampled count")
+    }
+    assert(run() === rows, "bench query must be deterministic run-over-run")
+  }
+
   test("q_audio_meta: real WAV decode aggregates match the generator arithmetic") {
     val rows = MultimodalQueries.audioMetaQ.run(spark, "unused").collect()
     val rates = Array(8000, 16000, 22050, 44100)

@@ -25,6 +25,27 @@ object ScaleSmoke {
     }
     embs.toDF("vec_id","embedding","label")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // 40x relational tables for the graph / basket / event-series ops
+    // (2.4M lineitem = 40x sf0.01; 800k events) — generated DISTRIBUTED
+    // via spark.range + hash, no driver-side Seq at this size.
+    spark.range(2400000).select(
+      (col("id") / 6).cast("long").as("l_orderkey"), // ~6 items/basket
+      pmod(hash(col("id") * 7 + 1), lit(30000)).cast("long").as("l_partkey"),
+      pmod(hash(col("id") * 13 + 5), lit(3000)).cast("long").as("l_suppkey"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.range(800000).select(
+      col("id").as("event_id"),
+      pmod(hash(col("id") * 3 + 11), lit(2000)).cast("long").as("user_id"),
+      // nanos LONG like the driver's TIMESTAMP(NANOS) files: second
+      // resolution across 30 days from 2024-01-01
+      ((lit(1704067200L) + pmod(hash(col("id") * 5 + 3), lit(2592000)))
+        .cast("long") * lit(1000000000L)).as("ts"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("idle")),
+        pmod(hash(col("id") + 29), lit(4)) + 1).as("event_type"),
+      lit("""{"k":1}""").as("props"),
+      (pmod(hash(col("id") * 17 + 7), lit(10000)) / lit(100.0)).as("value"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
     def time(n: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -39,7 +60,10 @@ object ScaleSmoke {
       "q_semantic_dedup","q_chunk","q_winnow","q_entropy",
       "q_simhash_pairs","q_quality_clf","q_colloc",
       "q_minhash_est","q_dedup_keep_best","q_bpe_apply","q_knn_graph",
-      "q_countmin","q_dupe_stats").foreach(time)
+      "q_countmin","q_dupe_stats",
+      "q_dedup_incremental","q_video_meta",
+      "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill")
+      .foreach(time)
     spark.stop()
   }
 }

@@ -1399,19 +1399,31 @@ object TextQueries extends QueryModule {
     * The 512-row sketch is broadcast back onto the exact top-20 for
     * the error report; at 100 TB the sketch size is unchanged.
     */
+  /** Count-Min bucket for hash row `j` — md5-derived, 256-wide. */
+  private[graft] def cmBucket(j: Int, c: Column): Column =
+    (conv(substring(md5(concat(lit(s"cm$j:"), c)), 1, 6), 16, 10)
+      .cast("int") % 256).cast(LongType)
+
+  /** The (j, b, c) Count-Min matrix over a token frame — factored so
+    * TextOpsSpec can prove the RE-AGGREGATION property that makes the
+    * sketch useful at 100 TB: counters are linear, so per-day (or
+    * per-partition, per-datacenter) partial sketches merged by
+    * cell-wise addition equal the one-shot sketch exactly. */
+  private[graft] def cmSketch(
+      tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tok
+      .select(explode(array(
+        struct(lit(1).as("j"), cmBucket(1, col("w")).as("b")),
+        struct(lit(2).as("j"), cmBucket(2, col("w")).as("b")))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
   val countMin = Q(
     "q_countmin",
     (s, dir) => {
       val tok = t(s, dir, "documents").select(explode(toks(col("text"))).as("w"))
-      def bkt(j: Int, c: Column): Column =
-        (conv(substring(md5(concat(lit(s"cm$j:"), c)), 1, 6), 16, 10)
-          .cast("int") % 256).cast(LongType)
-      val sketch = tok
-        .select(explode(array(
-          struct(lit(1).as("j"), bkt(1, col("w")).as("b")),
-          struct(lit(2).as("j"), bkt(2, col("w")).as("b")))).as("jb"))
-        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
-        .agg(count(lit(1)).as("c"))
+      def bkt(j: Int, c: Column): Column = cmBucket(j, c)
+      val sketch = cmSketch(tok)
       val top = tok.groupBy(col("w")).agg(count(lit(1)).as("true_c"))
         .orderBy(col("true_c").desc, col("w")).limit(20)
       val s1 = sketch.filter(col("j") === 1)

@@ -320,4 +320,50 @@ class TextOpsSpec extends AnyFunSuite {
       assert(e >= t, s"count-min UNDER-estimated: est=$e true=$t")
     }
   }
+
+  test("Count-Min merges: per-day partial sketches summed cell-wise == one-shot sketch") {
+    // The re-aggregation property that makes sketches useful at 100 TB:
+    // sign each day (partition, datacenter) independently, merge by
+    // ADDING counters — never re-scan history. Counters are linear, so
+    // the merged matrix must equal the one-shot matrix EXACTLY.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def tokOf(pred: org.apache.spark.sql.Column) = TestSpark.spark.read
+      .parquet(s"$dir/documents.parquet")
+      .filter(pred)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    val day1 = TextQueries.cmSketch(tokOf(col("doc_id") < 250))
+    val day2 = TextQueries.cmSketch(tokOf(col("doc_id") >= 250))
+    val merged = day1.union(day2)
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = TextQueries.cmSketch(tokOf(lit(true)))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === oneShot, "merged partials diverged from the one-shot sketch")
+  }
+
+  test("HLL merges: per-day sketch partials unioned == one-shot sketch estimate") {
+    // Same property for the distinct-count sketch (q_hll_distinct's
+    // production shape): Spark's DataSketches HLL surface exposes the
+    // binary sketches, so per-day partials union into EXACTLY the
+    // estimate the one-shot aggregation yields.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val li = TestSpark.spark.read.parquet(s"$dir/lineitem.parquet")
+    val daily = li
+      .groupBy((col("l_orderkey") % 2).as("day"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd"))
+      .as[Long].collect().head
+    val oneShot = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("nd"))
+      .as[Long].collect().head
+    assert(merged === oneShot,
+      s"HLL union of daily partials ($merged) != one-shot estimate ($oneShot)")
+    // and the estimate is a real distinct count, not a degenerate 0
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].collect().head
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact drifted beyond 5%")
+  }
 }

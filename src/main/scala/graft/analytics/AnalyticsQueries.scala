@@ -1800,6 +1800,54 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY lift_r DESC, x, y LIMIT 25""")
   )
 
+  /** Bloom-pruned fact join — the pre-shuffle pruning pattern behind
+    * every selective dim⋈fact at 100 TB (and behind Spark's own
+    * runtime row-level filters, whose exact expressions this query
+    * uses via the graft_bloom_agg/graft_bloom_contains injections):
+    * the selective order-key set folds into ONE broadcast bloom
+    * sketch; the fact scan drops non-matching rows MAP-SIDE, before
+    * any exchange, so the join shuffles only plausible rows. False
+    * positives die in the exact equi-join that follows — the output
+    * is exactly the plain join's (which is what the oracle runs), the
+    * bloom only moves work off the shuffle. Plan-pinned: the
+    * might_contain filter sits under the fact side's exchange.
+    */
+  val bloomPrune = Q(
+    "q_bloom_prune",
+    (s, dir) => {
+      // might_contain requires its sketch as a CONSTANT or scalar
+      // subquery (never a join-produced column) — same contract as
+      // Spark's injected runtime filters, so the SQL front door is
+      // the honest surface for this one.
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        WITH sel AS (
+          SELECT o_orderkey FROM orders WHERE o_totalprice > 450000),
+        pruned AS (
+          SELECT l_orderkey, l_extendedprice, l_discount
+          FROM lineitem
+          WHERE graft_bloom_contains(
+            (SELECT graft_bloom_agg(o_orderkey, 10000L, 80000L) FROM sel),
+            l_orderkey))
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM sel JOIN pruned ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""
+      WITH sel AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+      SELECT o_orderkey,
+             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM sel JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -1809,5 +1857,5 @@ object AnalyticsQueries extends QueryModule {
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
-    modeQ)
+    modeQ, bloomPrune)
 }

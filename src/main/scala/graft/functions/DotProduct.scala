@@ -101,5 +101,32 @@ object GraftExtensions {
         require(args.length == 1, "graft_nfc(str) takes exactly 1 argument")
         NfcNormalize(args.head)
       }))
+    // Spark ships battle-tested Bloom expressions (the machinery behind
+    // its runtime row-level join filters) but leaves them out of the
+    // public function registry — expose them so the pre-shuffle
+    // fact-pruning pattern (q_bloom_prune) is written against Spark's
+    // own sketch, not a reimplementation.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bloom_agg(key, estimatedItems, numBits) takes exactly 3 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args.head, args(1), args(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_bloom_contains(bloom, key) takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))
+      }))
   }
 }

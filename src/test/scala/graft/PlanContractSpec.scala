@@ -212,6 +212,31 @@ class PlanContractSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_bloom_prune: might_contain filters the fact scan BELOW its exchange (map-side)") {
+    // The whole point of the bloom is pruning BEFORE the shuffle: the
+    // might_contain filter must sit between the lineitem FileScan and
+    // the first Exchange above it — no exchange between scan and
+    // filter means non-matching rows never leave the mapper.
+    val lines = planOf("q_bloom_prune").linesIterator.toVector
+    def depth(l: String): Int = l.takeWhile(c => "+-:| ".contains(c)).length
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scanIdx >= 0, s"no lineitem scan\n${lines.mkString("\n")}")
+    val filterIdx = lines.lastIndexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"), scanIdx)
+    assert(filterIdx >= 0 && filterIdx < scanIdx,
+      s"might_contain filter not above the fact scan\n${lines.mkString("\n")}")
+    // The filter must be the scan's DIRECT parent: everything printed
+    // between them is the inlined scalar-subquery block (strictly
+    // deeper tree prefix). A same-or-shallower line there would be a
+    // real fact-path operator — e.g. an Exchange, meaning the pruning
+    // ran post-shuffle.
+    val between = lines.slice(filterIdx + 1, scanIdx)
+    assert(between.forall(depth(_) > depth(lines(scanIdx))),
+      s"an operator sits between the bloom filter and the fact scan — " +
+        s"pruning is not map-side\n${between.mkString("\n")}")
+  }
+
   test("q_dedup_keep_best post-labeling stage: bounded shape, one shared window exchange") {
     // The full query runs driver actions at plan-build (the labeling
     // loop), so pin the stage AFTER labeling against a synthetic

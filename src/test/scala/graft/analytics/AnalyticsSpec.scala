@@ -169,6 +169,27 @@ class AnalyticsSpec extends AnyFunSuite {
       s"basket cap should be a broadcast anti-join\n$plan")
   }
 
+  test("graft bloom surface: zero false negatives, genuinely selective pruning") {
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    val r = spark.sql("""
+      WITH sel AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000),
+      bf AS (SELECT graft_bloom_agg(o_orderkey, 10000L, 80000L) AS b FROM sel)
+      SELECT
+        count(*) AS total,
+        count_if(graft_bloom_contains((SELECT b FROM bf), l_orderkey)) AS kept,
+        count_if(l_orderkey IN (SELECT o_orderkey FROM sel)) AS true_match
+      FROM lineitem""").collect().head
+    val (total, kept, trueMatch) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(trueMatch > 0, "selective predicate selected nothing — test is vacuous")
+    assert(kept >= trueMatch, "bloom dropped a TRUE match (false negative) — broken")
+    assert(kept < total / 2,
+      s"bloom kept $kept of $total rows — not pruning anything")
+    assert(kept <= trueMatch + total / 20,
+      s"false-positive tail too fat: kept=$kept true=$trueMatch total=$total")
+  }
+
   test("VectorMean aggregator: element-wise mean, partial+final merge") {
     val ds = Seq(
       (0, Seq(1.0f, 2.0f)),

@@ -276,7 +276,7 @@ object SimilarityQueries extends QueryModule {
     */
   /** The 8-seed signature frame (doc_id, mh0..mh7) — shared by the
     * LSH pair generator and the estimator-accuracy report. */
-  private def minhashFrameFrom(sh: DataFrame): DataFrame = {
+  private[similarity] def minhashFrameFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until 8).map(k =>
       min((col("h") * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L))
         .as(s"mh$k"))
@@ -776,6 +776,42 @@ object SimilarityQueries extends QueryModule {
         .filter(col("doc_id") >= IncrementalCutoff)
         .select(col("doc_id"), col("text")),
       MaxShingleDf)))
+
+  /** Band-signature rows as a PURE PROJECTION — the same signatures
+    * [[bandsOf]]∘[[minhashFrameFrom]] builds with explode + groupBy,
+    * but computed per-row with array HOFs (shingle array →
+    * array_distinct → per-seed array_min of the affine rehash), no
+    * shuffle at all. The batch path's explode/groupBy form exists for
+    * map-side combining on huge documents; this form is what a
+    * STREAMING micro-batch wants (stateless projection, no aggregation
+    * semantics). SimilaritySpec pins that both paths produce identical
+    * signatures; no DF cap (a stream has no batch to cap over — the
+    * hot-shingle guard lives on the index-build side).
+    *
+    * @param docs (doc_id, text) frame — batch or streaming
+    * @return (doc_id, band, sig) rows, 4 per document with ≥3 tokens
+    */
+  private[graft] def bandProjection(docs: DataFrame): DataFrame = {
+    val sh = array_distinct(
+      when(size(col("ws")) >= 3,
+        transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))
+        .otherwise(array().cast("array<string>")))
+    val hs = transform(col("sh"),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast(LongType))
+    def mh(k: Int): Column = array_min(transform(col("hs"),
+      h => (h * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L)))
+    bandsOf(docs
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id") +: (0 until 8).map(k => mh(k).as(s"mh$k")): _*))
+  }
 
   /** Old-vs-new candidate stage of [[dedupIncremental]], factored so
     * the plan contract can pin the scale shape: the index side is a

@@ -342,16 +342,26 @@ object Multimodal {
         if (!readers.hasNext) None
         else {
           val reader = readers.next()
-          val in = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          // Everything from stream creation on sits INSIDE the
+          // degrade-to-stub net: with caching on, createImageInputStream
+          // writes a tmp file per call and throws IOException on a full
+          // tmpdir — thrown outside a try, that kills the task instead
+          // of degrading the row. It can also return null (no SPI).
+          javax.imageio.ImageIO.setUseCache(false)
+          var in: javax.imageio.stream.ImageInputStream = null
           try {
-            reader.setInput(in)
-            Some(f(reader))
+            in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            if (in == null) None
+            else {
+              reader.setInput(in)
+              Some(f(reader))
+            }
           } catch {
             case _: java.io.IOException | _: RuntimeException => None
           } finally {
             reader.dispose()
-            in.close()
+            if (in != null) in.close()
           }
         }
       }
@@ -413,21 +423,27 @@ object Multimodal {
             if (!readers.hasNext) Iterator.empty
             else {
               val reader = readers.next()
-              val in = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(payload))
+              // stream creation inside the drop-the-row net, null-guarded
+              // (see GifVideoCodec.withGifReader)
+              var in: javax.imageio.stream.ImageInputStream = null
               try {
-                reader.setInput(in)
-                val n = reader.getNumImages(true)
-                val w = reader.getWidth(0)
-                val h = reader.getHeight(0)
-                (0 until n by k).map { i =>
-                  VideoFrame(id, n, w, h, i, aHashOf(reader.read(i)))
-                }.iterator
+                in = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                if (in == null) Iterator.empty
+                else {
+                  reader.setInput(in)
+                  val n = reader.getNumImages(true)
+                  val w = reader.getWidth(0)
+                  val h = reader.getHeight(0)
+                  (0 until n by k).map { i =>
+                    VideoFrame(id, n, w, h, i, aHashOf(reader.read(i)))
+                  }.iterator
+                }
               } catch {
                 case _: java.io.IOException | _: RuntimeException => Iterator.empty
               } finally {
                 reader.dispose()
-                in.close()
+                if (in != null) in.close()
               }
             }
           }

@@ -288,16 +288,24 @@ object SimilarityQueries extends QueryModule {
   private def minhashFrame(s: SparkSession, dir: String): DataFrame =
     minhashFrameFrom(shingles(s, dir))
 
+  /** THE banding definition — 4 bands of 2 hashes, `mhAt(k)` supplying
+    * the k-th minhash. Single source of truth for every consumer
+    * (column-shaped signatures in [[bandsOf]], array-shaped in
+    * [[pairsFromMhWithMatches]]): the banded row format is PERSISTED
+    * by [[signatureIndex]], so a width/encoding change must hit all
+    * consumers at once or candidate generation silently desyncs. */
+  private def bandExplode(mhAt: Int => Column): Column =
+    explode(array((0 until 4).map(b => struct(
+      lit(b).as("band"),
+      concat_ws("|", mhAt(2 * b), mhAt(2 * b + 1)).as("sig"))): _*))
+
   /** Band rows (doc_id, band, sig) off a signature frame — 4 bands of
     * 2 hashes each. This is also the PERSISTED row format of the
     * incremental dedup index ([[signatureIndex]]). */
   private[similarity] def bandsOf(mh: DataFrame): DataFrame =
     mh.select(
         col("doc_id"),
-        explode(array((0 until 4).map(b => struct(
-          lit(b).as("band"),
-          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
-          .as("bs"))
+        bandExplode(k => col(s"mh$k")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** LSH banding + candidate pairs over a [[minhashFrame]]. */
@@ -326,13 +334,9 @@ object SimilarityQueries extends QueryModule {
       array((0 until 8).map(k => col(s"mh$k")): _*).as("sig"))
     val bands = sigged.select(
       col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b => struct(
-        lit(b).as("band"),
-        concat_ws("|",
-          element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)).as("bsig"))): _*)).as("bs"))
+      bandExplode(k => element_at(col("sig"), k + 1)).as("bs"))
       .select(col("doc_id"), col("sig"),
-        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+        col("bs.band").as("band"), col("bs.sig").as("bsig"))
     val matches = (0 until 8)
       .map(k => when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1),
         1L).otherwise(0L))
@@ -727,9 +731,29 @@ object SimilarityQueries extends QueryModule {
   /** (dir, documents-mtime, cutoff, session) → registered index table
     * name, so bench iterations and repeated plan builds reuse one
     * build and a changed dataset re-indexes instead of silently
-    * serving stale signatures. */
+    * serving stale signatures. Hits re-validate against the session
+    * catalog (a recycled identityHashCode after session GC must
+    * rebuild, not serve a dead table name). */
   private val sigIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** All index tables live under ONE tmp root, deterministic per
+    * (dataset, session) so rebuilds overwrite in place instead of
+    * accumulating copies, and the whole root is swept on JVM exit —
+    * the index is a CACHE of a pure function of the dataset, never
+    * durable state this sandbox must keep. */
+  private lazy val sigIndexRoot: java.io.File = {
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_sig_idx")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(root)))
+    root
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   /** The PERSISTED dedup signature index — every current dedup query
     * recomputes signatures from the corpus per run; this is the
@@ -746,23 +770,36 @@ object SimilarityQueries extends QueryModule {
     * re-shingle it (plan-pinned in PlanContractSpec).
     */
   private[graft] def signatureIndex(s: SparkSession, dir: String): DataFrame = {
-    val key = s"$dir@${new java.io.File(s"$dir/documents.parquet").lastModified()}" +
-      s"@$IncrementalCutoff@${System.identityHashCode(s)}"
-    val tbl = sigIndexCache.getOrElseUpdate(key, {
-      val name = s"graft_sig_idx_${java.lang.Long.toHexString(
-        key.hashCode.toLong & 0xffffffffL)}_${java.lang.Long.toHexString(System.nanoTime())}"
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    // A missing dataset would key the cache on the lastModified()==0
+    // sentinel and cache the failure forever — fail loudly instead.
+    require(docsFile.exists(),
+      s"signatureIndex: $docsFile does not exist")
+    val dataKey = java.lang.Long.toHexString(
+      s"$dir@${docsFile.lastModified()}@$IncrementalCutoff".hashCode.toLong
+        & 0xffffffffL)
+    val sessKey = java.lang.Long.toHexString(
+      System.identityHashCode(s).toLong & 0xffffffffL)
+    val cacheKey = s"$dataKey@$sessKey"
+    val name = s"graft_sig_idx_${dataKey}_$sessKey"
+    val valid = sigIndexCache.get(cacheKey).filter(t => s.catalog.tableExists(t))
+    val tbl = valid.getOrElse {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path) // rebuilds overwrite in place, never accumulate
+      s.sql(s"DROP TABLE IF EXISTS $name")
       val corpus = t(s, dir, "documents")
         .filter(col("doc_id") < IncrementalCutoff)
         .select(col("doc_id"), col("text"))
       bandsOf(minhashFrameFrom(shinglesOf(corpus, MaxShingleDf)))
         .repartition(32, col("band"), col("sig"))
         .write.mode("overwrite")
-        .option("path", s"${sys.props("java.io.tmpdir")}/graft_sig_idx/$name")
+        .option("path", path.getPath)
         .bucketBy(32, "band", "sig")
         .sortBy("band", "sig")
         .saveAsTable(name)
+      sigIndexCache.put(cacheKey, name)
       name
-    })
+    }
     s.table(tbl)
   }
 

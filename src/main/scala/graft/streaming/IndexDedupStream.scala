@@ -4,20 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Streaming dedup against the PERSISTED signature index — the
+/** Streaming dedup against a PERSISTED signature index — the
   * continuous twin of `q_dedup_incremental`: documents arrive as an
   * NDJSON stream, each micro-batch computes its band signatures as a
   * PURE PROJECTION (SimilarityQueries.bandProjection — array HOFs, no
   * aggregation, hence no streaming state and no watermark needed) and
   * equi-joins the static bucketed index on (band, sig).
   *
+  * INDEX CONTRACT: the index must be built with the SAME signature
+  * construction as the stream side — i.e. bandProjection semantics
+  * (uncapped shingle set; IncrementalIndexSpec pins projection ==
+  * batch-aggregation signatures and append-only maintenance of the
+  * bucketed table). Do NOT pair this stream with
+  * `SimilarityQueries.signatureIndex`: that table is built with the
+  * MaxShingleDf hot-shingle cap (the batch query's declared
+  * per-batch-cap semantics), so a boilerplate-heavy duplicate —
+  * whose hot shingles the cap dropped from the index side but not
+  * from the stream side — could hash past its corpus twin and go
+  * unflagged.
+  *
   * Scale shape: the stream side shuffles only its own (tiny)
-  * micro-batch on the band key; the index side is the same bucketed
-  * scan the batch path pins (no exchange); state is ZERO — the only
-  * long-lived artifact is the index table itself, which the batch
-  * pipeline appends to (IncrementalIndexSpec pins append-only
-  * maintenance). This is how a 100 TB corpus deduplicates a live feed
-  * without ever re-reading itself.
+  * micro-batch on the band key; the index side is a bucketed scan
+  * (no exchange); state is ZERO — the only long-lived artifact is
+  * the index table, maintained by appending each signed batch. This
+  * is how a 100 TB corpus deduplicates a live feed without ever
+  * re-reading itself.
   */
 object IndexDedupStream {
 

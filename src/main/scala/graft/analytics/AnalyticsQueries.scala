@@ -1800,6 +1800,53 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY lift_r DESC, x, y LIMIT 25""")
   )
 
+  /** EQUI-DEPTH histogram (each bucket holds ~the same row mass) —
+    * the complement of q_histogram's equi-width buckets and the shape
+    * optimizers build column statistics from. Decile boundaries come
+    * from ONE distributed percentile aggregate broadcast back as a
+    * map-side CASE (the q_rfm idiom — never a global ntile window,
+    * which would single-task the whole table); bucket ids and counts
+    * are pure integers, so the oracle compare has no float boundary
+    * (the percentile-interpolation parity with quantile_cont is the
+    * same contract q_percentile/q_rfm already pin).
+    */
+  val histogramEqDepth = Q(
+    "q_histogram_eqdepth",
+    (s, dir) => {
+      val cuts = t(s, dir, "orders").groupBy().agg(
+        expr("percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D," +
+          "0.6D,0.7D,0.8D,0.9D))").as("qs"))
+      t(s, dir, "orders")
+        .crossJoin(broadcast(cuts))
+        .select((lit(1) +
+          (1 to 9).map(i =>
+            when(col("o_totalprice") > element_at(col("qs"), i), 1).otherwise(0))
+            .reduce(_ + _)).cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT quantile_cont(o_totalprice,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM orders),
+      b AS (
+        SELECT CAST(1
+          + (CASE WHEN o_totalprice > qs[1] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[2] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[3] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[4] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[5] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[6] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[7] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[8] THEN 1 ELSE 0 END)
+          + (CASE WHEN o_totalprice > qs[9] THEN 1 ELSE 0 END)
+          AS BIGINT) AS bucket
+        FROM orders CROSS JOIN c)
+      SELECT bucket, count(*) AS n FROM b GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Bloom-pruned fact join — the pre-shuffle pruning pattern behind
     * every selective dim⋈fact at 100 TB (and behind Spark's own
     * runtime row-level filters, whose exact expressions this query
@@ -1857,5 +1904,5 @@ object AnalyticsQueries extends QueryModule {
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
-    modeQ, bloomPrune)
+    modeQ, bloomPrune, histogramEqDepth)
 }

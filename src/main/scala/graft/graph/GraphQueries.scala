@@ -168,5 +168,34 @@ object GraphQueries extends QueryModule {
       FROM ne CROSS JOIN wg CROSS JOIN tr""")
   )
 
-  override def all: Seq[Q] = Seq(pagerank, triangles)
+  /** Degree distribution of the supplier–part co-purchase graph (the
+    * same bipartite edge construction q_pagerank iterates on) — the
+    * first thing anyone computes on a new graph: is it power-law-ish,
+    * where's the hub tail, do the skew guards matter. Exact integer
+    * census of a census (degree per node, then nodes per degree), two
+    * keyed aggregations, nothing else; distinct degree values are
+    * bounded far below node count, so the second aggregate is tiny at
+    * any scale.
+    */
+  val degreeDist = Q(
+    "q_degree_dist",
+    (s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val deg = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a")).agg(count(lit(1)).as("d"))
+      deg.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("d"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem),
+      edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a)
+      SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d""")
+  )
+
+  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist)
 }

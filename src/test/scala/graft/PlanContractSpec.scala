@@ -147,6 +147,17 @@ class PlanContractSpec extends AnyFunSuite {
                                // frame + final sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
+    "q_dedup_incremental" -> 3, // index bucketed scan (no exchange) + checkpointed
+                               // batch sigs; the two pair aggs re-key on (id1,id2)
+                               // and the union sorts — 3 exchanges, none of them
+                               // ever carrying the corpus
+    "q_bloom_prune" -> 7,      // bloom build (scalar subquery, single-partition) ×
+                               // inlined twice statically + pair agg + final sort;
+                               // the fact side prunes map-side BELOW its exchange
+    "q_histogram_eqdepth" -> 3, // ONE percentile aggregate broadcast back as
+                               // map-side CASE buckets + bucket agg + sort
+    "q_degree_dist" -> 6,      // distinct edge subtree ×2 statically (AQE reuses
+                               // the exchange) + degree agg + census agg + sort
     "q_basket" -> 9)           // checkpointed capped-items frame (distinct + MaxBasketItems
                                // anti-join materialized once) + self-join on order key +
                                // pair/item/total aggs + catalog-sized dim joins; TakeOrdered

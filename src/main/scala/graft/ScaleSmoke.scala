@@ -62,7 +62,8 @@ object ScaleSmoke {
       "q_minhash_est","q_dedup_keep_best","q_bpe_apply","q_knn_graph",
       "q_countmin","q_dupe_stats",
       "q_dedup_incremental","q_video_meta",
-      "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill")
+      "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill",
+      "q_bfs","q_degree_dist")
       .foreach(time)
     spark.stop()
   }

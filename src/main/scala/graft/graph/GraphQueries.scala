@@ -197,5 +197,56 @@ object GraphQueries extends QueryModule {
       SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d""")
   )
 
-  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist)
+  /** BFS hop distance from a source node over the co-purchase graph —
+    * the traversal primitive (reachability, "within N hops"
+    * recommendations, blast-radius queries) that pagerank/components
+    * don't cover. Frontier-at-a-time dataflow: each round joins ONLY
+    * the newly-reached frontier against the edge list and anti-joins
+    * the visited set, so per-round work is O(frontier × avg-degree) —
+    * never all paths (the naive path-enumeration blow-up is the graph
+    * twin of the basket pair explosion). Fixed 6 rounds, no
+    * convergence action: an emptied frontier makes later rounds
+    * no-ops, and LAZY checkpoints keep the loop out of the visible
+    * plan (the q_pagerank idiom). Oracle: DuckDB recursive CTE with
+    * the same hop cap, min-hop per node — an independent algorithm
+    * (path enumeration + dedup) that must land on the same distances.
+    */
+  val bfs = Q(
+    "q_bfs",
+    (s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint(false)
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      var dist = Seq((2L, 0L)).toDF("n", "hops").localCheckpoint(false)
+      var frontier = dist
+      for (r <- 1 to 6) {
+        val next = frontier
+          .join(edges, frontier("n") === edges("src"))
+          .select(col("dst").as("n"), lit(r.toLong).as("hops"))
+          .distinct()
+          .join(dist, Seq("n"), "left_anti")
+          .localCheckpoint(false)
+        dist = dist.union(next).localCheckpoint(false)
+        frontier = next
+      }
+      dist.orderBy(col("n"))
+    },
+    Some("""
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        FROM lineitem),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      bfs(n, hops) AS (
+        SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, b.hops + 1
+        FROM bfs b JOIN edges e ON e.src = b.n
+        WHERE b.hops < 6)
+      SELECT n, min(hops) AS hops FROM bfs GROUP BY n ORDER BY n""")
+  )
+
+  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist, bfs)
 }

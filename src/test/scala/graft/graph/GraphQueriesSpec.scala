@@ -66,6 +66,24 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(row._3 == tris, "triangle count")
   }
 
+  test("q_bfs: distances match a sequential in-JVM BFS over the same edges") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (li ++ li.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // textbook queue BFS from node 2, capped at 6 hops like the query
+    val seen = scala.collection.mutable.Map(2L -> 0L)
+    var frontier = Set(2L)
+    for (h <- 1L to 6L) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen.keySet
+      frontier.foreach(seen(_) = h)
+    }
+    val got = GraphQueries.bfs.run(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === seen.toMap, "frontier dataflow diverged from sequential BFS")
+  }
+
   test("q_pagerank: ranks are valid probabilities (25 rows, each in (0,1), sum < 1)") {
     val ranks = GraphQueries.pagerank.run(spark, dir).as[(Long, Double)].collect()
     assert(ranks.length == 25)

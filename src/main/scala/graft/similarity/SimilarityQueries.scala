@@ -542,14 +542,19 @@ object SimilarityQueries extends QueryModule {
       .union(e0.select(col("b"), col("a")))
       .toDF("src", "dst")
       .localCheckpoint(true) // computed once, reused every round
-    // Identity labels stay LAZY: round 1 reads them twice (message join
-    // + union) but that's two scans of a trivial projection, cheaper
-    // than an up-front materialization job; every later round reads the
-    // previous round's checkpoint. An edge-free graph (dup-free corpus)
-    // needs no special case — round 1 finds zero decreases and the loop
-    // exits after that single job.
-    var labels = nodes.toDF("n")
-      .select(col("n"), col("n").as("lbl"))
+    // The loop propagates over EDGE-INCIDENT nodes only: a singleton
+    // (no edges — the overwhelming majority of a real corpus, where
+    // dup clusters are a tiny fraction) receives no messages and its
+    // label never decreases, so shuffling its identity row through
+    // every round is pure waste — at 100 TB it would dominate the
+    // round cost. Singletons rejoin as lbl = n at the end (provably
+    // what the loop would have produced). Round 1 reads the seed
+    // twice (message join + union) but that's two scans of a bounded
+    // projection; every later round reads the previous checkpoint.
+    // An edge-free graph needs no special case — the seed is empty,
+    // round 1 finds zero decreases and the loop exits.
+    val touched = sym.select(col("src").as("n")).distinct()
+    var labels = touched.select(col("n"), col("n").as("lbl"))
     var converged = false
     var round = 0
     while (!converged && round < 20) {
@@ -616,7 +621,11 @@ object SimilarityQueries extends QueryModule {
     require(converged,
       "labelComponents: did not converge within 20 shortcutted rounds " +
         "(diameter > ~2^16?) — refusing to return split components")
-    labels
+    // Singletons come back as their own label; edge-incident nodes take
+    // the converged cluster label.
+    nodes.toDF("n")
+      .join(labels.select(col("n"), col("lbl")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("lbl"), col("n")).as("lbl"))
   }
 
   /** Near-duplicate CLUSTERS — connected components over the MinHash

@@ -300,6 +300,33 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scans == 1, s"q_substr_dedup: $scans FileScans (want 1)\n$plan")
   }
 
+  test("hot projection queries stay inside WholeStageCodegen (custom expressions included)") {
+    // The codegen mandate: per-row work must compile into the fused
+    // loop, not fall back to interpreted eval. CodegenMode explain
+    // reports the subtree count; zero means the whole query dropped
+    // out of codegen (e.g. a custom Expression losing its doGenCode
+    // path would do exactly that silently). AQE defers codegen
+    // collapse to runtime stages, so the contract builds with AQE off.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def cgOf(n: String): String = SparkEntry.queries(n)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      Seq("q_pii_scrub", "q_text_normalize", "q_rolling_hash", "q_text_tokens",
+        "q_embed_quant").foreach { n =>
+        val found = "Found (\\d+) WholeStageCodegen subtrees".r
+          .findFirstMatchIn(cgOf(n)).map(_.group(1).toInt)
+        assert(found.exists(_ >= 1),
+          s"$n: no WholeStageCodegen subtree — per-row work fell out of codegen")
+      }
+      // and the two native expressions really emit generated code
+      assert(cgOf("q_text_normalize").contains("graft.functions.NfcNormalize.normalize"),
+        "graft_nfc's doGenCode output missing from the generated code")
+      assert(cgOf("q_rolling_hash").toLowerCase.contains("rollinghash("),
+        "graft_roll's RollingHash expression not present in the codegen'd plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_lang_id tokenizes once — a single regex split survives optimization") {
     val optimized = SparkEntry.queries("q_lang_id")(spark, dir)
       .queryExecution.optimizedPlan.toString

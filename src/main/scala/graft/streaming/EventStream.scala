@@ -112,4 +112,36 @@ object EventStream {
         (col("c_ts").cast("double") - col("v_ts").cast("double"))
           .as("lag_sec"))
   }
+
+  /** Stream-stream LEFT OUTER interval join — the conversion-funnel
+    * completion of [[clickAfterView]]: every view is emitted exactly
+    * once, matched rows as soon as the click arrives, UNMATCHED views
+    * only once the watermark proves no in-window click can still come
+    * (null click columns). That deferred-null emission is the semantic
+    * that separates outer stream joins from inner ones: correctness
+    * depends on event time having PASSED, so rows for quiet users
+    * appear exactly one watermark-delay after their window closes —
+    * the standard abandonment/no-conversion feed. State stays bounded
+    * by the same rate × (watermark + interval) argument as the inner
+    * join.
+    */
+  def viewOutcomes(spark: SparkSession, viewDir: String, clickDir: String): DataFrame = {
+    def src(d: String, side: String): DataFrame =
+      spark.readStream.schema(eventSchema).json(d)
+        .select(
+          col("event_id").as(s"${side}_id"),
+          col("user_id").as(s"${side}_user"),
+          col("ts").as(s"${side}_ts"))
+        .withWatermark(s"${side}_ts", "2 minutes")
+    src(viewDir, "v").join(
+      src(clickDir, "c"),
+      expr("""v_user = c_user AND
+              c_ts >= v_ts AND
+              c_ts <= v_ts + interval 10 minutes"""),
+      "leftOuter")
+      .select(
+        col("v_id"), col("v_user").as("user_id"), col("v_ts"),
+        col("c_id"),
+        when(col("c_id").isNotNull, 1L).otherwise(0L).as("converted"))
+  }
 }

@@ -128,6 +128,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched views emit with nulls AFTER the watermark passes") {
+    val vdir = Files.createTempDirectory("ssjo_views").toString
+    val cdir = Files.createTempDirectory("ssjo_clicks").toString
+    // view 50 converts (click 60 in-window); view 51 never converts
+    Files.write(Paths.get(vdir, "b1.json"), Seq(
+      """{"event_id":50,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":51,"ts":"2024-01-01T10:01:00.000Z","user_id":2,"event_type":"view","value":1.0}"""
+    ).mkString("\n").getBytes)
+    Files.write(Paths.get(cdir, "b1.json"), Seq(
+      """{"event_id":60,"ts":"2024-01-01T10:05:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.viewOutcomes(spark, vdir, cdir)
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.sql("SELECT v_id FROM ssjo WHERE c_id IS NULL").count()
+      assert(early === 0L,
+        "an unmatched view must NOT emit before the watermark proves no click can come")
+      // advance event time far past view 51's window + watermark on
+      // BOTH sides (the join watermark is the min across inputs)
+      Files.write(Paths.get(vdir, "b2.json"), Seq(
+        """{"event_id":52,"ts":"2024-01-01T11:00:00.000Z","user_id":3,"event_type":"view","value":1.0}"""
+      ).mkString("\n").getBytes)
+      Files.write(Paths.get(cdir, "b2.json"), Seq(
+        """{"event_id":61,"ts":"2024-01-01T11:00:00.000Z","user_id":9,"event_type":"click","value":1.0}"""
+      ).mkString("\n").getBytes)
+      q.processAllAvailable()
+      q.processAllAvailable() // extra no-data batch flushes expired state
+      val rows = spark.sql(
+        "SELECT v_id, c_id, converted FROM ssjo WHERE v_id IN (50, 51) ORDER BY v_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+      assert(rows.toSeq === Seq(
+        (50L, Some(60L), 1L),
+        (51L, None, 0L)),
+        "view 50 converts; view 51 emits null-click exactly once after expiry")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: a click preceded by TWO in-window views emits both rows") {
     val vdir = Files.createTempDirectory("ssj2_views").toString
     val cdir = Files.createTempDirectory("ssj2_clicks").toString

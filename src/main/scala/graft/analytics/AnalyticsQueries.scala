@@ -1828,7 +1828,11 @@ object AnalyticsQueries extends QueryModule {
     },
     Some("""
       WITH c AS (
-        SELECT quantile_cont(o_totalprice,
+        -- CAST to DOUBLE first: quantile_cont over a DECIMAL column
+        -- returns cents-rounded DECIMAL cuts, which can flip a strict
+        -- '>' bucket decision vs Spark's full-precision percentile
+        -- (same parity rule as the q_rfm oracle)
+        SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
                  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
         FROM orders),
       b AS (

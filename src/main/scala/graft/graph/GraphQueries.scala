@@ -19,6 +19,26 @@ import graft.util.Tables._
   */
 object GraphQueries extends QueryModule {
 
+  /** THE graph this module runs on: the supplier–part co-purchase
+    * bipartite edge list (distinct lineitem pairs; node id = 2·suppkey
+    * / 2·partkey+1 so both key spaces share one BIGINT domain),
+    * directed one way — consumers symmetrize map-side. One definition
+    * (plus [[coPurchaseEdgesSql]], its oracle twin) for pagerank,
+    * degree distribution and BFS, so the node encoding can never
+    * drift between queries. Lazily checkpointed: each consumer
+    * materializes the distinct scan once.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+
+  /** Oracle twin of [[coPurchaseEdges]]: CTE `e0(a, b)`. */
+  private val coPurchaseEdgesSql = """e0 AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem)"""
+
   /** PageRank (damping 0.85, 3 fixed iterations) on the undirected
     * supplier↔part co-purchase graph (distinct lineitem pairs; node id
     * = 2·suppkey / 2·partkey+1 so both key spaces share one BIGINT
@@ -43,10 +63,7 @@ object GraphQueries extends QueryModule {
   val pagerank = Q(
     "q_pagerank",
     (s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-        .distinct()
-        .localCheckpoint(false) // ONE distinct scan (lazy; materialized by first use); union is map-side
+      val e0 = coPurchaseEdges(s, dir)
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
       val n = deg.groupBy().agg(count(lit(1)).as("n_nodes"))
@@ -70,10 +87,8 @@ object GraphQueries extends QueryModule {
         .orderBy(col("rank_r").desc, col("node"))
         .limit(25)
     },
-    Some("""
-      WITH e0 AS (
-        SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
-        FROM lineitem),
+    Some(s"""
+      WITH $coPurchaseEdgesSql,
       edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
       deg AS (SELECT a, count(*) AS outdeg FROM edges GROUP BY a),
       n AS (SELECT count(*) AS n_nodes FROM deg),
@@ -180,18 +195,14 @@ object GraphQueries extends QueryModule {
   val degreeDist = Q(
     "q_degree_dist",
     (s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-        .distinct()
+      val e0 = coPurchaseEdges(s, dir)
       val deg = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .groupBy(col("a")).agg(count(lit(1)).as("d"))
       deg.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("d"))
     },
-    Some("""
-      WITH e0 AS (
-        SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
-        FROM lineitem),
+    Some(s"""
+      WITH $coPurchaseEdgesSql,
       edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
       deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a)
       SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d""")
@@ -215,10 +226,7 @@ object GraphQueries extends QueryModule {
     "q_bfs",
     (s, dir) => {
       import s.implicits._
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-        .localCheckpoint(false)
+      val e0 = coPurchaseEdges(s, dir).toDF("src", "dst")
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       var dist = Seq((2L, 0L)).toDF("n", "hops").localCheckpoint(false)
       var frontier = dist
@@ -229,16 +237,18 @@ object GraphQueries extends QueryModule {
           .distinct()
           .join(dist, Seq("n"), "left_anti")
           .localCheckpoint(false)
-        dist = dist.union(next).localCheckpoint(false)
+        // dist stays a PLAIN union of checkpointed frontiers — each
+        // member is its own shallow checkpoint scan, so re-truncating
+        // the cumulative set would just rewrite every reached row once
+        // per round (O(rounds × reached) I/O for nothing)
+        dist = dist.union(next)
         frontier = next
       }
       dist.orderBy(col("n"))
     },
-    Some("""
-      WITH RECURSIVE e0 AS (
-        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-        FROM lineitem),
-      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    Some(s"""
+      WITH RECURSIVE $coPurchaseEdgesSql,
+      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
       bfs(n, hops) AS (
         SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
         UNION

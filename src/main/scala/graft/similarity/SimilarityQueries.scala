@@ -622,8 +622,11 @@ object SimilarityQueries extends QueryModule {
       "labelComponents: did not converge within 20 shortcutted rounds " +
         "(diameter > ~2^16?) — refusing to return split components")
     // Singletons come back as their own label; edge-incident nodes take
-    // the converged cluster label.
-    nodes.toDF("n")
+    // the converged cluster label. The distinct restores the one-row-
+    // per-node invariant the old identity seed got for free from its
+    // round-1 groupBy — a caller passing a duplicated node id must not
+    // get it labeled twice.
+    nodes.toDF("n").distinct()
       .join(labels.select(col("n"), col("lbl")), Seq("n"), "left")
       .select(col("n"), coalesce(col("lbl"), col("n")).as("lbl"))
   }

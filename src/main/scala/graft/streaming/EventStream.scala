@@ -93,15 +93,21 @@ object EventStream {
     * argument as the batch as-of join (q_asof_join); the interval
     * filter runs inside the join, so nothing buffers past the horizon.
     */
+  /** One side of the interval joins below: schema'd NDJSON stream,
+    * per-side column renames, the shared 2-minute watermark. Both
+    * joins are documented as twins over the same feeds — one source
+    * builder keeps their watermark/schema in lockstep. */
+  private def intervalSource(spark: SparkSession, d: String, side: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(d)
+      .select(
+        col("event_id").as(s"${side}_id"),
+        col("user_id").as(s"${side}_user"),
+        col("ts").as(s"${side}_ts"),
+        col("value").as(s"${side}_value"))
+      .withWatermark(s"${side}_ts", "2 minutes")
+
   def clickAfterView(spark: SparkSession, viewDir: String, clickDir: String): DataFrame = {
-    def src(d: String, side: String): DataFrame =
-      spark.readStream.schema(eventSchema).json(d)
-        .select(
-          col("event_id").as(s"${side}_id"),
-          col("user_id").as(s"${side}_user"),
-          col("ts").as(s"${side}_ts"),
-          col("value").as(s"${side}_value"))
-        .withWatermark(s"${side}_ts", "2 minutes")
+    def src(d: String, side: String): DataFrame = intervalSource(spark, d, side)
     src(viewDir, "v").join(
       src(clickDir, "c"),
       expr("""v_user = c_user AND
@@ -114,11 +120,15 @@ object EventStream {
   }
 
   /** Stream-stream LEFT OUTER interval join — the conversion-funnel
-    * completion of [[clickAfterView]]: every view is emitted exactly
-    * once, matched rows as soon as the click arrives, UNMATCHED views
-    * only once the watermark proves no in-window click can still come
-    * (null click columns). That deferred-null emission is the semantic
-    * that separates outer stream joins from inner ones: correctness
+    * completion of [[clickAfterView]]: a view with in-window clicks
+    * emits one row PER MATCHING CLICK as each click arrives (the same
+    * fan-out contract as the inner join — a per-view top-1 would
+    * re-introduce the ordering state the interval join avoids; an
+    * exactly-one-row-per-view consumer aggregates max(converted) by
+    * v_id downstream). A view with NO in-window click emits exactly
+    * one null-click row, and only once the watermark proves no click
+    * can still come. That deferred-null emission is the semantic that
+    * separates outer stream joins from inner ones: correctness
     * depends on event time having PASSED, so rows for quiet users
     * appear exactly one watermark-delay after their window closes —
     * the standard abandonment/no-conversion feed. State stays bounded
@@ -126,13 +136,7 @@ object EventStream {
     * join.
     */
   def viewOutcomes(spark: SparkSession, viewDir: String, clickDir: String): DataFrame = {
-    def src(d: String, side: String): DataFrame =
-      spark.readStream.schema(eventSchema).json(d)
-        .select(
-          col("event_id").as(s"${side}_id"),
-          col("user_id").as(s"${side}_user"),
-          col("ts").as(s"${side}_ts"))
-        .withWatermark(s"${side}_ts", "2 minutes")
+    def src(d: String, side: String): DataFrame = intervalSource(spark, d, side)
     src(viewDir, "v").join(
       src(clickDir, "c"),
       expr("""v_user = c_user AND

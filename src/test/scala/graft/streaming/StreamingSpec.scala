@@ -131,13 +131,15 @@ class StreamingSpec extends AnyFunSuite {
   test("left-outer interval join: unmatched views emit with nulls AFTER the watermark passes") {
     val vdir = Files.createTempDirectory("ssjo_views").toString
     val cdir = Files.createTempDirectory("ssjo_clicks").toString
-    // view 50 converts (click 60 in-window); view 51 never converts
+    // view 50 converts TWICE (clicks 60 + 62 in-window — the per-click
+    // fan-out the contract documents); view 51 never converts
     Files.write(Paths.get(vdir, "b1.json"), Seq(
       """{"event_id":50,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
       """{"event_id":51,"ts":"2024-01-01T10:01:00.000Z","user_id":2,"event_type":"view","value":1.0}"""
     ).mkString("\n").getBytes)
     Files.write(Paths.get(cdir, "b1.json"), Seq(
-      """{"event_id":60,"ts":"2024-01-01T10:05:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+      """{"event_id":60,"ts":"2024-01-01T10:05:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":62,"ts":"2024-01-01T10:07:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
     ).mkString("\n").getBytes)
     val q = EventStream.viewOutcomes(spark, vdir, cdir)
       .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
@@ -157,12 +159,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       q.processAllAvailable() // extra no-data batch flushes expired state
       val rows = spark.sql(
-        "SELECT v_id, c_id, converted FROM ssjo WHERE v_id IN (50, 51) ORDER BY v_id")
+        "SELECT v_id, c_id, converted FROM ssjo WHERE v_id IN (50, 51) ORDER BY v_id, c_id")
         .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
       assert(rows.toSeq === Seq(
         (50L, Some(60L), 1L),
+        (50L, Some(62L), 1L),
         (51L, None, 0L)),
-        "view 50 converts; view 51 emits null-click exactly once after expiry")
+        "view 50 fans out per matching click; view 51 emits null-click " +
+          "exactly once after expiry")
     } finally q.stop()
   }
 

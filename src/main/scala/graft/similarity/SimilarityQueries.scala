@@ -919,6 +919,55 @@ object SimilarityQueries extends QueryModule {
       ORDER BY id1, id2""")
   )
 
+  /** Exact-collapse → near-dup funnel — the production dedup
+    * COMPOSITION, and the answer to the one quadratic path candidate
+    * generation cannot avoid on its own: a viral document duplicated
+    * k times puts k identical signatures in one (band, sig) bucket,
+    * and those C(k,2) candidate pairs are REAL pairs — no cap may
+    * drop them. So exact duplicates collapse FIRST (one md5 hash
+    * aggregation, the q_dedup shape) to a minimum-id representative
+    * carrying its multiplicity, and only representatives — each
+    * unique text exactly once — enter the shingle/minhash path.
+    * Band-bucket fan-out is then bounded by NEAR-dup (not exact-dup)
+    * cluster sizes, and the multiplicities ride the output so
+    * downstream keep/drop decisions still weigh the full corpus.
+    * Oracle: the same funnel in CTEs (the parameterized shingle
+    * pipeline filtered to representatives by subquery predicate).
+    */
+  val dedupFunnel = Q(
+    "q_dedup_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reps = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mult"))
+        .localCheckpoint(true) // feeds the rep filter + both mult joins
+      val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val pairs = pairsFromMh(minhashFrameFrom(shinglesOf(repDocs, MaxShingleDf)))
+      pairs
+        .join(reps.select(col("doc_id").as("id1"), col("mult").as("mult1")), Seq("id1"))
+        .join(reps.select(col("doc_id").as("id2"), col("mult").as("mult2")), Seq("id2"))
+        .select(col("id1"), col("id2"), col("n_bands"), col("mult1"), col("mult2"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      WITH rep0 AS (
+        SELECT md5(text) AS h, min(doc_id) AS rep, count(*) AS mult
+        FROM documents GROUP BY 1),
+      ${shinglesSqlFor("_r", "doc_id IN (SELECT rep FROM rep0)")},
+      ${mhBandSqlFor("_r")},
+      p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_bands
+        FROM band_r a
+        JOIN band_r b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, n_bands, ra.mult AS mult1, rb.mult AS mult2
+      FROM p
+      JOIN rep0 ra ON ra.rep = id1
+      JOIN rep0 rb ON rb.rep = id2
+      ORDER BY id1, id2""")
+  )
+
   /** SimHash — 16-bit signature: each token votes ±1 on each bit of its
     * md5-derived hash; bit b of the signature is the sign of the vote
     * sum. Integer votes → order-independent aggregation, exact at any
@@ -1680,5 +1729,5 @@ object SimilarityQueries extends QueryModule {
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
-      dedupKeepBest, dedupIncremental, embedQuant)
+      dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant)
 }

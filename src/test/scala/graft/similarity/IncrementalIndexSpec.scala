@@ -65,6 +65,37 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("q_dedup_funnel: a viral exact-dup cluster collapses BEFORE candidate generation") {
+    // 200 byte-identical copies of one text would make C(200,2)=19,900
+    // REAL candidate pairs in any banded near-dup pass — no cap may
+    // drop them, so the funnel must collapse them to ONE representative
+    // first. Planted: 200 copies + 2 near-dup (not exact) texts.
+    val viral = (0L until 200L).map(i =>
+      (i, "the same viral boilerplate text repeated verbatim everywhere"))
+    val near = Seq(
+      (500L, "a quite distinct document about entirely other things one two three"),
+      (501L, "a quite distinct document about entirely other things one two four"))
+    val dir = Files.createTempDirectory("funnel").toString
+    (viral ++ near).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SimilarityQueries.dedupFunnel.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the viral cluster contributes ZERO pairs (one representative),
+    // and the near-dup pair survives with multiplicities 1/1
+    assert(rows.forall { case (id1, id2, _, _, _) => id1 >= 500L && id2 >= 500L },
+      s"viral representatives must not pair with themselves: $rows")
+    assert(rows.exists { case (id1, id2, _, m1, m2) =>
+      id1 == 500L && id2 == 501L && m1 == 1L && m2 == 1L },
+      s"the near-dup pair must survive the funnel: $rows")
+    // and the representative census is visible: mult of doc 0 == 200
+    val reps = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(col("text"))).agg(min("doc_id"), count(lit(1)))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(reps(0L) === 200L)
+  }
+
   test("streaming dedup against the index: duplicates flagged, novel docs pass, zero state") {
     // Tiny corpus -> index; stream one exact duplicate and one novel
     // doc; the dup must collide with its corpus twin in all 4 bands,

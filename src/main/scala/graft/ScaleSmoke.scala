@@ -63,7 +63,7 @@ object ScaleSmoke {
       "q_countmin","q_dupe_stats",
       "q_dedup_incremental","q_video_meta",
       "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill",
-      "q_bfs","q_degree_dist")
+      "q_bfs","q_degree_dist","q_dedup_funnel")
       .foreach(time)
     spark.stop()
   }

@@ -506,6 +506,63 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Interval-OVERLAP join between two LARGE interval sets — distinct
+    * from [[rangeJoin]]'s point-in-broadcast-bucket shape: both sides
+    * here are intervals and neither broadcasts at scale. The
+    * distributed form is GRID BLOCKING: each interval explodes to the
+    * coarse cells (months) it covers, candidates meet by cell
+    * equi-join, the exact overlap predicate filters, and each pair
+    * reports from exactly ONE cell — the month of its overlap start
+    * (`cell == month(greatest(slo, lo))`) — the dedup-FREE form of
+    * grid blocking: no pair-distinct shuffle, and right-side rows
+    * that are genuine duplicates (this synthetic lineitem has no
+    * unique key) count once per row, exactly like the oracle's
+    * direct join. Σ per-cell work, never |L|×|R|. (The oracle runs the textbook quadratic
+    * predicate join — two different algorithms, same counts.) Left
+    * side: sampled order fulfilment windows (30 days); right side:
+    * every lineitem's ship + 14-day delivery interval.
+    */
+  val intervalJoin = Q(
+    "q_interval_join",
+    (s, dir) => {
+      val left = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("lkey"),
+          col("o_orderdate").cast("date").as("lo"),
+          date_add(col("o_orderdate").cast("date"), 30).as("hi"))
+      val right = t(s, dir, "lineitem")
+        .select(
+          col("l_shipdate").cast("date").as("slo"),
+          date_add(col("l_shipdate").cast("date"), 14).as("shi"))
+      def cells(lo: Column, hi: Column): Column =
+        explode(sequence(
+          date_trunc("month", lo), date_trunc("month", hi),
+          expr("interval 1 month")))
+      val lc = left.select(col("lkey"), col("lo"), col("hi"),
+        cells(col("lo"), col("hi")).as("cell"))
+      val rc = right.select(col("slo"), col("shi"),
+        cells(col("slo"), col("shi")).as("cell"))
+      lc.join(rc, Seq("cell"))
+        .filter(col("slo") <= col("hi") && col("shi") >= col("lo"))
+        .filter(col("cell") ===
+          date_trunc("month", greatest(col("slo"), col("lo"))))
+        .groupBy(col("lkey"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("lkey"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT o_orderkey AS lkey,
+               CAST(o_orderdate AS DATE) AS lo,
+               CAST(o_orderdate AS DATE) + 30 AS hi
+        FROM orders WHERE o_orderkey % 1000 = 0)
+      SELECT lkey, count(*) AS n_overlap
+      FROM l JOIN lineitem
+        ON CAST(l_shipdate AS DATE) <= hi
+       AND CAST(l_shipdate AS DATE) + 14 >= lo
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Exact percentiles (median + p90) per group — order statistics with
     * linear interpolation (Spark `percentile` ≡ DuckDB `quantile_cont`).
     * Deterministic: an order statistic of a fixed multiset doesn't
@@ -1908,5 +1965,5 @@ object AnalyticsQueries extends QueryModule {
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
-    modeQ, bloomPrune, histogramEqDepth)
+    modeQ, bloomPrune, histogramEqDepth, intervalJoin)
 }

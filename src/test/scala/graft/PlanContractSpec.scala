@@ -154,6 +154,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q_bloom_prune" -> 7,      // bloom build (scalar subquery, single-partition) ×
                                // inlined twice statically + pair agg + final sort;
                                // the fact side prunes map-side BELOW its exchange
+    "q_interval_join" -> 4,    // month-cell explode is map-side both sides; cell
+                               // equi-join (sampled left broadcasts under AQE;
+                               // statically 2) + per-order agg + final sort
     "q_histogram_eqdepth" -> 3, // ONE percentile aggregate broadcast back as
                                // map-side CASE buckets + bucket agg + sort
     "q_degree_dist" -> 6,      // distinct edge subtree ×2 statically (AQE reuses

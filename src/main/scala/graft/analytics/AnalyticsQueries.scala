@@ -1956,6 +1956,157 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Distribution windows — cume_dist + percent_rank of suppliers
+    * within nation by balance band: the "where does this row sit in
+    * its group's distribution" primitive (percentile feeds, score
+    * normalization) that the ranking windows above don't cover. The
+    * banding (floor(bal/1000)) plants real ties, which is where the
+    * two functions differ from rank: cume_dist counts the whole tie
+    * group, percent_rank anchors at its first row. Both are exact
+    * rationals k/n — the IEEE division of two small integers is
+    * identical in any engine, so no rounding shim is needed. One
+    * shuffle on the bounded partition key, same as q_window_rank.
+    */
+  val windowDist = Q(
+    "q_window_dist",
+    (s, dir) => {
+      val balK = floor(col("s_acctbal") / 1000).cast(LongType)
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(balK)
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"), col("s_nationkey"), balK.as("bal_k"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_nationkey,
+             CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_k,
+             cume_dist() OVER (PARTITION BY s_nationkey
+                 ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT)) AS cd,
+             percent_rank() OVER (PARTITION BY s_nationkey
+                 ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT)) AS pr
+      FROM supplier ORDER BY s_suppkey""")
+  )
+
+  /** Benford first-digit census over order totals — the data-quality /
+    * fraud screen run over any freshly-landed financial table: organic
+    * amounts follow log-law digit frequencies, fabricated ones don't.
+    * Digit extraction is INTEGER-SAFE by construction: floor to BIGINT
+    * then staged integer division (never string-formatting the double,
+    * never log10 of the value — both engine-dependent on ulps). The
+    * observed share is scaled-integer ppm via integer division; the
+    * expected Benford share is the only log10 call, on the 9 digit
+    * CONSTANTS, where a last-ulp difference sits ~10³ away from the
+    * floor boundary. Scale shape: one partial-agg shuffle down to ≤9
+    * groups, total rides back as a broadcast scalar.
+    */
+  val benford = Q(
+    "q_benford",
+    (s, dir) => {
+      val tl = col("tl")
+      val digit =
+        when(tl >= 1000000L, floor(tl / 1000000L))
+          .when(tl >= 100000L, floor(tl / 100000L))
+          .when(tl >= 10000L, floor(tl / 10000L))
+          .when(tl >= 1000L, floor(tl / 1000L))
+          .when(tl >= 100L, floor(tl / 100L))
+          .when(tl >= 10L, floor(tl / 10L))
+          .otherwise(tl)
+          .cast(LongType)
+      val counts = t(s, dir, "orders")
+        .select(floor(col("o_totalprice")).cast(LongType).as("tl"))
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(
+          col("digit"), col("n"),
+          expr("(n * 1000000L) DIV total").as("obs_ppm"),
+          floor(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+            * 1000000).cast(LongType).as("exp_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH t AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS tl FROM orders),
+      d AS (
+        SELECT CASE WHEN tl >= 1000000 THEN tl // 1000000
+                    WHEN tl >= 100000 THEN tl // 100000
+                    WHEN tl >= 10000 THEN tl // 10000
+                    WHEN tl >= 1000 THEN tl // 1000
+                    WHEN tl >= 100 THEN tl // 100
+                    WHEN tl >= 10 THEN tl // 10
+                    ELSE tl END AS digit
+        FROM t),
+      c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      tot AS (SELECT sum(n) AS total FROM c)
+      SELECT digit, n,
+             CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+             CAST(floor(log10(1 + CAST(1 AS DOUBLE) / digit) * 1000000)
+                  AS BIGINT) AS exp_ppm
+      FROM c CROSS JOIN tot ORDER BY digit""")
+  )
+
+  /** Gini concentration of customer spend per market segment — the
+    * inequality/concentration metric behind "do 20% of customers carry
+    * 80% of revenue" revenue-risk analyses. Exact-arithmetic form of
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over per-customer spend
+    * sorted ascending: spend routes through DECIMAL cents once and is
+    * then a BIGINT, so ranks, products and both Σ terms are EXACT
+    * integer arithmetic on both engines (no decimal-precision
+    * escalation, which Spark caps at 38 with scale loss) and the one
+    * double division at the end is IEEE-identical. The ranking window
+    * is partitioned by segment (bounded cardinality), never global;
+    * at 100 TB the per-customer pre-aggregate is the only big shuffle.
+    */
+  val gini = Q(
+    "q_gini",
+    (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("x"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("x"), col("c_custkey"))
+      spend
+        .select(col("c_mktsegment"),
+          col("x"), row_number().over(w).cast(LongType).as("i"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("c_mktsegment").as("segment"), col("n_cust"),
+          (col("sx") / 100).cast(DoubleType).as("total_spend"),
+          round((lit(2L) * col("six") - (col("n_cust") + 1) * col("sx"))
+              .cast(DoubleType)
+            / (col("n_cust") * col("sx")).cast(DoubleType), 6).as("gini_r"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      r AS (
+        SELECT c_mktsegment, x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY x, c_custkey) AS i
+        FROM spend),
+      a AS (
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(i * x) AS BIGINT) AS six
+        FROM r GROUP BY 1)
+      SELECT c_mktsegment AS segment, n_cust,
+             CAST(sx AS DOUBLE) / 100 AS total_spend,
+             round(CAST(2 * six - (n_cust + 1) * sx AS DOUBLE)
+                   / CAST(n_cust * sx AS DOUBLE), 6) AS gini_r
+      FROM a ORDER BY segment""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -1965,5 +2116,6 @@ object AnalyticsQueries extends QueryModule {
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
-    modeQ, bloomPrune, histogramEqDepth, intervalJoin)
+    modeQ, bloomPrune, histogramEqDepth, intervalJoin,
+    windowDist, benford, gini)
 }

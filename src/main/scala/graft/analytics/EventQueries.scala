@@ -443,7 +443,60 @@ object EventQueries extends QueryModule {
       FROM m""")
   )
 
+  /** CUSUM mean-shift changepoint over the hourly volume series — the
+    * "when did behavior change" probe behind deploy regressions and
+    * incident timelines: the hour k maximizing |Σ_{i≤k}(cᵢ − mean)|
+    * is the classic single-changepoint estimate. INTEGER-EXACT by
+    * construction: the mean is never materialized — multiplying the
+    * CUSUM through by H (the hour count) gives H·Sₖ − k·total, all
+    * BIGINT, so there is no running double sum to drift between
+    * engines. Like q_autocorr, the raw stream reduces to the hourly
+    * census FIRST; the one unpartitioned window then runs on the
+    * SERIES (bounded by the time range, not data volume), and total/H
+    * ride back as one broadcast scalar.
+    */
+  val changepoint = Q(
+    "q_changepoint",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("h"))
+      val tot = hourly.agg(sum(col("n")).as("total"), count(lit(1)).as("hours"))
+      hourly
+        .select(col("h"),
+          row_number().over(w).cast(LongType).as("k"),
+          sum(col("n"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("s"))
+        .crossJoin(broadcast(tot))
+        .select(
+          date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+          col("k"),
+          (col("hours") * col("s") - col("k") * col("total"))
+            .as("cusum_scaled"))
+        .orderBy(abs(col("cusum_scaled")).desc, col("hour"))
+        .limit(1)
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                     count(*) AS hours FROM hourly),
+      c AS (
+        SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS k,
+               CAST(sum(n) OVER (ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS s
+        FROM hourly)
+      SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, k,
+             CAST(hours * s - k * total AS BIGINT) AS cusum_scaled
+      FROM c CROSS JOIN tot
+      ORDER BY abs(hours * s - k * total) DESC, hour LIMIT 1""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest, autocorr)
+      outlierMad, abtest, autocorr, changepoint)
 }

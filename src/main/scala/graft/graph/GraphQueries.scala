@@ -258,5 +258,82 @@ object GraphQueries extends QueryModule {
       SELECT n, min(hops) AS hops FROM bfs GROUP BY n ORDER BY n""")
   )
 
-  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist, bfs)
+  /** Community detection by synchronous label propagation (3 fixed
+    * rounds) over the co-purchase graph — the cheap community
+    * primitive (near-linear per round) used where modularity solvers
+    * are too expensive, and the module's only per-node CATEGORICAL
+    * iteration (pagerank propagates a numeric mass, BFS a frontier).
+    * Deterministic by construction: labels start as node ids and each
+    * round every node adopts its neighbors' MODE label with ties
+    * broken by MIN label, so there is no RNG and no update-order
+    * dependence (synchronous = all nodes step on the previous round's
+    * labels). Per round: one keyed equi-join (edges ⋈ labels), one
+    * (node, label) count aggregate, one per-node top-1 window whose
+    * partition is bounded by the node's degree — never all-pairs; lazy
+    * checkpoints keep per-round work constant (the q_pagerank idiom).
+    * On a bipartite graph synchronous LPA can oscillate rather than
+    * converge — the fixed round count makes the output a deterministic
+    * census either way, which is exactly what the oracle replays.
+    */
+  /** The propagation core of [[labelProp]], factored so the spec can
+    * drive it over a planted graph (disjoint cliques must collapse to
+    * their min node ids). `edges` must already be symmetrized (src,
+    * dst); labels start as node ids.
+    */
+  private[graph] def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.localCheckpoint(false)
+    var labels = e.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(labels, e("src") === labels("n"))
+        .select(col("dst").as("nd"), col("lbl"))
+      val cnt = msgs.groupBy(col("nd"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("nd")).orderBy(col("c").desc, col("lbl"))
+      labels = cnt
+        .select(col("nd").as("n"), col("lbl"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  val labelProp = Q(
+    "q_label_prop",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      labelPropagate(edges, 3)
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
+    },
+    Some(s"""
+      WITH $coPurchaseEdgesSql,
+      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM edges),
+      m1 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l0 l ON e.src = l.n GROUP BY 1, 2),
+      l1 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m1) WHERE rn = 1),
+      m2 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l1 l ON e.src = l.n GROUP BY 1, 2),
+      l2 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m2) WHERE rn = 1),
+      m3 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l2 l ON e.src = l.n GROUP BY 1, 2),
+      l3 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m3) WHERE rn = 1)
+      SELECT lbl AS community, count(*) AS n_members
+      FROM l3 GROUP BY 1 ORDER BY n_members DESC, community""")
+  )
+
+  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist, bfs, labelProp)
 }

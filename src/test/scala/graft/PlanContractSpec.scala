@@ -161,9 +161,20 @@ class PlanContractSpec extends AnyFunSuite {
                                // map-side CASE buckets + bucket agg + sort
     "q_degree_dist" -> 6,      // distinct edge subtree ×2 statically (AQE reuses
                                // the exchange) + degree agg + census agg + sort
-    "q_basket" -> 9)           // checkpointed capped-items frame (distinct + MaxBasketItems
+    "q_basket" -> 9,           // checkpointed capped-items frame (distinct + MaxBasketItems
                                // anti-join materialized once) + self-join on order key +
                                // pair/item/total aggs + catalog-sized dim joins; TakeOrdered
+    "q_window_dist" -> 2,      // ONE nation-keyed window exchange serves both
+                               // distribution functions + final sort
+    "q_benford" -> 4,          // digit census agg + scalar total (broadcast back)
+                               // + final sort
+    "q_gini" -> 3,             // per-customer agg (customer dim broadcasts) + ONE
+                               // segment window exchange + census agg (the 5-row
+                               // sort needs no extra exchange)
+    "q_changepoint" -> 4,      // hourly census agg + bounded-series global window
+                               // + scalar total; TakeOrdered final (no sort exchange)
+    "q_label_prop" -> 2)       // final segment only (checkpoint-truncated rounds,
+                               // the q_pagerank idiom): community census + sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -11,6 +11,7 @@ import graft.functions.VectorMean
   */
 class AnalyticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
   import spark.implicits._
 
   test("approx_count_distinct lands within 5% of exact at 10k distinct keys") {
@@ -200,5 +201,69 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().toMap
     assert(out(0) === Seq(2.0, 3.0))
     assert(out(1) === Seq(10.0, 20.0))
+  }
+
+  test("q_benford: digit census is exhaustive and expected law is exact") {
+    val rows = AnalyticsQueries.benford.run(spark, dir)
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet),
+      "a leading digit outside 1..9")
+    val orders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_._2).sum == orders, "digit counts must partition orders")
+    // expected shares are floor(log10(1+1/d)·1e6) — pin the law itself
+    rows.foreach { case (d, _, _, exp) =>
+      assert(exp == math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    }
+    // observed ppm shares sum to ~1e6 (integer floor loses < 9 ppm)
+    val ppmSum = rows.map(_._3).sum
+    assert(ppmSum > 999990L && ppmSum <= 1000000L)
+  }
+
+  test("q_gini: coefficients are valid and match a sequential replica") {
+    val out = AnalyticsQueries.gini.run(spark, dir)
+      .select(col("segment"), col("n_cust"), col("gini_r"))
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 5)
+    out.foreach { case (_, n, g) =>
+      assert(n > 1)
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    }
+    // independent fold: collect per-customer cents and apply the
+    // textbook formula single-threaded
+    val spend = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("x"))
+      .as[(String, Long, Long)].collect()
+    val bySeg = spend.groupBy(_._1)
+    out.foreach { case (seg, n, g) =>
+      val xs = bySeg(seg).sortBy(r => (r._3, r._2)).map(_._3)
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val expect = BigDecimal((2.0 * six - (n + 1.0) * sx) / (n.toDouble * sx))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g - expect) < 1e-9, s"$seg: $g vs replica $expect")
+    }
+  }
+
+  test("q_window_dist: cume_dist and percent_rank bracket each partition") {
+    val rows = AnalyticsQueries.windowDist.run(spark, dir)
+      .select(col("s_nationkey"), col("cd"), col("pr"))
+      .as[(Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cd, pr) =>
+      assert(cd > 0.0 && cd <= 1.0)
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(pr < cd + 1e-12, "percent_rank must sit at or below cume_dist")
+    }
+    // each nation's distribution tops out at exactly 1 and starts at pr 0
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).max == 1.0)
+      assert(g.map(_._3).min == 0.0)
+    }
   }
 }

@@ -145,6 +145,31 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(r >= -1.0 && r <= 1.0)
   }
 
+  test("q_changepoint: matches an independent sequential CUSUM scan") {
+    // Fold the hourly series single-threaded with the same integer
+    // scaling (H·Sₖ − k·total) and the same tie-break (max |cusum|,
+    // then earliest hour) — the distributed window must land on the
+    // identical argmax row.
+    val hourly = graft.util.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("h"))
+      .as[(java.sql.Timestamp, Long)].collect()
+    assert(hourly.length > 100, "hourly series long enough to be meaningful")
+    val total = hourly.map(_._2).sum
+    val hours = hourly.length.toLong
+    var s = 0L
+    val scored = hourly.zipWithIndex.map { case ((_, n), i) =>
+      s += n
+      (i + 1L, hours * s - (i + 1L) * total)
+    }
+    val expect = scored.minBy { case (k, c) => (-math.abs(c), k) }
+    val got = EventQueries.changepoint.run(spark, dir)
+      .select(col("k"), col("cusum_scaled"))
+      .as[(Long, Long)].collect().head
+    assert(got === expect, "distributed CUSUM argmax diverged from replica")
+  }
+
   test("q_anomaly: every flagged row is beyond 2 sigma and flags are rare") {
     // The value distribution is bounded below (≥0), so only the upper
     // tail can clear 2σ — don't assert a left tail that can't exist.

@@ -90,4 +90,33 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(ranks.forall { case (_, v) => v > 0 && v < 1 })
     assert(ranks.map(_._2).sum < 1.0 + 1e-9)
   }
+
+  test("label propagation: two disjoint cliques each collapse to their min node id") {
+    // K4 on {1,2,3,4} and K4 on {11,12,13,14}: within a clique every
+    // node adopts the minimum id within 3 synchronous rounds (round 1
+    // is an all-distinct tie broken by MIN; rounds 2-3 flood it), and
+    // no label ever crosses the component gap.
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)))
+      .toDF("src", "dst")
+    val got = GraphQueries.labelPropagate(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L))
+  }
+
+  test("q_label_prop: community sizes partition the node set exactly") {
+    val nodes = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("n"))
+      .union(spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_partkey") * 2 + 1).as("n")))
+      .distinct().count()
+    val out = GraphQueries.labelProp.run(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == nodes,
+      "community member counts must sum to the node count")
+    // every community label is itself a node id from the graph's domain
+    assert(out.forall { case (c, n) => c >= 0 && n > 0 })
+  }
 }

@@ -2107,6 +2107,83 @@ object AnalyticsQueries extends QueryModule {
       FROM a ORDER BY segment""")
   )
 
+  /** The OLS slope/intercept/R² final formulas over the exact decimal
+    * moments, as ONE shared SQL text — interpolated verbatim into both
+    * the Spark selectExpr and the DuckDB oracle so the double
+    * arithmetic (the only inexact stage) is textually identical and
+    * therefore IEEE-identical. Inputs n/sd/sy/sdy/sdd/syy are the
+    * exact integer moments.
+    */
+  private val LinregSlope =
+    """((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+        - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))"""
+
+  private val LinregExprs = Seq(
+    s"round($LinregSlope, 6) AS slope_r",
+    s"""round((CAST(sy AS DOUBLE) - $LinregSlope * CAST(sd AS DOUBLE))
+            / CAST(n AS DOUBLE), 6) AS intercept_r""",
+    """round(((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2_r""")
+
+  /** OLS linear trend of daily order revenue — the regression
+    * primitive behind forecasting and drift monitors: slope
+    * (dollars/day), intercept and R² of revenue vs day index. The
+    * classic distributed-regression shape: ONE mergeable moment
+    * aggregate (n, Σd, Σy, Σdy, Σd², Σy²) — no second pass, no
+    * residual join. Determinism: revenue routes through DECIMAL cents
+    * to whole-dollar BIGINTs, day indexes anchor on a fixed literal
+    * date, every moment is summed as DECIMAL(38,0) (exact at any
+    * scale — Σy² overflows int64 around 10³ days × $10⁹/day), and the
+    * final formulas run in doubles from one SHARED SQL text
+    * ([[LinregExprs]]) so both engines execute the identical IEEE
+    * expression tree.
+    */
+  val linreg = Q(
+    "q_linreg",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+        .select(
+          datediff(col("day"), lit("1992-01-01").cast("date"))
+            .cast(DecimalType(18, 0)).as("d"),
+          expr("cents DIV 100").cast(DecimalType(18, 0)).as("y"))
+      daily
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("sd"), sum(col("y")).as("sy"),
+          sum(col("d") * col("y")).as("sdy"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("n" +: LinregExprs: _*)
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      pts AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', day) AS DECIMAL(18,0))
+                 AS d,
+               CAST(cents // 100 AS DECIMAL(18,0)) AS y
+        FROM daily),
+      m AS (
+        SELECT count(*) AS n, sum(d) AS sd, sum(y) AS sy,
+               sum(d * y) AS sdy, sum(d * d) AS sdd, sum(y * y) AS syy
+        FROM pts)
+      SELECT n, ${LinregExprs.mkString(",\n             ")} FROM m""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -2117,5 +2194,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini)
+    windowDist, benford, gini, linreg)
 }

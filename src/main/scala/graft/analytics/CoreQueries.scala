@@ -153,5 +153,38 @@ object CoreQueries extends QueryModule {
     },
     Some(Q5Text))
 
-  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5)
+  /** TPC-H Q18-shaped (large-volume orders) — the HAVING-subquery
+    * pattern the front door lacked: an aggregate-filtered key set
+    * (orders whose total quantity clears a threshold) semi-joins back
+    * into a 3-table detail query. Catalyst rewrites the IN-subquery to
+    * a LEFT SEMI join and, because the HAVING side is selective, AQE
+    * broadcasts it — the detail join never shuffles on the rare-key
+    * set. Same SQL-text-as-oracle contract as q_sql_q3/q5.
+    */
+  private val Q18Text = """
+      WITH big AS (
+        SELECT l_orderkey AS bok
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey IN (SELECT bok FROM big)
+      GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""
+
+  val sqlQ18 = Q(
+    "q_sql_q18",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q18Text)
+    },
+    Some(Q18Text))
+
+  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18)
 }

@@ -173,8 +173,11 @@ class PlanContractSpec extends AnyFunSuite {
                                // sort needs no extra exchange)
     "q_changepoint" -> 4,      // hourly census agg + bounded-series global window
                                // + scalar total; TakeOrdered final (no sort exchange)
-    "q_label_prop" -> 2)       // final segment only (checkpoint-truncated rounds,
+    "q_label_prop" -> 2,       // final segment only (checkpoint-truncated rounds,
                                // the q_pagerank idiom): community census + sort
+    "q_linreg" -> 2,           // daily census agg + ONE global moment agg
+    "q_sql_q18" -> 3)          // HAVING key-set agg + semi join (AQE broadcasts
+                               // the selective side) + detail agg; TakeOrdered
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

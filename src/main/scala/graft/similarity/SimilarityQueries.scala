@@ -1724,10 +1724,58 @@ object SimilarityQueries extends QueryModule {
       FROM s ORDER BY vec_id""")
   )
 
+  /** kNN majority-vote classifier evaluation — the model-eval
+    * primitive (confusion matrix) every labeled-corpus pipeline ends
+    * with: predict each vector's label as the MODE of its 3 nearest
+    * neighbors' labels (tie → min label, deterministic), then census
+    * (actual, predicted). Reuses the q_knn_graph pipeline unchanged,
+    * so candidates stay LSH-bucket-blocked; neighbor lists are
+    * k-bounded (≤3·N vote rows), the label dim broadcasts, the vote
+    * window partition holds ≤k rows per node, and the confusion
+    * census is ≤|labels|² rows at any corpus size.
+    */
+  val knnClassify = Q(
+    "q_knn_classify",
+    (s, dir) => {
+      val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val kn = knnGraph.run(s, dir).select(col("vec_id"), col("nbr_id"))
+      val votes = kn
+        .join(lab.select(col("vec_id").as("nbr_id"),
+          col("label").as("nbr_label")), Seq("nbr_id"))
+        .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("nbr_label"))
+      val pred = votes
+        .select(col("vec_id"), col("nbr_label"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_label").as("predicted"))
+      pred.join(lab, Seq("vec_id"))
+        .groupBy(col("label").as("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
+    },
+    Some(s"""
+      WITH $knnSqlCtes,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      votes AS (
+        SELECT kn.vec_id, l.label AS nbr_label, count(*) AS c
+        FROM kn JOIN lab l ON kn.nbr_id = l.vec_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT vec_id, nbr_label AS predicted FROM (
+          SELECT vec_id, nbr_label,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY c DESC, nbr_label) AS rn
+          FROM votes) WHERE rn = 1)
+      SELECT l.label AS actual, p.predicted, count(*) AS n
+      FROM pred p JOIN lab l USING (vec_id)
+      GROUP BY 1, 2 ORDER BY actual, predicted""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, editDist,
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
-      dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant)
+      dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify)
 }

@@ -176,7 +176,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q_label_prop" -> 2,       // final segment only (checkpoint-truncated rounds,
                                // the q_pagerank idiom): community census + sort
     "q_linreg" -> 2,           // daily census agg + ONE global moment agg
-    "q_sql_q18" -> 3)          // HAVING key-set agg + semi join (AQE broadcasts
+    "q_sql_q18" -> 3,
+    "q_knn_classify" -> 3)    // checkpointed kNN frame: vote agg + top-1 vote
+                               // window + confusion census (labels broadcast);
+                               // the census sort rides the final exchange          // HAVING key-set agg + semi join (AQE broadcasts
                                // the selective side) + detail agg; TakeOrdered
 
   budgets.foreach { case (name, maxShuffles) =>

@@ -383,4 +383,27 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("q_knn_classify: census partitions the corpus, votes match a replica") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.knnClassify.run(spark, dir)
+      .as[(Int, Int, Long)].collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_._3).sum == nVecs,
+      "confusion cells must partition the vector set")
+    // replica: majority vote (tie -> min label) over the SAME kNN edges
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val kn = SimilarityQueries.knnGraph.run(spark, dir)
+      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect()
+    val predicted = kn.groupBy(_._1).map { case (v, nbrs) =>
+      val byLabel = nbrs.map(n => labels(n._2))
+        .groupBy(identity).map { case (l, g) => (l, g.size) }
+      v -> byLabel.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    val confusion = predicted.toSeq
+      .groupBy { case (v, p) => (labels(v), p) }
+      .map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet === confusion)
+  }
 }

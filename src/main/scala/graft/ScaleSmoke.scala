@@ -46,6 +46,29 @@ object ScaleSmoke {
       lit("""{"k":1}""").as("props"),
       (pmod(hash(col("id") * 17 + 7), lit(10000)) / lit(100.0)).as("value"))
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // 40x orders (600k) + customer (60k) for the concentration /
+    // digit-law / trend ops
+    spark.range(600000).select(
+      col("id").as("o_orderkey"),
+      pmod(hash(col("id") * 19 + 3), lit(60000)).cast("long").as("o_custkey"),
+      lit("O").as("o_orderstatus"),
+      (pmod(hash(col("id") * 23 + 9), lit(55000000)) / lit(100.0) + lit(900.0))
+        .as("o_totalprice"),
+      (lit(694224000L) + pmod(hash(col("id") * 29 + 17), lit(199152000)))
+        .cast("timestamp").as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.range(60000).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      pmod(hash(col("id") * 31 + 7), lit(25)).cast("int").as("c_nationkey"),
+      (pmod(hash(col("id") * 37 + 11), lit(1100000)) / lit(100.0) - lit(1000.0))
+        .as("c_acctbal"),
+      element_at(
+        array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+        pmod(hash(col("id") + 41), lit(5)) + 1).as("c_mktsegment"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/customer.parquet")
     def time(n: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -63,7 +86,9 @@ object ScaleSmoke {
       "q_countmin","q_dupe_stats",
       "q_dedup_incremental","q_video_meta",
       "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill",
-      "q_bfs","q_degree_dist","q_dedup_funnel")
+      "q_bfs","q_degree_dist","q_dedup_funnel",
+      "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",
+      "q_changepoint")
       .foreach(time)
     spark.stop()
   }

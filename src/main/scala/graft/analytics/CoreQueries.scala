@@ -186,5 +186,31 @@ object CoreQueries extends QueryModule {
     },
     Some(Q18Text))
 
-  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18)
+  /** Correlated scalar subquery — each customer's priciest order(s),
+    * phrased the way analysts write it (an inner max referencing the
+    * outer row). The POINT is the optimizer surface: Catalyst's
+    * decorrelation rewrites the per-row subquery into ONE aggregate +
+    * equi-join (`RewriteCorrelatedScalarSubquery`), so the plan is a
+    * keyed shuffle pair — never a per-row re-scan, which is what a
+    * naive executor would do and what 100 TB forbids. Price ties keep
+    * all tied orders on both engines (no arbitrary pick). Same
+    * SQL-text-as-oracle contract as the other front-door queries.
+    */
+  private val CorrText = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_custkey, o_orderkey"""
+
+  val sqlCorr = Q(
+    "q_sql_corr",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(CorrText)
+    },
+    Some(CorrText))
+
+  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr)
 }

@@ -496,7 +496,53 @@ object EventQueries extends QueryModule {
       ORDER BY abs(hours * s - k * total) DESC, hour LIMIT 1""")
   )
 
+  /** Time-to-convert distribution — the latency companion to
+    * q_funnel's reach counts: per user, seconds from FIRST view to the
+    * first purchase after it, summarized as conversion count + median
+    * + p90. Delays are exact integer seconds (epoch-micro difference,
+    * integer floor-divide); only the percentile interpolation touches
+    * doubles, computed from the same exact integers on both engines
+    * (cast + 6 dp round, the q_percentile contract). Scale shape: two
+    * keyed per-user aggregates then ONE mergeable percentile aggregate
+    * over user-sized data — no window, no sort of the raw stream.
+    */
+  val convTime = Q(
+    "q_conv_time",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        .join(t1, Seq("user_id"))
+        .select(expr("(t2 - t1) DIV 1000000").as("delay_s"))
+      conv.agg(
+          count(lit(1)).as("n_conv"),
+          expr("percentile(CAST(delay_s AS DOUBLE), array(0.5D, 0.9D))").as("p"))
+        .select(col("n_conv"),
+          round(element_at(col("p"), 1), 6).as("p50_s"),
+          round(element_at(col("p"), 2), 6).as("p90_s"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      t1 AS (SELECT user_id, min(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      conv AS (
+        SELECT (min(us) - t1) // 1000000 AS delay_s
+        FROM e JOIN t1 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t1
+        GROUP BY e.user_id, t1),
+      q AS (SELECT count(*) AS n_conv,
+                   quantile_cont(CAST(delay_s AS DOUBLE), [0.5, 0.9]) AS p
+            FROM conv)
+      SELECT n_conv, round(p[1], 6) AS p50_s, round(p[2], 6) AS p90_s
+      FROM q""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest, autocorr, changepoint)
+      outlierMad, abtest, autocorr, changepoint, convTime)
 }

@@ -177,9 +177,13 @@ class PlanContractSpec extends AnyFunSuite {
                                // the q_pagerank idiom): community census + sort
     "q_linreg" -> 2,           // daily census agg + ONE global moment agg
     "q_sql_q18" -> 3,
-    "q_knn_classify" -> 3)    // checkpointed kNN frame: vote agg + top-1 vote
+    "q_knn_classify" -> 3,    // checkpointed kNN frame: vote agg + top-1 vote
                                // window + confusion census (labels broadcast);
-                               // the census sort rides the final exchange          // HAVING key-set agg + semi join (AQE broadcasts
+                               // the census sort rides the final exchange
+    "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
+                               // back to orders + final sort — never a per-row re-scan
+    "q_conv_time" -> 4)        // first-view agg + first-purchase-after agg + ONE
+                               // percentile agg + scalar collect          // HAVING key-set agg + semi join (AQE broadcasts
                                // the selective side) + detail agg; TakeOrdered
 
   budgets.foreach { case (name, maxShuffles) =>
@@ -189,6 +193,16 @@ class PlanContractSpec extends AnyFunSuite {
       assert(n <= maxShuffles,
         s"$name: $n shuffle exchanges (budget $maxShuffles)\n$plan")
     }
+  }
+
+  test("q_sql_corr: the correlated subquery is decorrelated into a join") {
+    // Catalyst must rewrite the per-row scalar subquery into one
+    // aggregate + equi-join; a surviving physical subquery would mean
+    // per-row re-execution — the shape 100 TB forbids.
+    val plan = planOf("q_sql_corr")
+    assert(!plan.contains("Subquery"),
+      s"scalar subquery survived decorrelation\n$plan")
+    assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
   }
 
   test("q_dedup_incremental: the corpus is NEVER read on the incremental path") {

@@ -106,6 +106,34 @@ class GraphQueriesSpec extends AnyFunSuite {
       11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L))
   }
 
+  test("label propagation matches a sequential replica on random graphs") {
+    // Property-style: 5 seeded Erdős–Rényi graphs; the distributed
+    // 3-round propagation must agree with a single-threaded fold of
+    // the same synchronous min-mode update on every node.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (1L to 12L)
+      val base = for {
+        a <- nodes; b <- nodes
+        if a < b && rnd.nextDouble() < 0.25
+      } yield (a, b)
+      if (base.nonEmpty) {
+        val sym = base ++ base.map { case (a, b) => (b, a) }
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+        for (_ <- 1 to 3) {
+          lab = adj.map { case (n, nbrs) =>
+            val cnt = nbrs.groupBy(lab(_)).map { case (l, g) => (l, g.size) }
+            n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val got = GraphQueries.labelPropagate(sym.toDF("src", "dst"), 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got === lab, s"seed $seed diverged")
+      }
+    }
+  }
+
   test("q_label_prop: community sizes partition the node set exactly") {
     val nodes = spark.read.parquet(s"$dir/lineitem.parquet")
       .select((col("l_suppkey") * 2).as("n"))

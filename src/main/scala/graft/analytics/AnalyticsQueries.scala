@@ -425,6 +425,52 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY c_custkey""")
   )
 
+  /** MULTISET set operations — INTERSECT ALL / EXCEPT ALL over two
+    * year-slices of (customer, status) order rows, a different algebra
+    * from [[setOps]]'s distinct semantics: duplicates carry
+    * multiplicity (min of counts for intersect, truncated difference
+    * for except). Catalyst's RewriteIntersectAll/RewriteExceptAll turn
+    * these into per-key count aggregates + a Generate that replicates
+    * each key min/diff times — ONE keyed shuffle per side, never a
+    * row-pairing join, which is exactly the multiset form that scales.
+    * Output is the op census (sizes), so the result stays 3 rows at
+    * any SF.
+    */
+  val setOpsAll = Q(
+    "q_setops_all",
+    (s, dir) => {
+      def slice(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderstatus"))
+      val a = slice(1994)
+      val b = slice(1995)
+      a.intersectAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("n"))
+        .union(a.exceptAll(b).agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("n")))
+        .union(a.union(b).agg(count(lit(1)).as("n"))
+          .select(lit("union_all").as("op"), col("n")))
+        .orderBy(col("op"))
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey, o_orderstatus FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+                   AND o_orderdate < TIMESTAMP '1995-01-01'),
+      b AS (SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01')
+      SELECT 'intersect_all' AS op, count(*) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'except_all', count(*)
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'union_all', count(*)
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      ORDER BY op""")
+  )
+
   /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
     * grow with SF, so broadcast is impossible at scale; the merge hint
     * pins the plan Spark would choose there (shuffle both sides on the
@@ -2194,5 +2240,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg)
+    windowDist, benford, gini, linreg, setOpsAll)
 }

@@ -182,7 +182,10 @@ class PlanContractSpec extends AnyFunSuite {
                                // the census sort rides the final exchange
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
-    "q_conv_time" -> 4)        // first-view agg + first-purchase-after agg + ONE
+    "q_conv_time" -> 4,
+    "q_setops_all" -> 5)       // count-replicate rewrite: per-key count agg per
+                               // side (2) + intersect/except generates + 3 census
+                               // single-row aggs share exchanges at runtime        // first-view agg + first-purchase-after agg + ONE
                                // percentile agg + scalar collect          // HAVING key-set agg + semi join (AQE broadcasts
                                // the selective side) + detail agg; TakeOrdered
 

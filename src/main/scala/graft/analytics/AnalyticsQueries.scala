@@ -471,6 +471,74 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY op""")
   )
 
+  /** Data-quality rule audit — the cross-table DQ census every landed
+    * dataset gets before anything downstream trusts it: referential
+    * integrity (orphan FKs), range violations, null rates, one row per
+    * rule. Scale shape: each referential rule is a LEFT ANTI join
+    * keyed on the FK (never a collect-and-check); the range/null
+    * rules for one table fold into a SINGLE conditional-aggregate
+    * scan unpivoted via stack, so the audit costs one pass per table
+    * plus the anti-joins — the census itself is rule-count-sized.
+    */
+  val dqRules = Q(
+    "q_dq_rules",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def census(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_violations"))
+      val orphanOrders = census("orders_orphan_customer",
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti"))
+      val orphanLines = census("lineitem_orphan_order",
+        li.join(ord.select(col("o_orderkey")),
+          li("l_orderkey") === col("o_orderkey"), "left_anti"))
+      val ordScan = ord.agg(
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos"),
+          sum(when(col("o_orderdate") > lit("1998-12-31").cast("timestamp"), 1L)
+            .otherwise(0L)).as("future"))
+        .selectExpr("""stack(2,
+            'orders_nonpositive_price', nonpos,
+            'orders_future_date', future) AS (rule, n_violations)""")
+      val custScan = cust.agg(
+          sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("negbal"),
+          sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nullseg"))
+        .selectExpr("""stack(2,
+            'customer_negative_balance', negbal,
+            'customer_null_segment', nullseg) AS (rule, n_violations)""")
+      orphanOrders.union(orphanLines).union(ordScan).union(custScan)
+        .orderBy(col("rule"))
+    },
+    Some("""
+      SELECT 'orders_orphan_customer' AS rule, count(*) AS n_violations
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem_orphan_order', count(*)
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey IS NULL
+      UNION ALL
+      SELECT 'orders_nonpositive_price',
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_future_date',
+             CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '1998-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'customer_negative_balance',
+             CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'customer_null_segment',
+             CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer
+      ORDER BY rule""")
+  )
+
   /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
     * grow with SF, so broadcast is impossible at scale; the merge hint
     * pins the plan Spark would choose there (shuffle both sides on the
@@ -2240,5 +2308,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg, setOpsAll)
+    windowDist, benford, gini, linreg, setOpsAll, dqRules)
 }

@@ -542,7 +542,55 @@ object EventQueries extends QueryModule {
       FROM q""")
   )
 
+  /** Forecast backtest — naive-seasonal (value 24 hours earlier)
+    * predictions over the hourly series, scored as WAPE
+    * (Σ|actual−forecast| / Σactual) and signed bias. The metric choice
+    * is the determinism trick: per-row percentage errors would need a
+    * double SUM whose order differs across engines, but WAPE's
+    * numerator and denominator are each exact BIGINT sums, so the one
+    * division at the end is IEEE-identical. Same scale shape as
+    * q_autocorr: reduce the stream to the hourly census first, lag on
+    * the bounded series, one exact aggregate.
+    */
+  val backtest = Q(
+    "q_backtest",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val p = hourly
+        .withColumn("f", lag(col("n"), 24).over(Window.orderBy(col("h"))))
+        .filter(col("f").isNotNull)
+      p.agg(
+          count(lit(1)).as("n_scored"),
+          sum(abs(col("n") - col("f"))).as("sae"),
+          sum(col("n") - col("f")).as("sbias"),
+          sum(col("n")).as("sact"))
+        .select(col("n_scored"),
+          round(col("sae").cast(DoubleType) / col("sact").cast(DoubleType), 6)
+            .as("wape_r"),
+          round(col("sbias").cast(DoubleType) / col("sact").cast(DoubleType), 6)
+            .as("bias_r"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT n, lag(n, 24) OVER (ORDER BY h) AS f FROM hourly),
+      m AS (
+        SELECT count(*) AS n_scored,
+               CAST(sum(abs(n - f)) AS BIGINT) AS sae,
+               CAST(sum(n - f) AS BIGINT) AS sbias,
+               CAST(sum(n) AS BIGINT) AS sact
+        FROM p WHERE f IS NOT NULL)
+      SELECT n_scored,
+             round(CAST(sae AS DOUBLE) / CAST(sact AS DOUBLE), 6) AS wape_r,
+             round(CAST(sbias AS DOUBLE) / CAST(sact AS DOUBLE), 6) AS bias_r
+      FROM m""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest, autocorr, changepoint, convTime)
+      outlierMad, abtest, autocorr, changepoint, convTime, backtest)
 }

@@ -183,6 +183,11 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_backtest" -> 2,         // hourly census agg + bounded-series lag window;
+                               // the single-row WAPE agg rides the window exchange
+    "q_dq_rules" -> 4,         // fact⋈fact anti-join co-partition (2) + per-table
+                               // conditional-agg scans (single-row exchanges reuse);
+                               // dims broadcast under the orphan checks
     "q_setops_all" -> 5)       // count-replicate rewrite: per-key count agg per
                                // side (2) + intersect/except generates + 3 census
                                // single-row aggs share exchanges at runtime        // first-view agg + first-purchase-after agg + ONE

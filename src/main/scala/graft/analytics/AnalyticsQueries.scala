@@ -539,6 +539,54 @@ object AnalyticsQueries extends QueryModule {
       ORDER BY rule""")
   )
 
+  /** k-anonymity census — the privacy audit a dataset gets before
+    * release: generalize the quasi-identifiers (nation, market
+    * segment, account-balance band of width 1000), form equivalence
+    * classes, and report how many classes / rows fall in each
+    * re-identification-risk band (k=1 is fully re-identifiable;
+    * k≥10 is the conventional release bar). Complements q_pii_scrub:
+    * scrubbing removes direct identifiers, this measures what the
+    * QUASI-identifiers still leak. Scale shape: banding is a map-side
+    * projection, the class census is ONE keyed aggregate (QI tuple),
+    * and the band rollup runs on the class-count-sized result — the
+    * 25-row nation dim broadcasts. The balance band floors in DOUBLE
+    * on both engines (exact for these magnitudes), never in the
+    * engines' differing DECIMAL division rules.
+    */
+  val kanon = Q(
+    "q_kanon",
+    (s, dir) => {
+      val classes = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"),
+          floor(col("c_acctbal").cast(DoubleType) / 1000.0).as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+      classes
+        .groupBy(
+          when(col("k") === 1, "k=1")
+            .when(col("k") < 5, "k=2-4")
+            .when(col("k") < 10, "k=5-9")
+            .otherwise("k>=10").as("k_band"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+        .orderBy(col("k_band"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT n_name, c_mktsegment,
+               floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS bal_band,
+               count(*) AS k
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3)
+      SELECT CASE WHEN k = 1 THEN 'k=1'
+                  WHEN k < 5 THEN 'k=2-4'
+                  WHEN k < 10 THEN 'k=5-9'
+                  ELSE 'k>=10' END AS k_band,
+             count(*) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_rows
+      FROM classes GROUP BY 1 ORDER BY k_band""")
+  )
+
   /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
     * grow with SF, so broadcast is impossible at scale; the merge hint
     * pins the plan Spark would choose there (shuffle both sides on the
@@ -2308,5 +2356,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg, setOpsAll, dqRules)
+    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon)
 }

@@ -212,5 +212,47 @@ object CoreQueries extends QueryModule {
     },
     Some(CorrText))
 
-  override def all: Seq[Q] = Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr)
+  /** TPC-H Q7-shaped (volume shipping) — the SELF-JOINED-DIMENSION
+    * pattern the front door lacked: nation joins the fact chain TWICE
+    * in different roles (supplier's nation, customer's nation) with a
+    * disjunctive pair filter, plus a per-year breakdown extracted from
+    * the ship date. Both nation sides broadcast (25 rows each role),
+    * the customer⋈orders⋈lineitem⋈supplier chain co-partitions on its
+    * keys, and the shipdate range prunes at the scan — the one
+    * scale-relevant subtlety is that the pair predicate can only be
+    * applied AFTER both roles are bound, so it must be selective
+    * post-join, never a join explosion. Revenue routes through
+    * DECIMAL(18,6) (the q_sql_q5 idiom) so the aggregate is exact,
+    * and the year is cast to INTEGER in the shared text because the
+    * two engines' EXTRACT defaults differ (INT vs HUGEINT-ish).
+    */
+  private val Q7Text = """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+      ORDER BY supp_nation, cust_nation, l_year"""
+
+  val sqlQ7 = Q(
+    "q_sql_q7",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q7Text)
+    },
+    Some(Q7Text))
+
+  override def all: Seq[Q] =
+    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7)
 }

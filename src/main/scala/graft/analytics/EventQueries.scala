@@ -590,7 +590,49 @@ object EventQueries extends QueryModule {
       FROM m""")
   )
 
+  /** Sequential-pattern support — for every ordered event-type pair
+    * (a, b), how many users performed SOME a strictly before SOME b.
+    * This is the sequence-mining support census (the GSP/PrefixSpan
+    * length-2 base case), and it differs from q_transitions' Markov
+    * census: transitions counts ADJACENT steps (occurrences), this
+    * counts USERS with the pattern anywhere in their history.
+    * "∃ a before b" reduces exactly to min(ts of a) < max(ts of b),
+    * so the whole history collapses to one (user, type) span row —
+    * the stream is touched once, and the pattern join runs on the
+    * span table (≤ |types| rows per user). Scale shape: one keyed
+    * aggregate on (user, type); the span self-join co-partitions on
+    * user_id (the SAME exchange feeds both sides via reuse) with
+    * per-user fanout bounded by types²; the pair census is
+    * types²-sized. Simultaneous a/b timestamps don't count (strict
+    * <) — deterministic on both engines.
+    */
+  val seqPairs = Q(
+    "q_seq_pairs",
+    (s, dir) => {
+      val spans = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val a = spans.select(col("user_id"), col("event_type").as("a"),
+        col("t0").as("a_t0"))
+      val b = spans.select(col("user_id"), col("event_type").as("b"),
+        col("t1").as("b_t1"))
+      a.join(b, Seq("user_id"))
+        .filter(col("a") =!= col("b") && col("a_t0") < col("b_t1"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH spans AS (
+        SELECT user_id, event_type, min(ts) AS t0, max(ts) AS t1
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_users
+      FROM spans a JOIN spans b ON a.user_id = b.user_id
+      WHERE a.event_type <> b.event_type AND a.t0 < b.t1
+      GROUP BY 1, 2 ORDER BY a, b""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest, autocorr, changepoint, convTime, backtest)
+      outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs)
 }

@@ -183,6 +183,14 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_kanon" -> 3,            // QI class agg + band census agg + sort; the
+                               // nation dim broadcasts (no join exchange)
+    "q_seq_pairs" -> 4,        // raw stream shuffles ONCE on (user,type) with
+                               // map-side combine; the span-sized re-exchange on
+                               // user_id is shared by both self-join sides
+                               // (ReuseExchange) + pair agg + sort
+    "q_sql_q7" -> 2,           // dims + selective sides broadcast at the pinned
+                               // SF; one agg exchange + final sort
     "q_backtest" -> 2,         // hourly census agg + bounded-series lag window;
                                // the single-row WAPE agg rides the window exchange
     "q_dq_rules" -> 4,         // fact⋈fact anti-join co-partition (2) + per-table

@@ -253,6 +253,46 @@ object CoreQueries extends QueryModule {
     },
     Some(Q7Text))
 
+  /** Recursive CTE through the front door — Spark 4.x's recursive
+    * WITH (SPARK-24497) driving the classic calendar-spine gap fill:
+    * generate every month of the data window by LINEAR recursion (one
+    * row per step, a fixed literal bound guarantees termination on
+    * both engines — no subquery in the recursive term, which Spark
+    * restricts), then LEFT JOIN the monthly order census so silent
+    * months surface as explicit zero rows. Complements q_gap_fill
+    * (DataFrame sequence/explode LOCF) by pinning the recursive
+    * EXECUTION path itself: the spine is driver-cheap (≤ 84 rows)
+    * and broadcast into the census join, so recursion never touches
+    * fact-table scale — the shape that keeps recursive SQL usable at
+    * 100 TB. STRING (not VARCHAR) in the cast because bare VARCHAR
+    * needs a length on Spark; both engines accept STRING.
+    */
+  private val RecText = """
+      WITH RECURSIVE spine(mon) AS (
+        SELECT CAST('1995-01-01' AS DATE)
+        UNION ALL
+        SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM spine
+        WHERE mon < CAST('2001-11-01' AS DATE)),
+      census AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1)
+      SELECT CAST(s.mon AS STRING) AS mon,
+             COALESCE(c.n_orders, 0) AS n_orders,
+             COALESCE(c.revenue, CAST(0 AS DOUBLE)) AS revenue
+      FROM spine s LEFT JOIN census c ON s.mon = c.mon
+      ORDER BY mon"""
+
+  val sqlRec = Q(
+    "q_sql_rec",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RecText)
+    },
+    Some(RecText))
+
   override def all: Seq[Q] =
-    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7)
+    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec)
 }

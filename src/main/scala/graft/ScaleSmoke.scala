@@ -69,6 +69,12 @@ object ScaleSmoke {
           lit("HOUSEHOLD"), lit("MACHINERY")),
         pmod(hash(col("id") + 41), lit(5)) + 1).as("c_mktsegment"))
       .repartition(32).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // 25-row nation dim (broadcast side of the k-anonymity census)
+    spark.range(25).select(
+      col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     def time(n: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -88,7 +94,8 @@ object ScaleSmoke {
       "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill",
       "q_bfs","q_degree_dist","q_dedup_funnel",
       "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",
-      "q_changepoint")
+      "q_changepoint",
+      "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec")
       .foreach(time)
     spark.stop()
   }

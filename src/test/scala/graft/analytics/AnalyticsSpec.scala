@@ -266,4 +266,20 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(g.map(_._3).min == 0.0)
     }
   }
+
+  test("q_kanon: risk bands partition every customer exactly once") {
+    // The band census must be a PARTITION of the customer table: no
+    // row lost to a dropped class, none double-counted across bands —
+    // the property that makes the audit trustworthy as a release gate.
+    val out = AnalyticsQueries.kanon.run(spark, dir)
+      .select(col("k_band"), col("n_classes"), col("n_rows"))
+      .as[(String, Long, Long)].collect()
+    val nCustomers = graft.util.Tables.t(spark, dir, "customer").count()
+    assert(out.map(_._3).sum === nCustomers,
+      "band row counts must sum to the full customer table")
+    assert(out.map(_._1).distinct.length === out.length, "one row per band")
+    out.foreach { case (band, nc, nr) =>
+      assert(nc >= 1 && nr >= nc, s"$band: $nc classes cannot hold $nr rows")
+    }
+  }
 }

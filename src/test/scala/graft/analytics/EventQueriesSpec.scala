@@ -180,4 +180,37 @@ class EventQueriesSpec extends AnyFunSuite {
     val total = graft.util.Tables.events(spark, dir).count()
     assert(out.length < total / 10, "more than 10% of events flagged")
   }
+
+  test("q_seq_pairs matches an independent exists-join over raw events") {
+    // The span reduction (min(a) < max(b)) is an OPTIMIZATION of the
+    // definitional semantics "some a-event strictly before some
+    // b-event of the same user". Replay the definition directly as a
+    // raw-event pair join + distinct users and demand identical
+    // support counts — two algorithms, one answer.
+    val ev = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val raw = ev.as("x").join(ev.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") =!= col("y.event_type") &&
+        col("x.ts") < col("y.ts"))
+      .select(col("x.event_type").as("a"), col("y.event_type").as("b"),
+        col("x.user_id").as("u"))
+      .distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_users"))
+      .as[(String, String, Long)].collect().toSet
+    val got = EventQueries.seqPairs.run(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === raw, "span-reduced support diverged from definition")
+  }
+
+  test("q_backtest: n_scored covers all but the first day of hours") {
+    val (nScored, wape, bias) = EventQueries.backtest.run(spark, dir)
+      .as[(Long, Double, Double)].collect().head
+    val nHours = graft.util.Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(nScored === nHours - 24, "every hour past the seasonal lag scores")
+    assert(wape >= 0.0, "WAPE is a ratio of nonnegative sums")
+    assert(math.abs(bias) <= wape + 1e-12,
+      "|signed bias| can never exceed the absolute-error mass")
+  }
 }

@@ -632,7 +632,84 @@ object EventQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY a, b""")
   )
 
+  /** Interval-union coverage — total seconds each user was "active"
+    * when every event opens a fixed 5-minute activity window and
+    * overlapping/touching windows MERGE (the classic interval-union
+    * problem: billing for concurrent sessions, uptime from heartbeats,
+    * machine-utilization rollups). This is the missing third member of
+    * the interval family: q_interval_join is pairwise overlap,
+    * q_sessionize is gap-based grouping; union-length needs the
+    * sweep-line construction — sort each user's intervals by start,
+    * flag a new island when a start clears the running max of all
+    * PRECEDING ends, then sum per-island (max end − min start).
+    * Deterministic by construction: (user, ts) is made distinct first
+    * (identical intervals collapse, so the start ordering within a
+    * user is total), and all arithmetic is integer epoch seconds.
+    * Touching intervals (start == running max end) merge — the
+    * end-exclusive convention.
+    *
+    * Scale shape: ONE user-keyed window exchange serves the running
+    * max, the island cumsum, and (via the same partitioning) the
+    * island aggregate; per-user row counts bound every frame, and the
+    * final census is user-count-sized.
+    */
+  val intervalUnion = Q(
+    "q_interval_union",
+    (s, dir) => {
+      val iv = events(s, dir)
+        .select(col("user_id"), col("ts").cast(LongType).as("t0"))
+        .distinct()
+        .withColumn("t1", col("t0") + 300L)
+      val byStart = Window.partitionBy(col("user_id")).orderBy(col("t0"))
+      val marked = iv
+        .withColumn("prev_max",
+          max(col("t1")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("t0") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island"))
+            .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("t0")).as("s"), max(col("t1")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("covered_sec"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        -- floor, not CAST-round: Spark's timestamp->long cast truncates,
+        -- and the driver's timestamps carry sub-second parts
+        SELECT DISTINCT user_id,
+               CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS t0,
+               CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) + 300 AS t1
+        FROM events),
+      marked AS (
+        SELECT user_id, t0, t1,
+               CASE WHEN max(t1) OVER (PARTITION BY user_id ORDER BY t0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                 OR t0 > max(t1) OVER (PARTITION BY user_id ORDER BY t0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+      islands AS (
+        SELECT user_id, t0, t1,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY t0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+      agg AS (
+        SELECT user_id, island, min(t0) AS s, max(t1) AS e
+        FROM islands GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_islands,
+             CAST(sum(e - s) AS BIGINT) AS covered_sec
+      FROM agg GROUP BY 1 ORDER BY user_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
-      outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs)
+      outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs,
+      intervalUnion)
 }

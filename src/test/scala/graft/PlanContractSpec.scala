@@ -183,6 +183,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_interval_union" -> 3,   // (user,sec) distinct with MAP-SIDE partial dedup
+                               // + user-keyed exchange serving both windows and
+                               // the island agg + final sort — dedup-before-
+                               // shuffle beats shuffling raw events at scale
     "q_sql_rec" -> 2,          // one census agg exchange + final sort; the
                                // 83-row recursive spine broadcasts into the join
     "q_kanon" -> 3,            // QI class agg + band census agg + sort; the

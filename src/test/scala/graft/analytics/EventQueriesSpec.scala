@@ -203,6 +203,25 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(got === raw, "span-reduced support diverged from definition")
   }
 
+  test("q_interval_union matches brute-force distinct-second coverage") {
+    // The sweep-line construction is an optimization of "how many
+    // distinct seconds fall inside at least one activity window".
+    // Replay that definition literally — explode every interval into
+    // its seconds, count distinct per user — and demand equality.
+    val brute = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("t0"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t0") + 299L)).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("sec")).as("covered_sec"))
+      .as[(Long, Long)].collect().toMap
+    val got = EventQueries.intervalUnion.run(spark, dir)
+      .select(col("user_id"), col("covered_sec"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute, "island length sum diverged from definition")
+  }
+
   test("q_backtest: n_scored covers all but the first day of hours") {
     val (nScored, wape, bias) = EventQueries.backtest.run(spark, dir)
       .as[(Long, Double, Double)].collect().head

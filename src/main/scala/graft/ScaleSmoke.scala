@@ -95,7 +95,8 @@ object ScaleSmoke {
       "q_bfs","q_degree_dist","q_dedup_funnel",
       "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",
       "q_changepoint",
-      "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec")
+      "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec",
+      "q_interval_union","q_chisq","q_paths")
       .foreach(time)
     spark.stop()
   }

@@ -587,6 +587,64 @@ object AnalyticsQueries extends QueryModule {
       FROM classes GROUP BY 1 ORDER BY k_band""")
   )
 
+  /** Cross-tab independence census — observed vs expected counts and
+    * standardized (Pearson) residuals for every observed
+    * nation × market-segment cell: the contingency-table analysis
+    * behind "is segment mix independent of geography", reported
+    * CELL-LEVEL (the heat-map surface) rather than as one chi²
+    * scalar, because per-cell arithmetic is a fixed IEEE expression
+    * per row — deterministic on both engines — while a 125-term
+    * double sum is not. Expected counts build from exact BIGINT
+    * marginals (row total × column total, one division at the end).
+    * Scale shape: one keyed aggregate to the cell census (the 25-row
+    * nation dim broadcasts), then marginals via window sums OVER THE
+    * CELL TABLE (bounded by |nations|×|segments|, never data-sized) —
+    * the unpartitioned total window is a 125-row frame, not a scan.
+    */
+  val chisq = Q(
+    "q_chisq",
+    (s, dir) => {
+      val obs = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("n_name"))
+      val wc = Window.partitionBy(col("c_mktsegment"))
+      val wAll = Window.partitionBy()
+      obs
+        .withColumn("rt", sum(col("o")).over(wr))
+        .withColumn("ct", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .select(col("n_name"), col("c_mktsegment"), col("o"),
+          round((col("rt") * col("ct")).cast(DoubleType)
+            / col("n").cast(DoubleType), 6).as("e_r"),
+          round((col("o").cast(DoubleType)
+              - (col("rt") * col("ct")).cast(DoubleType) / col("n").cast(DoubleType))
+            / sqrt((col("rt") * col("ct")).cast(DoubleType) / col("n").cast(DoubleType)), 6)
+            .as("resid_r"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+    Some("""
+      WITH obs AS (
+        SELECT n_name, c_mktsegment, count(*) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT n_name, c_mktsegment, o,
+               sum(o) OVER (PARTITION BY n_name) AS rt,
+               sum(o) OVER (PARTITION BY c_mktsegment) AS ct,
+               sum(o) OVER () AS n
+        FROM obs)
+      SELECT n_name, c_mktsegment, o,
+             round(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS e_r,
+             round((CAST(o AS DOUBLE)
+                    - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS resid_r
+      FROM m ORDER BY n_name, c_mktsegment""")
+  )
+
   /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
     * grow with SF, so broadcast is impossible at scale; the merge hint
     * pins the plan Spark would choose there (shuffle both sides on the
@@ -2356,5 +2414,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon)
+    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq)
 }

@@ -708,8 +708,63 @@ object EventQueries extends QueryModule {
       FROM agg GROUP BY 1 ORDER BY user_id""")
   )
 
+  /** Top clickstream paths — each user's full event-type journey with
+    * consecutive repeats collapsed (view>view>click reads view>click),
+    * censused to the 20 most common paths. The product question
+    * q_transitions (single steps) and q_seq_pairs (unordered-support
+    * pairs) can't answer: which WHOLE journeys dominate. Determinism
+    * is the whole design: user histories are totally ordered by
+    * (ts, event_id) — event_id breaks timestamp ties identically on
+    * both engines — the collapse is a lag-filter on that order, and
+    * the path string is an ORDERED aggregation (Spark: array_sort
+    * over (ts, event_id, type) structs, lexicographic; DuckDB:
+    * string_agg ... ORDER BY ts, event_id). Top-20 ties break on the
+    * path string itself.
+    *
+    * Scale shape: ONE user-keyed window exchange serves the collapse
+    * lag AND (same partitioning) the per-user path build; the path
+    * census aggregate is distinct-path-sized and the ordered limit is
+    * a TakeOrdered, never a global sort. Path length is bounded by a
+    * user's collapsed history — the per-user-state analogue of every
+    * other window in this module.
+    */
+  val paths = Q(
+    "q_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH ord AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      kept AS (
+        SELECT * FROM ord WHERE prev IS NULL OR prev <> event_type),
+      paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM kept GROUP BY 1)
+      SELECT path, count(*) AS n_users
+      FROM paths GROUP BY 1
+      ORDER BY n_users DESC, path LIMIT 20""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
       outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs,
-      intervalUnion)
+      intervalUnion, paths)
 }

@@ -183,6 +183,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_chisq" -> 2,            // ONE cell-census agg exchange (nation dim
+                               // broadcasts); the three marginal windows run on
+                               // the 125-row cell table + final sort rides
+    "q_paths" -> 2,            // ONE user-keyed window exchange serves the
+                               // collapse lag AND the per-user path build; path
+                               // census agg; TakeOrdered final (no sort exchange)
     "q_interval_union" -> 3,   // (user,sec) distinct with MAP-SIDE partial dedup
                                // + user-keyed exchange serving both windows and
                                // the island agg + final sort — dedup-before-

@@ -96,7 +96,7 @@ object ScaleSmoke {
       "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",
       "q_changepoint",
       "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec",
-      "q_interval_union","q_chisq","q_paths")
+      "q_interval_union","q_chisq","q_paths","q_acf","q_ltv")
       .foreach(time)
     spark.stop()
   }

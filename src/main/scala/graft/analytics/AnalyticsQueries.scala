@@ -645,6 +645,67 @@ object AnalyticsQueries extends QueryModule {
       FROM m ORDER BY n_name, c_mktsegment""")
   )
 
+  /** Cohort LTV triangle — cumulative revenue per acquisition cohort
+    * by customer age: cohort = month of a customer's FIRST order, age
+    * = months since, cell = exact cohort revenue at that age plus its
+    * running cumulation. The revenue twin of q_retention (which counts
+    * surviving users): this is the payback/LTV curve finance reads.
+    * Age uses exact month arithmetic (year*12+month deltas on the
+    * truncated dates), revenue stays DECIMAL through the cell
+    * aggregate AND the cumulative window, so every cell is exact.
+    * Scale shape: one per-customer first-order aggregate (co-keyed
+    * with the fact join on o_custkey), one (cohort, age) cell
+    * aggregate, and the cumulation window partitions on cohort with
+    * cell-table-sized frames — months², never order-count.
+    */
+  val ltv = Q(
+    "q_ltv",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("rev"))
+      // cohort via an unordered per-customer window-min, NOT agg+join:
+      // the facts shuffle once on o_custkey and stay put — no second
+      // exchange pair to co-partition a cohort dim back in
+      val cells = o
+        .withColumn("cm",
+          min(col("m")).over(Window.partitionBy(col("o_custkey"))))
+        .groupBy(col("cm"),
+          ((year(col("m")) - year(col("cm"))) * 12
+            + (month(col("m")) - month(col("cm")))).cast(LongType).as("age"))
+        .agg(sum(col("rev")).as("rev"), countDistinct(col("o_custkey")).as("n_buyers"))
+      val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .select(date_format(col("cm"), "yyyy-MM-dd").as("cohort_month"),
+          col("age"), col("n_buyers"),
+          col("rev").cast(DoubleType).as("revenue"),
+          sum(col("rev")).over(w).cast(DoubleType).as("cum_revenue"))
+        .orderBy(col("cohort_month"), col("age"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders),
+      c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+      cells AS (
+        SELECT cm,
+               CAST((EXTRACT(YEAR FROM m) - EXTRACT(YEAR FROM cm)) * 12
+                    + (EXTRACT(MONTH FROM m) - EXTRACT(MONTH FROM cm))
+                    AS BIGINT) AS age,
+               sum(rev) AS rev, count(DISTINCT o.o_custkey) AS n_buyers
+        FROM o JOIN c USING (o_custkey)
+        GROUP BY 1, 2)
+      SELECT strftime(cm, '%Y-%m-%d') AS cohort_month, age, n_buyers,
+             CAST(rev AS DOUBLE) AS revenue,
+             CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_revenue
+      FROM cells ORDER BY cohort_month, age""")
+  )
+
   /** Sort-merge equi-join — fact⋈fact (lineitem⋈orders): both sides
     * grow with SF, so broadcast is impossible at scale; the merge hint
     * pins the plan Spark would choose there (shuffle both sides on the
@@ -2414,5 +2475,5 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq)
+    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv)
 }

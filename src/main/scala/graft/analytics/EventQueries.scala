@@ -763,8 +763,70 @@ object EventQueries extends QueryModule {
       ORDER BY n_users DESC, path LIMIT 20""")
   )
 
+  /** Full autocorrelation function — Pearson r at EVERY lag 1..24 over
+    * the hourly volume series, the seasonality detector (a daily cycle
+    * shows as an ACF peak at lag 24) that q_autocorr's single lag-1
+    * coefficient cannot see. Same determinism scheme as q_autocorr:
+    * per-lag moment sums are exact BIGINT, one IEEE division per
+    * output row. Instead of 24 lag-window passes, the bounded hourly
+    * census pairs with itself ONCE: broadcast the 24-row lag frame
+    * (an intentional broadcast nested-loop — 24×, not all-pairs),
+    * compute each row's lagged key arithmetically on the integer hour
+    * bucket, and equi-join back to the census — so the raw stream is
+    * read once and everything after the census is (hours × 24)-sized,
+    * independent of data scale.
+    */
+  val acf = Q(
+    "q_acf",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .select(floor(col("ts").cast(LongType) / 3600.0).as("hb"))
+        .groupBy(col("hb")).agg(count(lit(1)).as("c"))
+      val lags = s.range(1, 25).select(col("id").as("lag"))
+      val prev = hourly.select(col("hb").as("phb"), col("c").as("pc"))
+      hourly.join(broadcast(lags))
+        .withColumn("k", col("hb") - col("lag"))
+        .join(prev, col("k") === col("phb"))
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("sx"), sum(col("pc")).as("sy"),
+          sum(col("c") * col("pc")).as("sxy"),
+          sum(col("c") * col("c")).as("sxx"),
+          sum(col("pc") * col("pc")).as("syy"))
+        .select(col("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+                   * (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6)
+            .as("acf_r"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT CAST(floor(EXTRACT(EPOCH FROM ts) / 3600.0) AS BIGINT) AS hb,
+               count(*) AS c
+        FROM events GROUP BY 1),
+      lags AS (SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS lag),
+      pairs AS (
+        SELECT l.lag, h.c AS c, p.c AS pc
+        FROM hourly h CROSS JOIN lags l
+        JOIN hourly p ON h.hb - l.lag = p.hb),
+      m AS (
+        SELECT lag, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS sx, CAST(sum(pc) AS BIGINT) AS sy,
+               CAST(sum(c * pc) AS BIGINT) AS sxy,
+               CAST(sum(c * c) AS BIGINT) AS sxx,
+               CAST(sum(pc * pc) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag)
+      SELECT lag, n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf_r
+      FROM m ORDER BY lag""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
       outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs,
-      intervalUnion, paths)
+      intervalUnion, paths, acf)
 }

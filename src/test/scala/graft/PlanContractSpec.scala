@@ -183,6 +183,13 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_acf" -> 4,              // hourly census agg (ReuseExchange serves both
+                               // self-join sides) + census-sized join exchanges
+                               // + per-lag agg; everything after the census is
+                               // (hours x 24)-sized
+    "q_ltv" -> 4,              // facts shuffle ONCE on o_custkey (window-min
+                               // cohort, no agg+join pair) + cell agg + cohort
+                               // cumulation window + final sort
     "q_chisq" -> 2,            // ONE cell-census agg exchange (nation dim
                                // broadcasts); the three marginal windows run on
                                // the 125-row cell table + final sort rides

@@ -31,7 +31,14 @@ object ScaleSmoke {
     spark.range(2400000).select(
       (col("id") / 6).cast("long").as("l_orderkey"), // ~6 items/basket
       pmod(hash(col("id") * 7 + 1), lit(30000)).cast("long").as("l_partkey"),
-      pmod(hash(col("id") * 13 + 5), lit(3000)).cast("long").as("l_suppkey"))
+      pmod(hash(col("id") * 13 + 5), lit(3000)).cast("long").as("l_suppkey"),
+      // cent-valued measures for the one-pass correlation matrix
+      (pmod(hash(col("id") * 41 + 13), lit(5000)) / lit(100.0) + lit(1.0))
+        .as("l_quantity"),
+      (pmod(hash(col("id") * 43 + 19), lit(9000000)) / lit(100.0) + lit(900.0))
+        .as("l_extendedprice"),
+      (pmod(hash(col("id") * 47 + 23), lit(11)) / lit(100.0)).as("l_discount"),
+      (pmod(hash(col("id") * 53 + 29), lit(9)) / lit(100.0)).as("l_tax"))
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     spark.range(800000).select(
       col("id").as("event_id"),
@@ -96,7 +103,8 @@ object ScaleSmoke {
       "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",
       "q_changepoint",
       "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec",
-      "q_interval_union","q_chisq","q_paths","q_acf","q_ltv")
+      "q_interval_union","q_chisq","q_paths","q_acf","q_ltv",
+      "q_corr_matrix","q_union_drift")
       .foreach(time)
     spark.stop()
   }

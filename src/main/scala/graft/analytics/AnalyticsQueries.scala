@@ -645,6 +645,100 @@ object AnalyticsQueries extends QueryModule {
       FROM m ORDER BY n_name, c_mktsegment""")
   )
 
+  /** One-pass correlation MATRIX — Pearson r for every pair of the
+    * four lineitem measures (quantity, price, discount, tax) from a
+    * SINGLE aggregate: all 14 power sums (4 sums, 4 squares, 6 cross
+    * products) accumulate in one scan, then each of the 6 output rows
+    * is one fixed IEEE expression — the multivariate extension of
+    * q_corr's single pair, and the multi-metric EDA pass a feature
+    * pipeline runs before training. Determinism: measures become
+    * exact integer CENTS first, sums ride DECIMAL(38,0) (the products
+    * reach ~1e14 per row — BIGINT sums would overflow at scale;
+    * DuckDB's HUGEINT matches), and doubles appear only in the final
+    * per-row division. Scale shape: one partial+final aggregate to a
+    * single row; the matrix unpivot is 6 rows of arithmetic.
+    */
+  val corrMatrix = Q(
+    "q_corr_matrix",
+    (s, dir) => {
+      val cents = Map(
+        "q" -> (col("l_quantity") * 100).cast(DecimalType(38, 0)),
+        "p" -> (col("l_extendedprice") * 100).cast(DecimalType(38, 0)),
+        "d" -> (col("l_discount") * 100).cast(DecimalType(38, 0)),
+        "t" -> (col("l_tax") * 100).cast(DecimalType(38, 0)))
+      val names = Seq("q", "p", "d", "t")
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val sums =
+        count(lit(1)).as("n") +:
+        names.map(v => sum(cents(v)).as(s"s_$v")) ++:
+        names.map(v => sum(cents(v) * cents(v)).as(s"s_${v}_$v")) ++:
+        pairs.map { case (a, b) => sum(cents(a) * cents(b)).as(s"s_${a}_$b") }
+      def corr(a: String, b: String) =
+        round((col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast(DoubleType)
+          / sqrt((col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+              .cast(DoubleType)
+            * (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))
+              .cast(DoubleType)), 6)
+      val long = Map("q" -> "quantity", "p" -> "extendedprice",
+        "d" -> "discount", "t" -> "tax")
+      t(s, dir, "lineitem")
+        .agg(sums.head, sums.tail: _*)
+        .select(pairs.map { case (a, b) =>
+          struct(lit(long(a)).as("x"), lit(long(b)).as("y"),
+            corr(a, b).as("corr_r")).as(s"$a$b")
+        }: _*)
+        .select(explode(array(pairs.map { case (a, b) => col(s"$a$b") }: _*))
+          .as("c"))
+        .select(col("c.x"), col("c.y"), col("c.corr_r"))
+        .orderBy(col("x"), col("y"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(l_quantity * 100 AS HUGEINT) AS q,
+               CAST(l_extendedprice * 100 AS HUGEINT) AS p,
+               CAST(l_discount * 100 AS HUGEINT) AS d,
+               CAST(l_tax * 100 AS HUGEINT) AS t
+        FROM lineitem),
+      m AS (
+        SELECT count(*) AS n,
+               sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d, sum(t) AS s_t,
+               sum(q*q) AS s_q_q, sum(p*p) AS s_p_p,
+               sum(d*d) AS s_d_d, sum(t*t) AS s_t_t,
+               sum(q*p) AS s_q_p, sum(q*d) AS s_q_d, sum(q*t) AS s_q_t,
+               sum(p*d) AS s_p_d, sum(p*t) AS s_p_t, sum(d*t) AS s_d_t
+        FROM c),
+      pairs AS (
+        SELECT 'quantity' AS x, 'extendedprice' AS y,
+               round(CAST(n*s_q_p - s_q*s_p AS DOUBLE)
+                 / sqrt(CAST(n*s_q_q - s_q*s_q AS DOUBLE)
+                        * CAST(n*s_p_p - s_p*s_p AS DOUBLE)), 6) AS corr_r
+        FROM m
+        UNION ALL SELECT 'quantity', 'discount',
+               round(CAST(n*s_q_d - s_q*s_d AS DOUBLE)
+                 / sqrt(CAST(n*s_q_q - s_q*s_q AS DOUBLE)
+                        * CAST(n*s_d_d - s_d*s_d AS DOUBLE)), 6) FROM m
+        UNION ALL SELECT 'quantity', 'tax',
+               round(CAST(n*s_q_t - s_q*s_t AS DOUBLE)
+                 / sqrt(CAST(n*s_q_q - s_q*s_q AS DOUBLE)
+                        * CAST(n*s_t_t - s_t*s_t AS DOUBLE)), 6) FROM m
+        UNION ALL SELECT 'extendedprice', 'discount',
+               round(CAST(n*s_p_d - s_p*s_d AS DOUBLE)
+                 / sqrt(CAST(n*s_p_p - s_p*s_p AS DOUBLE)
+                        * CAST(n*s_d_d - s_d*s_d AS DOUBLE)), 6) FROM m
+        UNION ALL SELECT 'extendedprice', 'tax',
+               round(CAST(n*s_p_t - s_p*s_t AS DOUBLE)
+                 / sqrt(CAST(n*s_p_p - s_p*s_p AS DOUBLE)
+                        * CAST(n*s_t_t - s_t*s_t AS DOUBLE)), 6) FROM m
+        UNION ALL SELECT 'discount', 'tax',
+               round(CAST(n*s_d_t - s_d*s_t AS DOUBLE)
+                 / sqrt(CAST(n*s_d_d - s_d*s_d AS DOUBLE)
+                        * CAST(n*s_t_t - s_t*s_t AS DOUBLE)), 6) FROM m)
+      SELECT x, y, corr_r FROM pairs ORDER BY x, y""")
+  )
+
   /** Cohort LTV triangle — cumulative revenue per acquisition cohort
     * by customer age: cohort = month of a customer's FIRST order, age
     * = months since, cell = exact cohort revenue at that age plus its
@@ -2475,5 +2569,6 @@ object AnalyticsQueries extends QueryModule {
     scd2, joinShj, moments, zorder, funnel, retention, histogram, rfm, basket,
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
-    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv)
+    windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
+    corrMatrix)
 }

@@ -165,7 +165,56 @@ object ManifestQueries extends QueryModule {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Schema-drift union — the multi-source ingest reality every
+    * long-lived pipeline hits: a legacy feed without `props`, a v2
+    * feed that dropped `value` and added a `channel` column, landed
+    * into ONE table via `unionByName(allowMissingColumns = true)`
+    * (absent columns null-fill; matching is BY NAME, the thing
+    * positional UNION silently corrupts when schemas drift). Output
+    * is the per-source null census — the drift report a data contract
+    * monitor alerts on. Scale shape: both branches are scan-side
+    * filters of the same source with map-side projections; the union
+    * is plan-level (no shuffle) and the census is one aggregate.
+    */
+  val unionDrift = Q(
+    "q_union_drift",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val legacy = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), lit("legacy").as("src"))
+      val v2 = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"), upper(col("event_type")).as("channel"),
+          lit("v2").as("src"))
+      legacy.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+          sum(when(col("channel").isNull, 1L).otherwise(0L)).as("null_channel"))
+        .orderBy(col("src"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT event_id, user_id, event_type, value,
+               NULL AS props, NULL AS channel, 'legacy' AS src
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type, NULL,
+               props, upper(event_type), 'v2'
+        FROM events WHERE event_id % 2 = 1)
+      SELECT src, count(*) AS n,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_value,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_props,
+             CAST(sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_channel
+      FROM u GROUP BY src ORDER BY src""")
+  )
+
   override def all: Seq[Q] = Seq(
     splitExtract, manifestAgg, manifestExplode, incrementalSince,
-    renameManifest, ndjsonIngest, jsonExtract)
+    renameManifest, ndjsonIngest, jsonExtract, unionDrift)
 }

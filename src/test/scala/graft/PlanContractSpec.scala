@@ -183,6 +183,11 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_corr_matrix" -> 1,      // ONE partial+final aggregate to a single row
+                               // carrying all 14 power sums; the 6-row matrix
+                               // unpivot and sort are driver-trivial
+    "q_union_drift" -> 2,      // plan-level union of two scan-side filters (no
+                               // shuffle) + per-source census agg + final sort
     "q_acf" -> 4,              // hourly census agg (ReuseExchange serves both
                                // self-join sides) + census-sized join exchanges
                                // + per-lag agg; everything after the census is

@@ -739,6 +739,165 @@ object AnalyticsQueries extends QueryModule {
       SELECT x, y, corr_r FROM pairs ORDER BY x, y""")
   )
 
+  /** Exact distributed ROC-AUC — scores customers by account balance
+    * against the label "placed 12+ orders" (a balanced split at every
+    * SF — a date-cut label degenerates to all-positive on small SFs), computed as the exact
+    * Mann-Whitney rank statistic WITHOUT a global per-row ranking:
+    * rows collapse to score GROUPS (value-domain-bounded, the hourly-
+    * census argument), a running negative count over the ascending
+    * group series gives each group's pairs-won, and midrank tie
+    * handling falls out by counting within-group pos/neg pairs at
+    * half weight — the ×2 integer trick keeps every term integral
+    * until the single final division. Sums ride DECIMAL(38,0):
+    * n_pos × cum_neg products reach ~1e20 at 100 TB row counts,
+    * past BIGINT (DuckDB's HUGEINT matches). Cents conversion uses
+    * round-then-cast so both engines bucket identical scores.
+    */
+  val auc = Q(
+    "q_auc",
+    (s, dir) => {
+      val posKeys = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .select(col("o_custkey"))
+        .withColumn("is_pos", lit(1L))
+      val scored = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast(LongType).as("score"))
+        .join(posKeys, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("score"), coalesce(col("is_pos"), lit(0L)).as("y"))
+      val groups = scored.groupBy(col("score"))
+        .agg(sum(col("y")).as("n_pos"),
+          (count(lit(1)) - sum(col("y"))).as("n_neg"))
+      val below = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      groups
+        .withColumn("cb", coalesce(sum(col("n_neg")).over(below), lit(0L)))
+        .agg(
+          sum(col("n_pos")).as("n1"), sum(col("n_neg")).as("n0"),
+          sum((col("n_pos") * (lit(2) * col("cb") + col("n_neg")))
+            .cast(DecimalType(38, 0))).as("num2"))
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+          round(col("num2").cast(DoubleType)
+            / (lit(2) * col("n1") * col("n0")).cast(DoubleType), 6).as("auc_r"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_custkey FROM orders
+        GROUP BY 1 HAVING count(*) >= 12),
+      s AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+               CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c LEFT JOIN pos p ON c_custkey = o_custkey),
+      g AS (
+        SELECT score, CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM s GROUP BY 1),
+      w AS (
+        SELECT n_pos, n_neg,
+               COALESCE(sum(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM g),
+      m AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n1,
+               CAST(sum(n_neg) AS BIGINT) AS n0,
+               sum(CAST(n_pos AS HUGEINT) * (2 * cb + n_neg)) AS num2
+        FROM w)
+      SELECT n1 AS n_pos, n0 AS n_neg,
+             round(CAST(num2 AS DOUBLE)
+               / CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE), 6) AS auc_r
+      FROM m""")
+  )
+
+  /** Decile lift/gains table — the campaign-targeting evaluation that
+    * complements q_auc's single number: rank customers into score
+    * deciles by exact percentile cutoffs (the q_rfm broadcast-cutoff
+    * idiom — never a global ntile window over the rows), then report
+    * each decile's response rate, lift over the base rate, and
+    * cumulative gain from the top. All counts are exact integers from
+    * ONE per-decile census; rates/lift/gain are per-row IEEE
+    * divisions over window sums of the 10-row decile table.
+    */
+  val decileLift = Q(
+    "q_decile_lift",
+    (s, dir) => {
+      val posKeys = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .select(col("o_custkey"))
+        .withColumn("is_pos", lit(1L))
+      val scored = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast(DoubleType).as("score"))
+        .join(posKeys, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("score"), coalesce(col("is_pos"), lit(0L)).as("y"))
+      val cuts = scored.groupBy().agg(
+        expr("percentile(score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("cs"))
+      val bucketed = scored.crossJoin(broadcast(cuts))
+        .select(col("y"),
+          (lit(1) + (1 to 9).map(i =>
+            when(col("score") > element_at(col("cs"), i), 1).otherwise(0))
+            .reduce(_ + _)).cast(LongType).as("decile"))
+      val census = bucketed.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val wAll = Window.partitionBy()
+      val wTop = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census
+        .withColumn("tn", sum(col("n")).over(wAll))
+        .withColumn("tp", sum(col("n_pos")).over(wAll))
+        .withColumn("cp", sum(col("n_pos")).over(wTop))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast(DoubleType) / col("n").cast(DoubleType), 6)
+            .as("rate_r"),
+          round((col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+            / (col("tp").cast(DoubleType) / col("tn").cast(DoubleType)), 6)
+            .as("lift_r"),
+          round(col("cp").cast(DoubleType) / col("tp").cast(DoubleType), 6)
+            .as("cum_gain_r"))
+        .orderBy(col("decile").desc)
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_custkey FROM orders
+        GROUP BY 1 HAVING count(*) >= 12),
+      s AS (
+        SELECT CAST(c_acctbal AS DOUBLE) AS score,
+               CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c LEFT JOIN pos p ON c_custkey = o_custkey),
+      cuts AS (
+        SELECT quantile_cont(score,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM s),
+      b AS (
+        SELECT y, CAST(1
+          + CASE WHEN score > cs[1] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[2] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[3] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[4] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[5] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[6] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[7] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[8] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[9] THEN 1 ELSE 0 END AS BIGINT) AS decile
+        FROM s CROSS JOIN cuts),
+      census AS (
+        SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY 1),
+      m AS (
+        SELECT decile, n, n_pos,
+               sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp,
+               sum(n_pos) OVER (ORDER BY decile DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        FROM census)
+      SELECT decile, n, n_pos,
+             round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r,
+             round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift_r,
+             round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS cum_gain_r
+      FROM m ORDER BY decile DESC""")
+  )
+
   /** Cohort LTV triangle — cumulative revenue per acquisition cohort
     * by customer age: cohort = month of a customer's FIRST order, age
     * = months since, cell = exact cohort revenue at that age plus its
@@ -2570,5 +2729,5 @@ object AnalyticsQueries extends QueryModule {
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
-    corrMatrix)
+    corrMatrix, auc, decileLift)
 }

@@ -183,6 +183,14 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_auc" -> 3,              // per-customer label agg (AQE broadcasts into
+                               // the customer join) + score-group census agg +
+                               // bounded-series running-neg window; single-row
+                               // result needs no sort
+    "q_decile_lift" -> 4,      // label agg + ONE percentile-cutoff agg
+                               // (broadcast back, map-side CASE deciles — the
+                               // q_rfm idiom, never a global ntile) + 10-row
+                               // decile census + its window/sort
     "q_corr_matrix" -> 1,      // ONE partial+final aggregate to a single row
                                // carrying all 14 power sums; the 6-row matrix
                                // unpivot and sort are driver-trivial

@@ -898,6 +898,181 @@ object AnalyticsQueries extends QueryModule {
       FROM m ORDER BY decile DESC""")
   )
 
+  /** Population stability index — the drift monitor every deployed
+    * model/feature pipeline runs between a baseline window and a
+    * serving window: bucket the serving distribution by the
+    * BASELINE's decile cutoffs (the q_rfm broadcast-cutoff idiom) and
+    * report each bucket's share shift and PSI term. Output is
+    * PER-BUCKET (the drill-down surface, and each row is one fixed
+    * IEEE expression — a 10-term double sum is the thing the oracle
+    * compare can't trust); the conventional Σ and its 0.1/0.25 alarm
+    * thresholds are one trivial consumer-side fold. Buckets empty in
+    * the serving window yield NULL (ln(p/0) is the monitor's
+    * "distribution collapsed" signal, not a number). Scale shape: one
+    * percentile aggregate over the baseline, broadcast back; ONE scan
+    * of both windows with map-side CASE bucketing; a 10-row census
+    * whose totals are window sums over that census.
+    */
+  val psi = Q(
+    "q_psi",
+    (s, dir) => {
+      val t0 = ts("1995-01-01"); val t1 = ts("1997-01-01"); val t2 = ts("1999-01-01")
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= t0 && col("o_orderdate") < t1)
+        .select(col("o_totalprice").cast(DoubleType).as("x"))
+      val cuts = base.groupBy().agg(
+        expr("percentile(x, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("cs"))
+      val both = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= t0 && col("o_orderdate") < t2)
+        .select(col("o_totalprice").cast(DoubleType).as("x"),
+          (col("o_orderdate") >= t1).cast(LongType).as("tgt"))
+      val census = both.crossJoin(broadcast(cuts))
+        .select(col("tgt"),
+          (lit(1) + (1 to 9).map(i =>
+            when(col("x") > element_at(col("cs"), i), 1).otherwise(0))
+            .reduce(_ + _)).cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg((count(lit(1)) - sum(col("tgt"))).as("n_base"),
+          sum(col("tgt")).as("n_tgt"))
+      val wAll = Window.partitionBy()
+      census
+        .withColumn("tb", sum(col("n_base")).over(wAll))
+        .withColumn("tt", sum(col("n_tgt")).over(wAll))
+        .select(col("bucket"), col("n_base"), col("n_tgt"),
+          round(col("n_base").cast(DoubleType) / col("tb").cast(DoubleType), 6)
+            .as("p_r"),
+          round(col("n_tgt").cast(DoubleType) / col("tt").cast(DoubleType), 6)
+            .as("q_r"),
+          when(col("n_base") === 0 || col("n_tgt") === 0, lit(null))
+            .otherwise(round(
+              (col("n_base").cast(DoubleType) / col("tb").cast(DoubleType)
+                - col("n_tgt").cast(DoubleType) / col("tt").cast(DoubleType))
+              * log((col("n_base").cast(DoubleType) / col("tb").cast(DoubleType))
+                / (col("n_tgt").cast(DoubleType) / col("tt").cast(DoubleType))), 6))
+            .as("psi_r"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'),
+      cuts AS (
+        SELECT quantile_cont(x,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM base),
+      b AS (
+        SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END AS tgt,
+               CAST(1
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[1] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[2] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[3] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[4] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[5] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[6] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[7] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[8] THEN 1 ELSE 0 END
+          + CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[9] THEN 1 ELSE 0 END
+          AS BIGINT) AS bucket
+        FROM orders CROSS JOIN cuts
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'),
+      census AS (
+        SELECT bucket, CAST(count(*) - sum(tgt) AS BIGINT) AS n_base,
+               CAST(sum(tgt) AS BIGINT) AS n_tgt
+        FROM b GROUP BY 1),
+      m AS (
+        SELECT bucket, n_base, n_tgt,
+               sum(n_base) OVER () AS tb, sum(n_tgt) OVER () AS tt
+        FROM census)
+      SELECT bucket, n_base, n_tgt,
+             round(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS p_r,
+             round(CAST(n_tgt AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS q_r,
+             CASE WHEN n_base = 0 OR n_tgt = 0 THEN NULL
+                  ELSE round((CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)
+                              - CAST(n_tgt AS DOUBLE) / CAST(tt AS DOUBLE))
+                    * ln((CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE))
+                       / (CAST(n_tgt AS DOUBLE) / CAST(tt AS DOUBLE))), 6)
+             END AS psi_r
+      FROM m ORDER BY bucket""")
+  )
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the same
+    * two order-price windows as q_psi — the nonparametric "did the
+    * distribution shift" test, computed ENTIRELY in integers: rows
+    * collapse to cent-valued score groups, running per-sample counts
+    * give both empirical CDFs, and the sup is the argmax of
+    * |cb·tt − ct·tb| — cross-multiplied so no fraction is ever
+    * compared. The single division (and the only double) happens on
+    * the one winning row. Product magnitudes reach ~1e20 at 100 TB
+    * row counts, so the cross terms ride DECIMAL(38,0) (DuckDB
+    * HUGEINT). Argmax ties break on the lowest score; TakeOrdered,
+    * never a global sort.
+    */
+  val ks = Q(
+    "q_ks",
+    (s, dir) => {
+      val t0 = ts("1995-01-01"); val t1 = ts("1997-01-01"); val t2 = ts("1999-01-01")
+      val census = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= t0 && col("o_orderdate") < t2)
+        .select(round(col("o_totalprice") * 100, 0).cast(LongType).as("score"),
+          (col("o_orderdate") >= t1).cast(LongType).as("tgt"))
+        .groupBy(col("score"))
+        .agg((count(lit(1)) - sum(col("tgt"))).as("nb"), sum(col("tgt")).as("nt"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      census
+        .withColumn("cb", sum(col("nb")).over(w))
+        .withColumn("ct", sum(col("nt")).over(w))
+        .withColumn("tb", sum(col("nb")).over(wAll))
+        .withColumn("tt", sum(col("nt")).over(wAll))
+        .select(col("score"), col("tb"), col("tt"),
+          abs(col("cb").cast(DecimalType(38, 0)) * col("tt")
+            - col("ct").cast(DecimalType(38, 0)) * col("tb")).as("d_num"))
+        .orderBy(col("d_num").desc, col("score"))
+        .limit(1)
+        .select(
+          round(col("score").cast(DoubleType) / 100.0, 2).as("at_price"),
+          col("tb").as("n_base"), col("tt").as("n_tgt"),
+          round(col("d_num").cast(DoubleType)
+            / (col("tb").cast(DecimalType(38, 0)) * col("tt")).cast(DoubleType), 6)
+            .as("ks_r"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END AS tgt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'),
+      g AS (
+        SELECT score, CAST(count(*) - sum(tgt) AS BIGINT) AS nb,
+               CAST(sum(tgt) AS BIGINT) AS nt
+        FROM s GROUP BY 1),
+      c AS (
+        SELECT score,
+               sum(nb) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(nt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+               sum(nb) OVER () AS tb, sum(nt) OVER () AS tt
+        FROM g),
+      d AS (
+        SELECT score, tb, tt,
+               abs(CAST(cb AS HUGEINT) * tt - CAST(ct AS HUGEINT) * tb) AS d_num
+        FROM c
+        ORDER BY d_num DESC, score LIMIT 1)
+      SELECT round(CAST(score AS DOUBLE) / 100.0, 2) AS at_price,
+             CAST(tb AS BIGINT) AS n_base, CAST(tt AS BIGINT) AS n_tgt,
+             round(CAST(d_num AS DOUBLE)
+               / CAST(CAST(tb AS HUGEINT) * tt AS DOUBLE), 6) AS ks_r
+      FROM d""")
+  )
+
   /** Cohort LTV triangle — cumulative revenue per acquisition cohort
     * by customer age: cohort = month of a customer's FIRST order, age
     * = months since, cell = exact cohort revenue at that age plus its
@@ -2729,5 +2904,5 @@ object AnalyticsQueries extends QueryModule {
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
-    corrMatrix, auc, decileLift)
+    corrMatrix, auc, decileLift, psi, ks)
 }

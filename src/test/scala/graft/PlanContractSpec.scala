@@ -183,6 +183,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_psi" -> 3,              // baseline percentile agg (broadcast back,
+                               // map-side CASE buckets) + 10-row census agg +
+                               // its total-window/sort
+    "q_ks" -> 2,               // cent score-group census agg + the bounded
+                               // CDF window; TakeOrdered argmax (no sort
+                               // exchange), single-row result
     "q_auc" -> 3,              // per-customer label agg (AQE broadcasts into
                                // the customer join) + score-group census agg +
                                // bounded-series running-neg window; single-row

@@ -1073,6 +1073,183 @@ object AnalyticsQueries extends QueryModule {
       FROM d""")
   )
 
+  /** Exact 1-D Wasserstein distance (earth mover's) between the q_ks
+    * windows — the drift MAGNITUDE companion to q_ks's max deviation:
+    * how many dollars would move, on average, to turn the baseline
+    * price distribution into the serving one. In one dimension
+    * EMD = ∫|CDF₁ − CDF₂|, which discretizes over cent score groups
+    * as Σ |cb·tt − ct·tb| · gap — every term an exact integer
+    * (cross-multiplied CDFs × the gap to the next score), summed in
+    * DECIMAL(38,0), ONE division at the end. Unlike q_psi's
+    * transcendental terms this statistic is bit-exact end to end.
+    * Same scale shape as q_ks: census + bounded-series windows.
+    */
+  val emd = Q(
+    "q_emd",
+    (s, dir) => {
+      val t0 = ts("1995-01-01"); val t1 = ts("1997-01-01"); val t2 = ts("1999-01-01")
+      val census = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= t0 && col("o_orderdate") < t2)
+        .select(round(col("o_totalprice") * 100, 0).cast(LongType).as("score"),
+          (col("o_orderdate") >= t1).cast(LongType).as("tgt"))
+        .groupBy(col("score"))
+        .agg((count(lit(1)) - sum(col("tgt"))).as("nb"), sum(col("tgt")).as("nt"))
+      val bySc = Window.orderBy(col("score"))
+      val w = bySc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      census
+        .withColumn("cb", sum(col("nb")).over(w))
+        .withColumn("ct", sum(col("nt")).over(w))
+        .withColumn("tb", sum(col("nb")).over(wAll))
+        .withColumn("tt", sum(col("nt")).over(wAll))
+        .withColumn("gap", lead(col("score"), 1).over(bySc) - col("score"))
+        .filter(col("gap").isNotNull)
+        .agg(
+          max(col("tb")).as("n_base"), max(col("tt")).as("n_tgt"),
+          sum((abs(col("cb") * col("tt") - col("ct") * col("tb")) * col("gap"))
+            .cast(DecimalType(38, 0))).as("mass"))
+        .select(col("n_base"), col("n_tgt"),
+          round(col("mass").cast(DoubleType)
+            / (col("n_base").cast(DecimalType(38, 0)) * col("n_tgt"))
+              .cast(DoubleType) / 100.0, 4).as("emd_dollars_r"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END AS tgt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'),
+      g AS (
+        SELECT score, CAST(count(*) - sum(tgt) AS BIGINT) AS nb,
+               CAST(sum(tgt) AS BIGINT) AS nt
+        FROM s GROUP BY 1),
+      c AS (
+        SELECT score,
+               sum(nb) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(nt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+               sum(nb) OVER () AS tb, sum(nt) OVER () AS tt,
+               lead(score, 1) OVER (ORDER BY score) - score AS gap
+        FROM g),
+      m AS (
+        SELECT CAST(max(tb) AS BIGINT) AS n_base,
+               CAST(max(tt) AS BIGINT) AS n_tgt,
+               sum(abs(CAST(cb AS HUGEINT) * tt - CAST(ct AS HUGEINT) * tb)
+                   * gap) AS mass
+        FROM c WHERE gap IS NOT NULL)
+      SELECT n_base, n_tgt,
+             round(CAST(mass AS DOUBLE)
+               / CAST(CAST(n_base AS HUGEINT) * n_tgt AS DOUBLE) / 100.0, 4)
+               AS emd_dollars_r
+      FROM m""")
+  )
+
+  /** Kaplan–Meier survival curve for repeat purchase — "how long from
+    * a customer's first order to their second", with customers who
+    * never reorder CENSORED at the snapshot date instead of dropped
+    * (the thing a naive average-gap query gets wrong, and the churn
+    * curve a retention team actually reads). The KM product
+    * ∏(1 − dᵢ/nᵢ) is sequential by definition; it distributes as
+    * exp(Σ ln(1 − dᵢ/nᵢ)) with each ln term ROUNDED to 9 decimals
+    * before the cumulative sum — the q_entropy determinism idiom, so
+    * both engines add identical quantized terms in the same window
+    * order. Risk counts are exact integers from one duration census
+    * (n_at_risk via running sums — nobody sorts raw orders); the
+    * curve is duration-domain-bounded. If the last at-risk customer
+    * reorders, that point's survival is exactly 0 (ln guarded NULL,
+    * handled as a terminal zero, not -inf).
+    */
+  val survival = Q(
+    "q_survival",
+    (s, dir) => {
+      val snap = lit("1998-08-02").cast("date")
+      // first + second order dates in one pass: per-customer rank,
+      // keep ranks 1-2, re-aggregate — one o_custkey exchange
+      val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+        col("o_orderkey"))
+      val firstSecond = t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 2)
+        .groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("t1"),
+          to_date(max(when(col("rn") === 2, col("o_orderdate")))).as("t2"))
+      val durations = firstSecond.select(
+        when(col("t2").isNotNull, datediff(col("t2"), col("t1")))
+          .otherwise(datediff(snap, col("t1"))).cast(LongType).as("d"),
+        col("t2").isNotNull.cast(LongType).as("event"))
+      val census = durations.groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("event")).as("ev"))
+      val byD = Window.orderBy(col("d"))
+      val before = byD.rowsBetween(Window.unboundedPreceding, -1)
+      val upTo = byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      census
+        .withColumn("n_risk",
+          sum(col("n")).over(wAll) - coalesce(sum(col("n")).over(before), lit(0L)))
+        .filter(col("ev") > 0)
+        .withColumn("lnterm",
+          when(col("ev") === col("n_risk"), lit(null))
+            .otherwise(round(log(lit(1.0)
+              - col("ev").cast(DoubleType) / col("n_risk").cast(DoubleType)), 9)))
+        .withColumn("surv_r",
+          when(max(col("ev") === col("n_risk")).over(upTo), lit(0.0))
+            .otherwise(round(exp(sum(col("lnterm")).over(upTo)), 6)))
+        .select(col("d").as("duration_days"), col("n_risk"),
+          col("ev").as("n_events"), col("surv_r"))
+        .orderBy(col("duration_days"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders),
+      fs AS (
+        SELECT o_custkey,
+               CAST(min(o_orderdate) AS DATE) AS t1,
+               CAST(max(CASE WHEN rn = 2 THEN o_orderdate END) AS DATE) AS t2
+        FROM ranked WHERE rn <= 2 GROUP BY 1),
+      dur AS (
+        SELECT CASE WHEN t2 IS NOT NULL
+                    THEN date_diff('day', t1, t2)
+                    ELSE date_diff('day', t1, DATE '1998-08-02') END AS d,
+               CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM fs),
+      census AS (
+        SELECT CAST(d AS BIGINT) AS d, count(*) AS n,
+               CAST(sum(event) AS BIGINT) AS ev
+        FROM dur GROUP BY 1),
+      risk AS (
+        SELECT d, ev,
+               sum(n) OVER () - COALESCE(sum(n) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM census),
+      terms AS (
+        SELECT d, n_risk, ev,
+               CASE WHEN ev = n_risk THEN NULL
+                    ELSE round(ln(1.0 - CAST(ev AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE)), 9)
+               END AS lnterm
+        FROM risk WHERE ev > 0),
+      curve AS (
+        SELECT d, n_risk, ev,
+               CASE WHEN max(CASE WHEN ev = n_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE round(exp(sum(lnterm) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               END AS surv_r
+        FROM terms)
+      SELECT d AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+             ev AS n_events, surv_r
+      FROM curve ORDER BY duration_days""")
+  )
+
   /** Cohort LTV triangle — cumulative revenue per acquisition cohort
     * by customer age: cohort = month of a customer's FIRST order, age
     * = months since, cell = exact cohort revenue at that age plus its
@@ -2904,5 +3081,5 @@ object AnalyticsQueries extends QueryModule {
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
-    corrMatrix, auc, decileLift, psi, ks)
+    corrMatrix, auc, decileLift, psi, ks, emd, survival)
 }

@@ -183,6 +183,11 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_emd" -> 2,              // cent score-group census agg + the bounded
+                               // CDF/gap window; single-row result, no sort
+    "q_survival" -> 3,         // ONE o_custkey exchange (rank window + the
+                               // first/second re-agg ride it) + duration census
+                               // agg + the bounded curve windows/sort
     "q_psi" -> 3,              // baseline percentile agg (broadcast back,
                                // map-side CASE buckets) + 10-row census agg +
                                // its total-window/sort

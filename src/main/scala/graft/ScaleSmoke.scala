@@ -105,7 +105,7 @@ object ScaleSmoke {
       "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec",
       "q_interval_union","q_chisq","q_paths","q_acf","q_ltv",
       "q_corr_matrix","q_union_drift","q_auc","q_decile_lift","q_psi","q_ks",
-      "q_emd","q_survival")
+      "q_emd","q_survival","q_seasonal")
       .foreach(time)
     spark.stop()
   }

@@ -825,8 +825,67 @@ object EventQueries extends QueryModule {
       FROM m ORDER BY lag""")
   )
 
+  /** Seasonal decomposition (STL-lite) — the hour-of-day seasonal
+    * profile of event volume after removing the trend: a centered
+    * 24-hour moving average (RANGE window on the integer hour bucket,
+    * so a missing hour cannot misalign the frame the way a ROWS frame
+    * would), detrended residuals, then the mean residual per
+    * hour-of-day. This is the decomposition behind "is 3am really
+    * quieter or is the whole week just ramping" — the q_acf table
+    * detects that seasonality exists; this measures its shape.
+    * Determinism: the trend is an exact integer sum over the frame
+    * divided once (IEEE-identical); detrended values are QUANTIZED to
+    * 6 decimals and summed in DECIMAL(18,6), so the per-hour mean has
+    * no order-dependent double accumulation. Scale shape: everything
+    * after the hourly census is bounded by the hour count; the final
+    * censuses are 24-row.
+    */
+  val seasonal = Q(
+    "q_seasonal",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .select(floor(col("ts").cast(LongType) / 3600.0).cast(LongType).as("hb"))
+        .groupBy(col("hb")).agg(count(lit(1)).as("c"))
+      val wTrend = Window.orderBy(col("hb")).rangeBetween(-12, 11)
+      hourly
+        .withColumn("w_n", count(lit(1)).over(wTrend))
+        .withColumn("w_sum", sum(col("c")).over(wTrend))
+        .filter(col("w_n") === 24)
+        .withColumn("detr",
+          round(col("c").cast(DoubleType)
+            - col("w_sum").cast(DoubleType) / 24.0, 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy(pmod(col("hb"), lit(24L)).as("hod"))
+        .agg(count(lit(1)).as("n_obs"),
+          round((sum(col("detr")) / count(lit(1))).cast(DoubleType), 6)
+            .as("seasonal_r"))
+        .orderBy(col("hod"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT CAST(floor(EXTRACT(EPOCH FROM ts) / 3600.0) AS BIGINT) AS hb,
+               count(*) AS c
+        FROM events GROUP BY 1),
+      tr AS (
+        SELECT hb, c,
+               count(*) OVER (ORDER BY hb
+                 RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS w_n,
+               sum(c) OVER (ORDER BY hb
+                 RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS w_sum
+        FROM hourly),
+      d AS (
+        SELECT hb % 24 AS hod,
+               CAST(round(CAST(c AS DOUBLE)
+                          - CAST(w_sum AS DOUBLE) / 24.0, 6)
+                    AS DECIMAL(18,6)) AS detr
+        FROM tr WHERE w_n = 24)
+      SELECT hod, count(*) AS n_obs,
+             round(CAST(sum(detr) / count(*) AS DOUBLE), 6) AS seasonal_r
+      FROM d GROUP BY 1 ORDER BY hod""")
+  )
+
   override def all: Seq[Q] =
     Seq(ewma, gapFill, anomaly, attribution, rollingMedian, transitions,
       outlierMad, abtest, autocorr, changepoint, convTime, backtest, seqPairs,
-      intervalUnion, paths, acf)
+      intervalUnion, paths, acf, seasonal)
 }

@@ -183,6 +183,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,
+    "q_seasonal" -> 2,         // hourly census agg + the bounded trend/hod
+                               // windows; the 24-row census sort rides
     "q_emd" -> 2,              // cent score-group census agg + the bounded
                                // CDF/gap window; single-row result, no sort
     "q_survival" -> 3,         // ONE o_custkey exchange (rank window + the

@@ -267,6 +267,89 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_survival matches a sequential Kaplan-Meier fold and is monotone") {
+    // Rebuild the duration/event pairs single-threaded from raw
+    // orders, fold the KM product in plain order with the SAME
+    // 9-decimal ln quantization, and demand the distributed curve
+    // agrees point-for-point; also pin the curve's shape invariants.
+    val snap = java.time.LocalDate.parse("1998-08-02")
+    val perCust = graft.util.Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1)
+    val durations = perCust.values.map { rows =>
+      val sorted = rows.sortBy(r => (r._2.toLocalDate.toEpochDay, r._3))
+      val t1 = sorted.head._2.toLocalDate
+      sorted.lift(1) match {
+        case Some((_, d2, _)) =>
+          (java.time.temporal.ChronoUnit.DAYS.between(t1, d2.toLocalDate), 1L)
+        case None =>
+          (java.time.temporal.ChronoUnit.DAYS.between(t1, snap), 0L)
+      }
+    }.toSeq
+    val census = durations.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, g) => (d, g.size.toLong, g.map(_._2).sum) }
+    var atRisk = durations.size.toLong
+    var lnSum = 0.0
+    var collapsed = false
+    val expect = scala.collection.mutable.Map[Long, Double]()
+    census.foreach { case (d, n, ev) =>
+      if (ev > 0) {
+        if (ev == atRisk) collapsed = true
+        else lnSum += BigDecimal(math.log(1.0 - ev.toDouble / atRisk))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        expect(d) =
+          if (collapsed) 0.0
+          else BigDecimal(math.exp(lnSum))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      atRisk -= n
+    }
+    val got = AnalyticsQueries.survival.run(spark, dir)
+      .select(col("duration_days"), col("surv_r"))
+      .as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (d, sr) =>
+      assert(math.abs(sr - expect(d)) < 1e-9, s"day $d: $sr vs ${expect(d)}")
+    }
+    val curve = got.sortBy(_._1).map(_._2)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a + 1e-12 },
+      "survival must be non-increasing")
+    assert(curve.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("q_emd matches a sequential CDF-integral replica") {
+    // Fold |CDF_base - CDF_target| x gap over the sorted cent scores
+    // single-threaded in exact Long/BigInt arithmetic and demand the
+    // distributed statistic agrees to the rounding digit.
+    val rows = graft.util.Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("score"),
+        (col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .cast("long").as("tgt"))
+      .as[(Long, Long)].collect()
+    val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, g) => (s, g.count(_._2 == 0L).toLong, g.count(_._2 == 1L).toLong) }
+    val tb = grouped.map(_._2).sum; val tt = grouped.map(_._3).sum
+    var cb = 0L; var ct = 0L; var mass = BigInt(0)
+    grouped.sliding(2).foreach {
+      case Seq((s1, nb, nt), (s2, _, _)) =>
+        cb += nb; ct += nt
+        mass += (BigInt(cb) * tt - BigInt(ct) * tb).abs * (s2 - s1)
+      case _ => ()
+    }
+    val expect = BigDecimal(
+      mass.toDouble / (BigInt(tb) * tt).toDouble / 100.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (nB, nT, got) = AnalyticsQueries.emd.run(spark, dir)
+      .as[(Long, Long, Double)].collect().head
+    assert((nB, nT) === ((tb, tt)))
+    assert(math.abs(got - expect) < 1e-9, s"$got vs replica $expect")
+    assert(got > 0.0, "the two windows genuinely differ")
+  }
+
   test("q_kanon: risk bands partition every customer exactly once") {
     // The band census must be a PARTITION of the customer table: no
     // row lost to a dropped class, none double-counted across bands —

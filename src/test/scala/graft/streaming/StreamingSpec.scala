@@ -191,4 +191,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Array((40L, 30L, 360.0), (40L, 31L, 120.0)))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    // The batch-backfill contract: an AvailableNow run must process
+    // every file already landed, commit, and STOP without an explicit
+    // stop() — that self-termination is what makes a scheduled
+    // catch-up job (cron-style reprocessing) safe to run unattended.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("avnow_in").toString
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00.000Z","user_id":2,"event_type":"view","value":3.0}"""
+    ).mkString("\n").getBytes)
+    Files.write(Paths.get(dir, "b2.json"), Seq(
+      """{"event_id":3,"ts":"2024-01-01T10:02:00.000Z","user_id":1,"event_type":"click","value":5.0}"""
+    ).mkString("\n").getBytes)
+    val q = spark.readStream.schema(EventStream.eventSchema).json(dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000),
+        "AvailableNow must terminate by itself once the backlog drains")
+      val rows = spark.sql("SELECT user_id, n FROM avnow ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((1L, 2L), (2L, 1L)),
+        "both pre-landed files must be processed before terminating")
+    } finally q.stop()
+  }
 }

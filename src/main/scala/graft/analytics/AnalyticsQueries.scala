@@ -775,8 +775,8 @@ object AnalyticsQueries extends QueryModule {
         .withColumn("cb", coalesce(sum(col("n_neg")).over(below), lit(0L)))
         .agg(
           sum(col("n_pos")).as("n1"), sum(col("n_neg")).as("n0"),
-          sum((col("n_pos") * (lit(2) * col("cb") + col("n_neg")))
-            .cast(DecimalType(38, 0))).as("num2"))
+          sum(col("n_pos").cast(DecimalType(38, 0))
+            * (lit(2) * col("cb") + col("n_neg")).cast(DecimalType(38, 0))).as("num2"))
         .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
           round(col("num2").cast(DoubleType)
             / (lit(2) * col("n1") * col("n0")).cast(DoubleType), 6).as("auc_r"))
@@ -1106,8 +1106,9 @@ object AnalyticsQueries extends QueryModule {
         .filter(col("gap").isNotNull)
         .agg(
           max(col("tb")).as("n_base"), max(col("tt")).as("n_tgt"),
-          sum((abs(col("cb") * col("tt") - col("ct") * col("tb")) * col("gap"))
-            .cast(DecimalType(38, 0))).as("mass"))
+          sum(abs(col("cb").cast(DecimalType(38, 0)) * col("tt")
+              - col("ct").cast(DecimalType(38, 0)) * col("tb")) * col("gap"))
+            .as("mass"))
         .select(col("n_base"), col("n_tgt"),
           round(col("mass").cast(DoubleType)
             / (col("n_base").cast(DecimalType(38, 0)) * col("n_tgt"))
@@ -2938,10 +2939,10 @@ object AnalyticsQueries extends QueryModule {
     * 80% of revenue" revenue-risk analyses. Exact-arithmetic form of
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over per-customer spend
     * sorted ascending: spend routes through DECIMAL cents once and is
-    * then a BIGINT, so ranks, products and both Σ terms are EXACT
-    * integer arithmetic on both engines (no decimal-precision
-    * escalation, which Spark caps at 38 with scale loss) and the one
-    * double division at the end is IEEE-identical. The ranking window
+    * then a BIGINT; the rank×spend products ride DECIMAL(38,0)
+    * (HUGEINT in the oracle) because Σ i·x ≈ n²·avg_cents passes
+    * int64 for large segments, so every Σ term stays EXACT on both
+    * engines and the one double division at the end is IEEE-identical. The ranking window
     * is partitioned by segment (bounded cardinality), never global;
     * at 100 TB the per-customer pre-aggregate is the only big shuffle.
     */
@@ -2962,12 +2963,14 @@ object AnalyticsQueries extends QueryModule {
         .agg(
           count(lit(1)).as("n_cust"),
           sum(col("x")).as("sx"),
-          sum(col("i") * col("x")).as("six"))
+          sum(col("i").cast(DecimalType(38, 0)) * col("x")).as("six"))
         .select(col("c_mktsegment").as("segment"), col("n_cust"),
           (col("sx") / 100).cast(DoubleType).as("total_spend"),
-          round((lit(2L) * col("six") - (col("n_cust") + 1) * col("sx"))
+          round((lit(2L) * col("six")
+              - (col("n_cust") + 1).cast(DecimalType(38, 0)) * col("sx"))
               .cast(DoubleType)
-            / (col("n_cust") * col("sx")).cast(DoubleType), 6).as("gini_r"))
+            / (col("n_cust").cast(DecimalType(38, 0)) * col("sx"))
+              .cast(DoubleType), 6).as("gini_r"))
         .orderBy(col("segment"))
     },
     Some("""
@@ -2984,12 +2987,12 @@ object AnalyticsQueries extends QueryModule {
       a AS (
         SELECT c_mktsegment, count(*) AS n_cust,
                CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(i * x) AS BIGINT) AS six
+               sum(CAST(i AS HUGEINT) * x) AS six
         FROM r GROUP BY 1)
       SELECT c_mktsegment AS segment, n_cust,
              CAST(sx AS DOUBLE) / 100 AS total_spend,
-             round(CAST(2 * six - (n_cust + 1) * sx AS DOUBLE)
-                   / CAST(n_cust * sx AS DOUBLE), 6) AS gini_r
+             round(CAST(2 * six - CAST(n_cust + 1 AS HUGEINT) * sx AS DOUBLE)
+                   / CAST(CAST(n_cust AS HUGEINT) * sx AS DOUBLE), 6) AS gini_r
       FROM a ORDER BY segment""")
   )
 

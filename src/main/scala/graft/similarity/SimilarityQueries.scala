@@ -787,9 +787,15 @@ object SimilarityQueries extends QueryModule {
     // sentinel and cache the failure forever — fail loudly instead.
     require(docsFile.exists(),
       s"signatureIndex: $docsFile does not exist")
-    val dataKey = java.lang.Long.toHexString(
-      s"$dir@${docsFile.lastModified()}@$IncrementalCutoff".hashCode.toLong
-        & 0xffffffffL)
+    // md5 of the full descriptor — a 32-bit String.hashCode collision
+    // between two datasets in one JVM would silently serve the wrong
+    // persisted index (ADVICE r08); 128-bit digest makes that
+    // impossible in practice, and the file length joins mtime in the
+    // key so a same-second rewrite still changes the digest.
+    val dataKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val sessKey = java.lang.Long.toHexString(
       System.identityHashCode(s).toLong & 0xffffffffL)
     val cacheKey = s"$dataKey@$sessKey"

@@ -176,13 +176,15 @@ class PlanContractSpec extends AnyFunSuite {
     "q_label_prop" -> 2,       // final segment only (checkpoint-truncated rounds,
                                // the q_pagerank idiom): community census + sort
     "q_linreg" -> 2,           // daily census agg + ONE global moment agg
-    "q_sql_q18" -> 3,
+    "q_sql_q18" -> 3,          // HAVING key-set agg + semi join (AQE broadcasts
+                               // the selective side) + detail agg; TakeOrdered
     "q_knn_classify" -> 3,    // checkpointed kNN frame: vote agg + top-1 vote
                                // window + confusion census (labels broadcast);
                                // the census sort rides the final exchange
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
-    "q_conv_time" -> 4,
+    "q_conv_time" -> 4,        // first-view agg + first-purchase-after agg + ONE
+                               // percentile agg + scalar collect
     "q_seasonal" -> 2,         // hourly census agg + the bounded trend/hod
                                // windows; the 24-row census sort rides
     "q_emd" -> 2,              // cent score-group census agg + the bounded
@@ -243,9 +245,7 @@ class PlanContractSpec extends AnyFunSuite {
                                // dims broadcast under the orphan checks
     "q_setops_all" -> 5)       // count-replicate rewrite: per-key count agg per
                                // side (2) + intersect/except generates + 3 census
-                               // single-row aggs share exchanges at runtime        // first-view agg + first-purchase-after agg + ONE
-                               // percentile agg + scalar collect          // HAVING key-set agg + semi join (AQE broadcasts
-                               // the selective side) + detail agg; TakeOrdered
+                               // single-row aggs share exchanges at runtime
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -62,6 +62,25 @@ object Bench {
         b > 0 && t > b * factor && t > floorSec) => (name, t, base(name))
     }
 
+  /** Merge rule for the persisted baseline (r08 verdict #1): an
+    * inflated first recording that stays UNDER the 2x retry threshold
+    * sails past retry-confirm and becomes the committed budget —
+    * 2x of an inflated entry then doubles next round's allowance (the
+    * upward ratchet; r08 committed q_substr_dedup at 4.60s vs 1.56s
+    * isolated). Persisting per-query min(new, prior-confirmed) means
+    * the committed budget can only tighten; a genuine plan regression
+    * still surfaces because the GATE compares live timings against the
+    * tight prior, not against the inflated recording. Failed entries
+    * (t<0) and queries absent from the prior pass through unchanged.
+    */
+  private[graft] def mergeBaseline(
+      now: Seq[(String, Double)],
+      prior: Map[String, Double]): Seq[(String, Double)] =
+    now.map { case (name, t) =>
+      name -> prior.get(name).filter(_ > 0)
+        .fold(t)(p => if (t >= 0) math.min(t, p) else t)
+    }
+
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
     * bench everything). Both knobs validate loudly — a typo'd or empty
     * value must fail, not silently bench (and gate) nothing — and when
@@ -200,8 +219,21 @@ object Bench {
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
       val target = if (failed.isEmpty && regressed.isEmpty) out else out + ".rejected"
+      // stdout keeps the honest measured numbers (the driver reads
+      // them); the PERSISTED budget merges against the prior committed
+      // baseline via [[mergeBaseline]] so it can only ratchet down.
+      val prior = baseOpt.getOrElse {
+        val f = new java.io.File(out)
+        if (f.exists) loadBaseline(f.getPath) else Map.empty[String, Double]
+      }
+      val merged = mergeBaseline(results, prior)
+      val mergedQs = merged.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val mergedTotal = merged.collect { case (_, v) if v >= 0 => v }.sum
+      val mergedLine =
+        s"""{"metric":"total","value":$mergedTotal,"unit":"sec","queries":$mergedQs,"sf":"$sfDir","failed":${failed.size}}"""
       val w = new java.io.PrintWriter(target, "UTF-8")
-      try w.println(line) finally w.close()
+      try w.println(mergedLine) finally w.close()
     }
     if (failed.nonEmpty) sys.exit(1)
     if (regressed.nonEmpty) sys.exit(2)

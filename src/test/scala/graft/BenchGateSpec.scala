@@ -49,6 +49,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r == Seq(("q_slow", 2.5, 1.0)))
   }
 
+  test("mergeBaseline can only tighten the committed budget (r08 upward-ratchet fix)") {
+    val prior = Map("q_inflated" -> 1.5, "q_improved" -> 2.0, "q_zero" -> 0.0)
+    val now = Seq(
+      "q_inflated" -> 4.6,  // same-process spike under no gate -> prior kept
+      "q_improved" -> 0.8,  // genuine win -> new, lower number kept
+      "q_failed" -> -1.0,   // failure marker passes through untouched
+      "q_new" -> 3.0,       // not in prior -> first recording stands
+      "q_zero" -> 0.7)      // non-positive prior is no budget -> new stands
+    val merged = Bench.mergeBaseline(now, prior).toMap
+    assert(merged == Map(
+      "q_inflated" -> 1.5, "q_improved" -> 0.8, "q_failed" -> -1.0,
+      "q_new" -> 3.0, "q_zero" -> 0.7))
+    // Idempotent: persisting the merged file and merging again is a no-op.
+    val again = Bench.mergeBaseline(merged.toSeq, merged.filter(_._2 > 0))
+    assert(again.toMap == merged)
+  }
+
   test("uncovered reports baseline gaps so a partial baseline cannot silently shrink the gate") {
     val base = Map("q_b" -> 1.0, "q_c" -> 1.0)
     assert(Bench.uncovered(base, Seq("q_c", "q_a", "q_b", "q_d")) == Seq("q_a", "q_d"))

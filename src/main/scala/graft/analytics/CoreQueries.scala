@@ -293,6 +293,52 @@ object CoreQueries extends QueryModule {
     },
     Some(RecText))
 
+  /** TPC-H Q21-shaped (suppliers who kept orders waiting) — the
+    * MULTI-CORRELATED EXISTENTIAL shape the front door lacked
+    * (r08 verdict #4): two subqueries correlate on the SAME fact
+    * (lineitem) through the same outer key with non-equi supplier
+    * predicates — "another supplier shipped on this order" (EXISTS)
+    * and "no OTHER supplier's line was returned" (NOT EXISTS). The
+    * synthetic lineitem carries no receipt/commit dates, so the
+    * "problem line" predicate is `l_returnflag = 'R'` — same
+    * correlation structure, same rewrite. The POINT is Catalyst's
+    * `RewritePredicateSubquery`: EXISTS becomes a LEFT SEMI join and
+    * NOT EXISTS a LEFT ANTI join, both hash-partitioned on
+    * l_orderkey with the `<>` predicate as a join residual — never a
+    * per-row re-scan of a 100 TB fact. The anti join's probe side is
+    * pre-filtered to returned lines only, so the heaviest input is
+    * one-third of lineitem before it shuffles. Ties in numwait are
+    * broken by the unique s_name so the LIMIT is deterministic on
+    * both engines.
+    */
+  private val Q21Text = """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
+
+  val sqlQ21 = Q(
+    "q_sql_q21",
+    (s, dir) => {
+      Seq("lineitem", "orders", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q21Text)
+    },
+    Some(Q21Text))
+
   override def all: Seq[Q] =
-    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec)
+    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21)
 }

@@ -243,9 +243,13 @@ class PlanContractSpec extends AnyFunSuite {
     "q_dq_rules" -> 4,         // fact⋈fact anti-join co-partition (2) + per-table
                                // conditional-agg scans (single-row exchanges reuse);
                                // dims broadcast under the orphan checks
-    "q_setops_all" -> 5)       // count-replicate rewrite: per-key count agg per
+    "q_setops_all" -> 5,       // count-replicate rewrite: per-key count agg per
                                // side (2) + intersect/except generates + 3 census
                                // single-row aggs share exchanges at runtime
+    "q_sql_q21" -> 1)          // decorrelated semi/anti sides broadcast at the
+                               // pinned SF; one s_name agg exchange, TakeOrdered
+                               // rides it (at scale the joins co-partition on
+                               // l_orderkey — the semi/anti pins above still hold)
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
@@ -264,6 +268,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("Subquery"),
       s"scalar subquery survived decorrelation\n$plan")
     assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
+  }
+
+  test("q_sql_q21: both correlated existential subqueries rewrite to semi/anti joins") {
+    // RewritePredicateSubquery must turn the correlated EXISTS into a
+    // LEFT SEMI and the NOT EXISTS into a LEFT ANTI join on
+    // l_orderkey (with the <> predicates as join residuals); a
+    // surviving physical subquery would re-scan lineitem per outer
+    // row — the shape 100 TB forbids.
+    val plan = planOf("q_sql_q21")
+    assert(!plan.contains("Subquery"),
+      s"correlated existential subquery survived decorrelation\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected a LEFT SEMI join\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a LEFT ANTI join\n$plan")
   }
 
   test("q_dedup_incremental: the corpus is NEVER read on the incremental path") {

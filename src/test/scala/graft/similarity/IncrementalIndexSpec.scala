@@ -65,6 +65,111 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("index lifecycle: tombstone delete + append + compact == full re-sign") {
+    // Production sequence: build corpus index -> docs {10,20,30} leave
+    // the corpus (tombstones) -> tomorrow's batch appends -> compaction
+    // folds the tombstones into a new generation. At every step the
+    // LIVE view must equal a full re-sign of the surviving corpus, and
+    // the compacted generation must carry the identical bucketed layout
+    // (else the zero-exchange candidate join dies with the old gen).
+    val cutoff = 400L
+    val deleted = Set(10L, 20L, 30L)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.bandProjection(d)
+    val gen1 = s"graft_idx_lifecycle_${java.lang.Long.toHexString(System.nanoTime())}"
+    val gen2 = gen1 + "_c"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_sig_idx"
+    def writeBucketed(d: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      d.repartition(8, col("band"), col("sig"))
+        .write.mode(mode)
+        .option("path", s"$root/$gen1")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .saveAsTable(gen1)
+    val tombstones = deleted.toSeq.toDF("doc_id")
+    try {
+      writeBucketed(sigs(docs.filter(col("doc_id") < cutoff)), "overwrite")
+      writeBucketed(sigs(docs.filter(col("doc_id") >= cutoff)), "append")
+      val surviving = sigs(docs.filter(!col("doc_id").isin(deleted.toSeq: _*)))
+        .as[(Long, Int, String)].collect().toSet
+      // 1) live view between compactions: table + tombstone overlay
+      val live = SimilarityQueries
+        .indexWithoutTombstones(spark.table(gen1), tombstones)
+        .as[(Long, Int, String)].collect().toSet
+      assert(live === surviving,
+        "tombstone overlay diverged from a full re-sign of the surviving corpus")
+      assert(deleted.forall(d => !live.exists(_._1 == d)),
+        "a deleted doc survived in the live view")
+      // 2) compaction folds tombstones into a new generation...
+      SimilarityQueries.compactIndex(
+        spark, gen1, gen2, s"$root/$gen2", tombstones, buckets = 8)
+      val compacted = spark.table(gen2).as[(Long, Int, String)].collect().toSet
+      assert(compacted === surviving,
+        "compacted generation diverged from a full re-sign")
+      // ...with the bucketed layout intact (one sorted file per bucket
+      // -> the bucket-pruned scan survives)
+      val plan = spark.table(gen2).groupBy(col("band"), col("sig")).count()
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(plan.contains("SelectedBucketsCount"),
+        s"compaction lost the bucketed layout\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $gen1")
+      spark.sql(s"DROP TABLE IF EXISTS $gen2")
+    }
+  }
+
+  test("candidate join through the tombstone overlay: index side still has no exchange and no sort") {
+    // The r08 zero-exchange contract must survive deletion: the
+    // tombstone anti-join is an EXPLICIT broadcast, so the index keeps
+    // its bucket partitioning AND its (band, sig) sort order through
+    // the overlay — the sort-merge candidate join then needs neither an
+    // Exchange nor a Sort on that side. Broadcast auto-threshold is
+    // disabled so only the hint can broadcast and the candidate join
+    // shows its at-scale sort-merge form.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tbl = s"graft_idx_tomb_plan_${java.lang.Long.toHexString(System.nanoTime())}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_sig_idx"
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      SimilarityQueries.bandProjection(docs.filter(col("doc_id") < 400))
+        .repartition(8, col("band"), col("sig"))
+        .write.mode("overwrite").option("path", s"$root/$tbl")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
+      val live = SimilarityQueries.indexWithoutTombstones(
+        spark.table(tbl), Seq(10L, 20L).toDF("doc_id"))
+      val newSigs = SimilarityQueries
+        .newBatchSignatures(spark, sfDir).localCheckpoint(true)
+      val lines = SimilarityQueries.incrementalCandidates(live, newSigs)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+        .linesIterator.toVector
+      val plan = lines.mkString("\n")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan lost its bucketing under the overlay\n$plan")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"tombstone overlay must be a broadcast anti-join\n$plan")
+      // exactly ONE band-key exchange (the new batch's) and, on the
+      // index-side subtree (scan -> anti-join), no Exchange or Sort at all
+      def op(l: String) = l.dropWhile(c => "+-:| ".contains(c))
+      assert(lines.count(op(_).startsWith("Exchange hashpartitioning(band")) == 1,
+        s"only the new-batch side may shuffle on the band key\n$plan")
+      val scanIdx = lines.indexWhere(l =>
+        l.contains("FileScan") && l.contains(tbl))
+      val antiIdx = lines.lastIndexWhere(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti"), scanIdx)
+      assert(scanIdx >= 0 && antiIdx >= 0 && antiIdx < scanIdx,
+        s"expected anti-join above the index scan\n$plan")
+      val between = lines.slice(antiIdx, scanIdx).map(op)
+      assert(!between.exists(l => l.startsWith("Exchange ") || l.startsWith("Sort ")),
+        s"index side gained an Exchange/Sort through the overlay\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("q_dedup_funnel: a viral exact-dup cluster collapses BEFORE candidate generation") {
     // 200 byte-identical copies of one text would make C(200,2)=19,900
     // REAL candidate pairs in any banded near-dup pass — no cap may

@@ -631,6 +631,59 @@ object SimilarityQueries extends QueryModule {
       .select(col("n"), coalesce(col("lbl"), col("n")).as("lbl"))
   }
 
+  /** Incremental CLUSTER maintenance — yesterday's converged labels +
+    * today's new candidate pairs → re-converged labels WITHOUT
+    * re-running pair generation over the corpus (r08 verdict #5). A
+    * new pair can merge two existing components, so the fix-up is
+    * itself a connected-components problem — but over the CONTRACTED
+    * graph: each pair endpoint lifts to its prior component label
+    * (batch nodes are their own label), so re-convergence runs on
+    * O(new pairs) nodes, never O(corpus). The resulting relabel map is
+    * tiny and broadcast; the corpus-sized prior-label table is scanned
+    * (broadcast semi-filter + final broadcast remap) but NEVER
+    * shuffled. Exactness: a prior label is the min id of its
+    * component, so each contracted component's min label equals the
+    * merged component's global min — the same fixpoint batch
+    * [[labelComponents]] reaches over the union of all pairs
+    * (equivalence + planted two-cluster merge in IncrementalIndexSpec).
+    *
+    * @param priorLabels (n, lbl) — converged labels over prior pairs
+    * @param newNodes    arriving batch's node ids (disjoint from prior)
+    * @param newPairs    (id1, id2) new candidate pairs
+    */
+  private[graft] def incrementalLabels(
+      priorLabels: DataFrame, newNodes: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val prior = priorLabels.toDF("n", "lbl")
+    val pairs = newPairs.toDF("id1", "id2").localCheckpoint(true)
+    val endpoints = pairs.select(col("id1").as("n"))
+      .union(pairs.select(col("id2").as("n"))).distinct()
+    // O(endpoints) rows: the corpus-sized label table is semi-FILTERED
+    // by the broadcast endpoint set — never joined wholesale.
+    val touched = prior
+      .join(broadcast(endpoints), Seq("n"), "left_semi")
+      .localCheckpoint(true)
+    val l1 = touched.select(col("n").as("id1"), col("lbl").as("la"))
+    val l2 = touched.select(col("n").as("id2"), col("lbl").as("lb"))
+    val contracted = pairs
+      .join(broadcast(l1), Seq("id1"), "left")
+      .join(broadcast(l2), Seq("id2"), "left")
+      .select(
+        coalesce(col("la"), col("id1")).as("a"),
+        coalesce(col("lb"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(true) // feeds the node derivation + the loop
+    val contractedNodes = contracted.select(col("a").as("n"))
+      .union(contracted.select(col("b").as("n"))).distinct()
+    val relabel = labelComponents(contractedNodes, contracted)
+      .filter(col("n") =!= col("lbl")) // identity remaps are no-ops
+      .select(col("n").as("old_lbl"), col("lbl").as("new_lbl"))
+    prior
+      .union(newNodes.toDF("n").select(col("n"), col("n").as("lbl")))
+      .join(broadcast(relabel), col("lbl") === col("old_lbl"), "left")
+      .select(col("n"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+  }
+
   /** Near-duplicate CLUSTERS — connected components over the MinHash
     * candidate-pair graph, labeling every document with the smallest
     * doc_id in its duplicate cluster (the canonical survivor). This is
@@ -932,21 +985,25 @@ object SimilarityQueries extends QueryModule {
     * index in CTEs (each side capped within itself, exactly like the
     * engine).
     */
+  /** The arriving batch's full candidate set (corpus-vs-batch via the
+    * persisted index + batch-vs-batch self-join) — the shared pair
+    * source of [[dedupIncremental]] and [[clusterIncremental]].
+    * Returns (id1, id2, n_bands) with id1 < id2 by construction. */
+  private[graft] def incrementalPairs(s: SparkSession, dir: String): DataFrame = {
+    val idx = signatureIndex(s, dir)
+    val newSigs = newBatchSignatures(s, dir).localCheckpoint(true)
+    val newNew = newSigs.as("a")
+      .join(newSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_bands"))
+    incrementalCandidates(idx, newSigs).union(newNew)
+  }
+
   val dedupIncremental = Q(
     "q_dedup_incremental",
-    (s, dir) => {
-      val idx = signatureIndex(s, dir)
-      val newSigs = newBatchSignatures(s, dir).localCheckpoint(true)
-      val newNew = newSigs.as("a")
-        .join(newSigs.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("n_bands"))
-      incrementalCandidates(idx, newSigs)
-        .union(newNew)
-        .orderBy(col("id1"), col("id2"))
-    },
+    (s, dir) => incrementalPairs(s, dir).orderBy(col("id1"), col("id2")),
     Some(s"""
       WITH ${shinglesSqlFor("_old", s"doc_id < $IncrementalCutoff")},
       ${mhBandSqlFor("_old")},
@@ -963,6 +1020,65 @@ object SimilarityQueries extends QueryModule {
         GROUP BY 1, 2)
       SELECT * FROM (SELECT * FROM p_on UNION ALL SELECT * FROM p_nn)
       ORDER BY id1, id2""")
+  )
+
+  /** Incremental cluster maintenance as a query — the consumer-facing
+    * companion of [[dedupIncremental]]: that query emits new PAIRS;
+    * the production consumer needs updated CLUSTERS, and a new pair
+    * can merge two existing components. "Yesterday's" state is the
+    * corpus components (corpus-capped pair generation — the semantics
+    * the persisted index encodes); the batch's pairs come off the
+    * index join ([[incrementalPairs]]); [[incrementalLabels]] folds
+    * them in over the contracted graph. Oracle: full recursive CC
+    * over the UNION of corpus-internal and incremental pairs — an
+    * independent algorithm that must land on the identical fixpoint.
+    */
+  val clusterIncremental = Q(
+    "q_cluster_incremental",
+    (s, dir) => {
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") < IncrementalCutoff)
+      val priorPairs = pairsFromMh(minhashFrameFrom(
+        shinglesOf(corpus.select(col("doc_id"), col("text")), MaxShingleDf)))
+        .select(col("id1"), col("id2"))
+      val prior = labelComponents(corpus.select(col("doc_id")), priorPairs)
+      val newNodes = t(s, dir, "documents")
+        .filter(col("doc_id") >= IncrementalCutoff).select(col("doc_id"))
+      incrementalLabels(prior, newNodes,
+          incrementalPairs(s, dir).select(col("id1"), col("id2")))
+        .select(col("n").as("doc_id"), col("lbl").as("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${shinglesSqlFor("_old", s"doc_id < $IncrementalCutoff")},
+      ${mhBandSqlFor("_old")},
+      ${shinglesSqlFor("_new", s"doc_id >= $IncrementalCutoff")},
+      ${mhBandSqlFor("_new")},
+      p_oo AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM band_old a JOIN band_old b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p_on AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM band_old a JOIN band_new b ON a.band = b.band AND a.sig = b.sig
+        GROUP BY 1, 2),
+      p_nn AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM band_new a JOIN band_new b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      allp AS (
+        SELECT * FROM p_oo UNION SELECT * FROM p_on UNION SELECT * FROM p_nn),
+      sym AS (
+        SELECT id1 AS src, id2 AS dst FROM allp
+        UNION SELECT id2, id1 FROM allp),
+      cc(n, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, c.lbl FROM cc c JOIN sym s ON s.src = c.n WHERE c.lbl < s.dst)
+      SELECT n AS doc_id, min(lbl) AS component
+      FROM cc GROUP BY n ORDER BY doc_id""")
   )
 
   /** Exact-collapse → near-dup funnel — the production dedup
@@ -1823,5 +1939,6 @@ object SimilarityQueries extends QueryModule {
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
-      dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify)
+      dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
+      clusterIncremental)
 }

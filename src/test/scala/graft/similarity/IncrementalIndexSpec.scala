@@ -170,6 +170,65 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalLabels: a new pair merges two existing components (planted)") {
+    // Prior state: components {1,2} (label 1), {10,11} (label 10), the
+    // untouched singleton {50}. Batch doc 100 pairs with BOTH 2 and 11
+    // — the two-cluster merge no per-pair fix-up handles — and batch
+    // doc 200 is novel. Every member of both merged components must
+    // take the global min label 1; 50 and 200 stay themselves.
+    val prior = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (50L, 50L))
+      .toDF("n", "lbl")
+    val newNodes = Seq(100L, 200L).toDF("doc_id")
+    val newPairs = Seq((2L, 100L), (11L, 100L)).toDF("id1", "id2")
+    val out = SimilarityQueries.incrementalLabels(prior, newNodes, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 100L -> 1L,
+      50L -> 50L, 200L -> 200L))
+    // ...and it is exactly what batch labelComponents computes over
+    // the union of prior and new pairs.
+    val batch = SimilarityQueries.labelComponents(
+      Seq(1L, 2L, 10L, 11L, 50L, 100L, 200L).toDF("n"),
+      Seq((1L, 2L), (10L, 11L), (2L, 100L), (11L, 100L)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === batch, "incremental maintenance diverged from batch relabeling")
+  }
+
+  test("incrementalLabels == batch labelComponents over the real pair union (sf0.001)") {
+    // Same assertion on the real corpus: prior labels converge over
+    // corpus-internal candidate pairs, the arriving batch's pairs come
+    // off the index path, and the incrementally maintained labels must
+    // equal one batch labelComponents run over the UNION — for every
+    // document, including batch docs that bridge existing clusters.
+    val cutoff = SimilarityQueries.IncrementalCutoff
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairsOf(d: org.apache.spark.sql.DataFrame) = {
+      val bands = SimilarityQueries.bandsOf(
+        SimilarityQueries.minhashFrameFrom(
+          SimilarityQueries.shinglesOf(d, SimilarityQueries.MaxShingleDf)))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+    }
+    val corpusPairs = pairsOf(docs.filter(col("doc_id") < cutoff))
+    val prior = SimilarityQueries.labelComponents(
+      docs.filter(col("doc_id") < cutoff).select(col("doc_id")), corpusPairs)
+    val incPairs = SimilarityQueries.incrementalPairs(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    val inc = SimilarityQueries.incrementalLabels(
+        prior, docs.filter(col("doc_id") >= cutoff).select(col("doc_id")), incPairs)
+      .as[(Long, Long)].collect().toMap
+    val batch = SimilarityQueries.labelComponents(
+        docs.select(col("doc_id")),
+        corpusPairs.union(incPairs).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === batch,
+      "incremental maintenance diverged from batch labeling on the real corpus")
+  }
+
   test("q_dedup_funnel: a viral exact-dup cluster collapses BEFORE candidate generation") {
     // 200 byte-identical copies of one text would make C(200,2)=19,900
     // REAL candidate pairs in any banded near-dup pass — no cap may

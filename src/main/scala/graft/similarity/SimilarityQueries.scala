@@ -1136,27 +1136,31 @@ object SimilarityQueries extends QueryModule {
     * parallelism. Near-dup = small Hamming distance (asserted in
     * SimilaritySpec; bucketed by signature prefix at scale).
     *
-    * The 16 bit-votes are 16 parallel `sum` columns in ONE aggregation
-    * over token rows — not an explode of tokens × 16 bits (the r03
-    * shape, which fed 16× the rows into the shuffle). Map-side combine
-    * reduces each partition to one 16-int state per doc, so shuffle
-    * volume is O(docs), independent of token count.
+    * The 32 bit-votes are 32 parallel `sum` columns in ONE aggregation
+    * over token rows — not an explode of tokens × 32 bits (the r03
+    * shape, which fed per-bit rows into the shuffle). Map-side combine
+    * reduces each partition to one 32-int state per doc, so shuffle
+    * volume is O(docs), independent of token count. (Width history:
+    * 16 bits through r08 — the 40× ScaleSmoke showed random pairs
+    * saturating radius 3 at that width, the predicted cliff; 32 bits
+    * pushes the birthday regime past the 100× corpus while keeping
+    * the banding lossless — r08 verdict #2.)
     */
-  /** The 16-bit signature frame (doc_id, simhash) — shared by
+  /** The 32-bit signature frame (doc_id, simhash) — shared by
     * q_simhash and q_simhash_pairs. */
   private def simhashDigest(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType))
-    val voteCols = (0 to 15).map(b =>
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType))
+    val voteCols = (0 to 31).map(b =>
       sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b"))
     tok
       .groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(
         col("doc_id"),
-        (0 to 15).map(b => when(col(s"v$b") >= 0, lit(1 << b)).otherwise(lit(0)))
+        (0 to 31).map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).cast(LongType).as("simhash"))
   }
 
@@ -1166,16 +1170,17 @@ object SimilarityQueries extends QueryModule {
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
         FROM documents),
       th AS (
-        SELECT doc_id, CAST('0x' || substring(md5(w), 1, 4) AS INTEGER) AS h
+        SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h
         FROM tok),
       votes AS (
         SELECT doc_id, CAST(t.range AS INTEGER) AS b,
                sum(CASE WHEN (h >> CAST(t.range AS INTEGER)) % 2 = 1
                         THEN 1 ELSE -1 END) AS v
-        FROM th, range(16) t GROUP BY 1, 2),
+        FROM th, range(32) t GROUP BY 1, 2),
       sh AS (
         SELECT doc_id,
-               CAST(sum(CASE WHEN v >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+               CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                 AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id)"""
 
   val simhash = Q(
@@ -1188,20 +1193,20 @@ object SimilarityQueries extends QueryModule {
 
   /** SimHash Hamming-radius dedup — the retrieval side of the
     * signature: all pairs within Hamming distance ≤ 3, found WITHOUT
-    * an all-pairs scan. Pigeonhole banding: split the 16 bits into 4
-    * bands of 4; any pair differing in ≤3 bits agrees on ≥1 whole
+    * an all-pairs scan. Pigeonhole banding: split the 32 bits into 4
+    * bands of 8; any pair differing in ≤3 bits agrees on ≥1 whole
     * band, so the equi-join on (band, band_value) is a complete
     * candidate generator (no recall loss, unlike probabilistic LSH),
     * and candidates are verified with an exact popcount on the XOR.
     * Shuffle volume is O(docs·bands); in-bucket fan-out is bounded by
     * band-value collisions, never the corpus square.
     *
-    * Width note (ScaleSmoke): a 16-bit signature saturates around
-    * ~10⁴ docs — random pairs collide within radius 3 at ~1%, so the
-    * TRUE pair set itself grows quadratically. At corpus scale the
-    * same plan runs with a 64/128-bit signature (more vote columns,
-    * more bands, same shapes), which keeps the collision rate flat;
-    * 16 bits is the oracle-friendly demo width.
+    * Width note (ScaleSmoke): the former 16-bit signature saturated
+    * around ~10⁴ docs — random pairs collide within radius 3 at ~1%,
+    * so the TRUE pair set itself grows quadratically; 32 bits keeps
+    * the collision rate flat through the 100× smoke corpus. Beyond
+    * that the same plan runs at 64/128 bits (more vote columns, more
+    * bands, identical shapes).
     */
   val simhashPairs = Q(
     "q_simhash_pairs",
@@ -1213,7 +1218,7 @@ object SimilarityQueries extends QueryModule {
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 to 3).map(b => struct(
           lit(b).as("band"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))): _*))
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
           .as("bd"))
         .select(col("doc_id"), col("simhash"),
           col("bd.band").as("band"), col("bd.bv").as("bv"))
@@ -1232,7 +1237,7 @@ object SimilarityQueries extends QueryModule {
       WITH $simhashSqlCtes,
       bands AS (
         SELECT doc_id, simhash, CAST(t.range AS INTEGER) AS band,
-               (simhash >> (CAST(t.range AS INTEGER) * 4)) & 15 AS bv
+               (simhash >> (CAST(t.range AS INTEGER) * 8)) & 255 AS bv
         FROM sh, range(4) t),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -1245,10 +1250,14 @@ object SimilarityQueries extends QueryModule {
   )
 
   /** Deterministic pseudo-random hyperplane weights for sign-LSH:
-    * 4 planes × 64 dims, integer values in [-3, 3]. Shared verbatim by
-    * the Spark plan and the oracle SQL (single source of truth). */
-  private val planes: Seq[Array[Int]] =
-    (0 until 4).map(j => Array.tabulate(64)(i => ((i * 31 + j * 17) % 7) - 3))
+    * n planes × 64 dims, integer values in [-3, 3]. The first 4 are
+    * shared verbatim by the Spark plan and the oracle SQL (single
+    * source of truth); [[planesFor]] extends the same formula for the
+    * scale-widened variants ScaleSmoke measures. */
+  private[graft] def planesFor(n: Int): Seq[Array[Int]] =
+    (0 until n).map(j => Array.tabulate(64)(i => ((i * 31 + j * 17) % 7) - 3))
+
+  private val planes: Seq[Array[Int]] = planesFor(4)
 
   /** Shared plan for the two ANN variants — the 100 TB path for
     * q_cosine_topk: random-hyperplane signs put each vector in one of
@@ -1279,15 +1288,21 @@ object SimilarityQueries extends QueryModule {
   /** Sign-LSH bucket assignment over a [[normEmb]] frame — shared by
     * the two ANN variants and the kNN-graph builder. Exact integer
     * hyperplane dots (round(x·1e6)·w in BIGINT) so bucket membership
-    * is order-independent and oracle-identical. */
-  private def signBuckets(emb: DataFrame): DataFrame = {
+    * is order-independent and oracle-identical. `planeCount` defaults
+    * to the oracle demo width 4 (16 buckets); production picks it by
+    * corpus size (in-bucket population n/2^planes is the quadratic
+    * knob — see [[knnGraphPlan]]'s width note).
+    */
+  private[graft] def signBuckets(emb: DataFrame, planeCount: Int = 4): DataFrame = {
+    val ps = planesFor(planeCount)
     def dot(j: Int): Column = aggregate(
-      zip_with(col("v"), array(planes(j).map(lit(_)): _*),
+      zip_with(col("v"), array(ps(j).map(lit(_)): _*),
         (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
       lit(0L), (acc, x) => acc + x)
     emb.withColumn(
       "bucket",
-      (0 until 4).map(j => when(dot(j) >= 0, lit(8 >> j)).otherwise(lit(0)))
+      (0 until planeCount)
+        .map(j => when(dot(j) >= 0, lit(1 << (planeCount - 1 - j))).otherwise(lit(0)))
         .reduce(_ + _))
   }
 
@@ -1402,26 +1417,42 @@ object SimilarityQueries extends QueryModule {
         FROM p),
       kn AS (SELECT vec_id, nbr_id, sim, rn FROM r WHERE rn <= 3)"""
 
+  /** The kNN-graph dataflow at a given sign-LSH width. The in-bucket
+    * self-join does Σ bucket² work, and bucket population is
+    * n/2^planes for unclustered vectors — so the plane count is THE
+    * scale knob: holding it fixed while the corpus grows makes this
+    * stage quadratic (measured: 4 planes, 20k→50k random vectors,
+    * 10.7s→92s at 100× ScaleSmoke). Production sizes planeCount ≈
+    * log2(n / targetBucket); ScaleSmoke times this plan at the widened
+    * width to show the same dataflow re-linearizes (the oracle demo
+    * stays at 4 so the DuckDB twin keeps its literal plane arrays).
+    * Widening is a recall TRADE (fewer cross-bucket edges), unlike
+    * q_simhash_pairs' lossless pigeonhole widening — which is why it
+    * is a deployment parameter, not a hard-coded bump.
+    */
+  private[graft] def knnGraphPlan(
+      s: SparkSession, dir: String, planeCount: Int = 4): DataFrame = {
+    // one bucket-assignment job feeds both sides of the self-join
+    val x = signBuckets(normEmb(s, dir), planeCount).localCheckpoint(true)
+    val nbrs = x.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"), col("nrm").as("nnrm"))
+    val scored = x.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("nbr_id"),
+        round(col("sim"), 6).as("sim_r"), col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   val knnGraph = Q(
     "q_knn_graph",
-    (s, dir) => {
-      // one bucket-assignment job feeds both sides of the self-join
-      val x = signBuckets(normEmb(s, dir)).localCheckpoint(true)
-      val nbrs = x.select(col("bucket"), col("vec_id").as("nbr_id"),
-        col("v").as("nv"), col("nrm").as("nnrm"))
-      val scored = x.join(nbrs, Seq("bucket"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .withColumn("sim",
-          expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("nbr_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 3)
-        .select(col("vec_id"), col("nbr_id"),
-          round(col("sim"), 6).as("sim_r"), col("rn"))
-        .orderBy(col("vec_id"), col("rn"))
-    },
+    (s, dir) => knnGraphPlan(s, dir),
     Some(s"""
       WITH $knnSqlCtes
       SELECT vec_id, nbr_id, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn

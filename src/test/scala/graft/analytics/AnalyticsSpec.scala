@@ -27,6 +27,54 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch accuracy holds at the 40x ScaleSmoke scale (HLL rsd + GK rank error)") {
+    // r08 verdict #7: the rsd-0.02 HLL and the 1/10000-rank-error GK
+    // percentile sketch were asserted at sf0.1 only, where the inputs
+    // are small enough that the sketches barely compress. Rebuild the
+    // 40x ScaleSmoke lineitem (2.4M rows, same hash formulas) plus the
+    // l_returnflag column the smoke corpus omits, and hold the SAME
+    // bounds where the sketch error is actually exercised: ~30k
+    // distinct parts and ~800k values per flag group.
+    val dir = java.nio.file.Files.createTempDirectory("sketch40").toString
+    spark.range(2400000).select(
+      pmod(hash(col("id") * 7 + 1), lit(30000)).cast("long").as("l_partkey"),
+      (pmod(hash(col("id") * 43 + 19), lit(9000000)) / lit(100.0) + lit(900.0))
+        .as("l_extendedprice"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        pmod(hash(col("id") + 3), lit(3)) + 1).as("l_returnflag"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // HLL at rsd 0.02: each flag's approx distinct within 3 sigma (6%)
+    val exactNd = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(exactNd.values.forall(_ > 20000L), "cardinality too low to exercise HLL")
+    val approxNd = AnalyticsQueries.hllDistinct.run(spark, dir)
+      .select(col("l_returnflag"), col("nd_parts_approx"))
+      .as[(String, Long)].collect().toMap
+    assert(approxNd.keySet === exactNd.keySet)
+    exactNd.foreach { case (flag, exact) =>
+      val approx = approxNd(flag)
+      assert(math.abs(approx - exact).toDouble / exact < 0.06,
+        s"$flag: approx=$approx exact=$exact drifts past 3x rsd at 40x")
+    }
+    // GK sketch at accuracy 10000: p50/p90 within 1% of the exact
+    // order statistics over ~800k values per group
+    def byFlag(q: graft.Q): Map[String, (Double, Double)] =
+      q.run(spark, dir)
+        .select(col("l_returnflag"), col("p50"), col("p90"))
+        .as[(String, Double, Double)].collect()
+        .map { case (f, p50, p90) => f -> (p50, p90) }.toMap
+    val exactP = byFlag(AnalyticsQueries.percentile)
+    val approxP = byFlag(AnalyticsQueries.approxPercentile)
+    assert(approxP.keySet === exactP.keySet)
+    exactP.foreach { case (flag, (e50, e90)) =>
+      val (a50, a90) = approxP(flag)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$flag p50 at 40x: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$flag p90 at 40x: $a90 vs $e90")
+    }
+  }
+
   test("q_approx_percentile lands within 1% of the exact order statistics") {
     val dir = "/root/testdata/sf0.01"
     def byFlag(q: graft.Q): Map[String, (Double, Double)] =

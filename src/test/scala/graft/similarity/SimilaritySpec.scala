@@ -84,12 +84,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g.forall(e => e._3 >= -1.0 - 1e-9 && e._3 <= 1.0 + 1e-9))
   }
 
+  test("signBuckets: widened widths REFINE the demo buckets (prefix property)") {
+    // The scale knob for the embedding family is the sign-LSH plane
+    // count (ScaleSmoke's q_knn_graph_scaled entry). planesFor(n)
+    // extends the same deterministic weight formula, so a wider
+    // bucketing must be a refinement of the 4-plane demo bucketing:
+    // the top 4 bits agree (bucket6 >> 2 == bucket4), meaning widening
+    // only ever SPLITS buckets — candidate sets shrink monotonically,
+    // never shift sideways.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        lit(1.0).as("nrm"))
+    val b4 = SimilarityQueries.signBuckets(emb, 4)
+      .select(col("vec_id"), col("bucket").as("b4"))
+    val b6 = SimilarityQueries.signBuckets(emb, 6)
+      .select(col("vec_id"), col("bucket").as("b6"))
+    val joined = b4.join(b6, Seq("vec_id"))
+      .as[(Long, Int, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, v4, v6) =>
+      assert(v6 >= 0 && v6 < 64, s"vec $id: 6-plane bucket $v6 out of range")
+      assert(v6 >> 2 === v4, s"vec $id: widening moved the vector across " +
+        s"demo buckets ($v6 >> 2 != $v4)")
+    }
+    assert(joined.map(_._3).distinct.length > joined.map(_._2).distinct.length,
+      "6 planes should populate more buckets than 4 on 500 vectors")
+  }
+
   test("q_simhash: identical docs get identical signatures; unrelated docs differ") {
     val sig = SimilarityQueries.simhash.run(spark, docsDir)
       .as[(Long, Long)].collect().toMap
     assert(sig(0L) === sig(1L))
     assert(sig(0L) !== sig(3L))
-    assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 32)))
   }
 
   test("q_minhash_est: exact duplicates estimate 8/8 with inter == union") {

@@ -59,10 +59,11 @@ object ScaleSmoke {
       // the transition graph quadratically — a generator artifact, not
       // an operator property (production user counts grow with data)
       pmod(hash(col("id") * 3 + 11), lit(50 * mult)).cast("long").as("user_id"),
-      // nanos LONG like the driver's TIMESTAMP(NANOS) files: second
+      // micros TimestampType (Spark cannot emit the driver's
+      // TIMESTAMP(NANOS); Tables.events handles both): second
       // resolution across 30 days from 2024-01-01
-      ((lit(1704067200L) + pmod(hash(col("id") * 5 + 3), lit(2592000)))
-        .cast("long") * lit(1000000000L)).as("ts"),
+      (lit(1704067200L) + pmod(hash(col("id") * 5 + 3), lit(2592000)))
+        .cast("long").cast("timestamp").as("ts"),
       element_at(
         array(lit("view"), lit("click"), lit("purchase"), lit("idle")),
         pmod(hash(col("id") + 29), lit(4)) + 1).as("event_type"),

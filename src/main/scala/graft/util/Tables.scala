@@ -11,13 +11,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with a usable timestamp: the file stores TIMESTAMP(NANOS),
-    * which the session reads as a nanos LONG (GraftSession sets
-    * spark.sql.legacy.parquet.nanosAsLong); surface micros TimestampType.
+  /** `events` with a usable timestamp: the driver's files store
+    * TIMESTAMP(NANOS), which the session reads as a nanos LONG
+    * (GraftSession sets spark.sql.legacy.parquet.nanosAsLong) —
+    * surface micros TimestampType. ScaleSmoke's corpora write a plain
+    * micros TimestampType (Spark cannot emit NANOS parquet), which
+    * DuckDB also reads natively — pass that through unchanged, so the
+    * 40×/100× oracle sweep runs the same SQL as the driver corpora.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** Order-independent exact sum of a double expression: route through
     * DECIMAL so partial-aggregation order (which differs between Spark

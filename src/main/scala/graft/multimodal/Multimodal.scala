@@ -14,11 +14,14 @@ import org.apache.spark.sql.types._
   * analogue of `mapInPandas` batches), and the output contract. All
   * three modalities decode REAL bytes with pure-JDK codecs: images via
   * `javax.imageio` ([[ImageIoCodec]]), audio via `javax.sound.sampled`
-  * ([[audioMeta]]), video via the JDK's multi-frame GIF reader
-  * ([[GifVideoCodec]], [[videoFrames]]). [[FakeCodec]] remains only as
-  * the declared row-wise degradation target for payloads the JDK has
-  * no reader for (e.g. MP4/H.264) — swap a richer decoder in through
-  * the [[Codec]] seam without touching the dataflow.
+  * ([[audioMeta]]), video in TWO container formats — animated GIF via
+  * the JDK's multi-frame GIF reader ([[GifVideoCodec]]) and MJPEG
+  * (concatenated JPEG) via SOI/EOI marker scan + the JDK JPEG reader
+  * ([[MjpegVideoCodec]]); [[videoFrames]] dispatches per payload on
+  * the container magic. [[FakeCodec]] remains only as the declared
+  * row-wise degradation target for payloads the JDK has no reader for
+  * (MP4/H.264) — swap a richer decoder in through the [[Codec]] seam
+  * without touching the dataflow.
   *
   * Scale notes: payloads never shuffle — decode runs map-side on the
   * scan partitioning; only extracted (small) features flow into joins
@@ -388,6 +391,74 @@ object Multimodal {
         .getOrElse(FakeCodec.sampleFrames(payload, everyK))
   }
 
+  /** MJPEG frame boundaries: byte ranges of each SOI(FFD8)…EOI(FFD9)
+    * segment in a concatenated-JPEG stream. Entropy-coded JPEG data
+    * escapes 0xFF as FF00 and uses only FFD0-D7 restart markers, so a
+    * literal FFD9 inside a frame is possible only in embedded preview
+    * thumbnails (EXIF) — which MJPEG streams (and the synthetic
+    * corpus) do not carry. Malformed tails (SOI without EOI) are
+    * dropped, not errors: the degrade-row-wise policy of every codec
+    * path here. */
+  private[multimodal] def jpegFrameRanges(p: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    val out = scala.collection.immutable.IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    var start = -1
+    while (i + 1 < p.length) {
+      val a = p(i) & 0xFF
+      val b = p(i + 1) & 0xFF
+      if (start < 0) {
+        if (a == 0xFF && b == 0xD8) { start = i; i += 2 } else i += 1
+      } else if (a == 0xFF && b == 0xD9) {
+        out += ((start, i + 2)); start = -1; i += 2
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private[multimodal] def isMjpeg(p: Array[Byte]): Boolean =
+    p != null && p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+
+  /** Decode one JPEG frame range; None (degrade) on any reader
+    * failure — same net as [[GifVideoCodec]]. */
+  private def readJpegFrame(
+      p: Array[Byte], range: (Int, Int)): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(p, range._1, range._2))))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** SECOND real video format — MJPEG (concatenated JPEG frames) via
+    * the JDK JPEG reader, shrinking [[FakeCodec]]'s domain to the
+    * codecs the JDK genuinely cannot read (MP4/H.264). Frame counts
+    * come from the SOI/EOI marker scan; sampled frames are actually
+    * decoded. Non-MJPEG payloads (animated GIF, images, garbage)
+    * delegate to [[GifVideoCodec]]'s chain, so one codec value serves
+    * a mixed-container corpus. */
+  object MjpegVideoCodec extends Codec {
+    override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
+      if (kind != "video" || !isMjpeg(payload))
+        GifVideoCodec.decodeDims(kind, payload)
+      else {
+        val ranges = jpegFrameRanges(payload)
+        ranges.headOption.flatMap(readJpegFrame(payload, _))
+          .map(img => (img.getWidth, img.getHeight))
+          .getOrElse(FakeCodec.decodeDims(kind, payload))
+      }
+
+    override def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+      if (!isMjpeg(payload)) GifVideoCodec.sampleFrames(payload, everyK)
+      else {
+        val ranges = jpegFrameRanges(payload)
+        if (ranges.isEmpty) FakeCodec.sampleFrames(payload, everyK)
+        else {
+          javax.imageio.ImageIO.setUseCache(false)
+          val k = math.max(everyK, 1)
+          (0 until ranges.length by k)
+            .count(i => readJpegFrame(payload, ranges(i)).isDefined)
+        }
+      }
+  }
+
   /** One sampled, decoded video frame: container facts ride along so
     * one decode pass serves both per-frame dedup and per-video
     * metadata. */
@@ -418,7 +489,24 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { case (id, payload) =>
           if (payload == null || payload.isEmpty) Iterator.empty
-          else {
+          else if (isMjpeg(payload)) {
+            // MJPEG: SOI/EOI marker scan gives the container frame
+            // count; every k-th segment decodes through the JDK JPEG
+            // reader. Undecodable segments drop row-wise, same policy
+            // as the GIF branch.
+            val ranges = jpegFrameRanges(payload)
+            ranges.headOption.flatMap(readJpegFrame(payload, _)) match {
+              case None => Iterator.empty
+              case Some(first) =>
+                val n = ranges.length
+                val w = first.getWidth
+                val h = first.getHeight
+                (0 until n by k).iterator.flatMap { i =>
+                  (if (i == 0) Some(first) else readJpegFrame(payload, ranges(i)))
+                    .map(img => VideoFrame(id, n, w, h, i, aHashOf(img)))
+                }
+            }
+          } else {
             val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
             if (!readers.hasNext) Iterator.empty
             else {
@@ -636,6 +724,60 @@ object Multimodal {
           }
           val bytes = out.toByteArray
           (id, "video", bytes, ("synthetic-gif", "image/gif", bytes.length.toLong))
+        }
+      }
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
+  /** Deterministic synthetic MJPEG corpus — the same frame patterns as
+    * [[syntheticGifCorpus]] (2/4/6/8 frames, planted near-dup pairs on
+    * odd ids) but each frame written through the REAL JDK JPEG encoder
+    * and concatenated, so [[videoFrames]]' marker-scan + JPEG-decode
+    * branch exercises genuine entropy-coded streams end-to-end. Ids
+    * are offset by `idOffset` so a mixed GIF+MJPEG corpus keeps
+    * media_id unique. */
+  def syntheticMjpegCorpus(
+      spark: SparkSession, n: Int, side: Int = 64, idOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id0 =>
+          val id = id0 + idOffset
+          val seed = (id0 / 2).toInt
+          val nFrames = 2 + (seed % 4) * 2
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < side) {
+              var x = 0
+              while (x < side) {
+                val r = (x * (3 + seed % 5) + seed * 17 + f * 23) % 256
+                val g = (y * (2 + seed % 7) + seed * 29 + f * 11) % 256
+                val b = (x * y * (1 + seed % 3) + seed * 43) % 256
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            if (id0 % 2 == 1) {
+              var yy = 0
+              while (yy < 4) {
+                var xx = 0
+                while (xx < 4) { img.setRGB(xx, yy, 0xFFFFFF); xx += 1 }
+                yy += 1
+              }
+            }
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            f += 1
+          }
+          val bytes = out.toByteArray
+          (id, "video", bytes,
+            ("synthetic-mjpeg", "video/x-motion-jpeg", bytes.length.toLong))
         }
       }
       .toDF("media_id", "kind", "payload", "meta")

@@ -62,20 +62,23 @@ object MultimodalQueries extends QueryModule {
     None)
 
   /** End-to-end VIDEO pipeline, timed: synthesize a deterministic
-    * 150-animated-GIF corpus distributed, decode every 2nd frame for
-    * real through the JDK's multi-frame GIF reader
-    * ([[Multimodal.videoFrames]]), aHash each sampled frame, and
-    * aggregate per video (container frame count, dims, frames actually
-    * decoded, distinct frame signatures). Completes the modality
-    * trio — the former FakeCodec video seam is now a real decode
-    * path. No oracle by design (DuckDB cannot parse GIF containers);
-    * rows-only check + MultimodalSpec pins the planted-frame
-    * semantics and the sampling arithmetic.
+    * MIXED-container 150-clip corpus distributed (75 animated GIFs +
+    * 75 MJPEG streams — the two formats the JDK genuinely decodes),
+    * decode every 2nd frame for real ([[Multimodal.videoFrames]]
+    * dispatches per payload on the container magic), aHash each
+    * sampled frame, and aggregate per video (container frame count,
+    * dims, frames actually decoded, distinct frame signatures).
+    * Completes the modality trio; FakeCodec's domain is now only the
+    * codecs the JDK ships no reader for (MP4/H.264). No oracle by
+    * design (DuckDB parses neither container); rows-only check +
+    * MultimodalSpec pins the planted-frame semantics and the sampling
+    * arithmetic for both formats.
     */
   val videoMetaQ = Q(
     "q_video_meta",
     (s, _) => {
-      val media = Multimodal.syntheticGifCorpus(s, 150)
+      val media = Multimodal.syntheticGifCorpus(s, 75)
+        .unionByName(Multimodal.syntheticMjpegCorpus(s, 75, idOffset = 1000L))
       Multimodal.videoFrames(media, everyK = 2).toDF()
         .groupBy(col("media_id"), col("n_frames"), col("width"), col("height"))
         .agg(

@@ -245,13 +245,78 @@ class MultimodalSpec extends AnyFunSuite {
     def run() = MultimodalQueries.videoMetaQ.run(spark, "unused").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSeq
     val rows = run()
-    assert(rows.length === 150, "one row per synthetic video")
+    assert(rows.length === 150, "one row per synthetic video (75 GIF + 75 MJPEG)")
+    assert(rows.count(_._1 >= 1000L) === 75, "the MJPEG half decodes too")
     rows.foreach { case (id, nFrames, sampled) =>
-      val nExpected = 2 + ((id / 2) % 4).toInt * 2
+      val id0 = if (id >= 1000L) id - 1000L else id // MJPEG ids are offset
+      val nExpected = 2 + ((id0 / 2) % 4).toInt * 2
       assert(nFrames === nExpected, s"video $id frame count")
       assert(sampled === (nExpected + 1) / 2, s"video $id sampled count")
     }
     assert(run() === rows, "bench query must be deterministic run-over-run")
+  }
+
+  test("videoFrames: MJPEG streams decode — marker scan, dims, sampling arithmetic") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMjpegCorpus(spark, 12)
+    val frames = Multimodal.videoFrames(media, everyK = 2).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.keySet === (0L until 12L).toSet, "every MJPEG clip must decode")
+    (0L until 12L).foreach { id =>
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2 // generator: 2/4/6/8 frames
+      val f = byId(id).sortBy(_.frame_idx)
+      assert(f.head.n_frames === nExpected, s"clip $id SOI/EOI frame count")
+      assert(f.map(_.frame_idx).toSeq === (0 until nExpected by 2).toSeq,
+        s"clip $id sampled indices")
+      assert(f.forall(v => v.width === 64 && v.height === 64))
+      assert(f.map(_.ahash).distinct.length > 1 || f.length == 1,
+        s"clip $id sampled frames all hashed identically")
+    }
+  }
+
+  test("MjpegVideoCodec: real dims + frame sampling, GIF/garbage delegation") {
+    val media = Multimodal.syntheticMjpegCorpus(spark, 4)
+    val rows = media.orderBy("media_id").collect()
+    val p0 = rows(0).getAs[Array[Byte]]("payload") // seed 0 -> 2 frames
+    val p2 = rows(2).getAs[Array[Byte]]("payload") // seed 1 -> 4 frames
+    assert(Multimodal.MjpegVideoCodec.decodeDims("video", p0) === ((64, 64)))
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(p0, 1) === 2)
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(p0, 2) === 1)
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(p2, 1) === 4)
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(p2, 2) === 2)
+    // a GIF payload routes through the GIF chain untouched
+    val gif = Multimodal.syntheticGifCorpus(spark, 2)
+      .orderBy("media_id").collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(gif, 1) ===
+      Multimodal.GifVideoCodec.sampleFrames(gif, 1))
+    // garbage (neither magic) degrades to the deterministic stub
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(Multimodal.MjpegVideoCodec.sampleFrames(garbage, 2) ===
+      Multimodal.FakeCodec.sampleFrames(garbage, 2))
+    // a truncated stream (SOI, no EOI) yields zero complete frames ->
+    // stub fallback, not a crash
+    val truncated = p0.take(p0.length / 2)
+    assert(Multimodal.jpegFrameRanges(truncated).length < 2)
+    assert(Multimodal.MjpegVideoCodec.decodeDims("video", Array[Byte](-1, -40)) ===
+      Multimodal.FakeCodec.decodeDims("video", Array[Byte](-1, -40)))
+  }
+
+  test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
+    val media = Multimodal.syntheticMjpegCorpus(spark, 6)
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val payload = r.getAs[Array[Byte]]("payload")
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2
+      val ranges = Multimodal.jpegFrameRanges(payload)
+      assert(ranges.length === nExpected, s"clip $id frame ranges")
+      // ranges tile the payload: contiguous, in order, SOI..EOI framed
+      assert(ranges.head._1 === 0)
+      assert(ranges.last._2 === payload.length)
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 === s2, s"clip $id gap at $e1")
+        case _ =>
+      }
+    }
   }
 
   test("q_audio_meta: real WAV decode aggregates match the generator arithmetic") {

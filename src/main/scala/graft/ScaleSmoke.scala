@@ -114,7 +114,7 @@ object ScaleSmoke {
       "q_simhash_pairs","q_quality_clf","q_colloc",
       "q_minhash_est","q_dedup_keep_best","q_bpe_apply","q_knn_graph",
       "q_countmin","q_dupe_stats",
-      "q_dedup_incremental","q_cluster_incremental","q_video_meta",
+      "q_dedup_incremental","q_cluster_incremental","q_video_meta","q_video_dup",
       "q_pagerank","q_triangles","q_basket","q_edit_dist","q_gap_fill",
       "q_bfs","q_degree_dist","q_dedup_funnel",
       "q_label_prop","q_knn_classify","q_gini","q_benford","q_linreg",

@@ -730,6 +730,59 @@ object Multimodal {
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }
 
+  /** Near-duplicate VIDEO pairs — frame-level signature matching that
+    * works ACROSS container formats: the same content encoded as an
+    * animated GIF and as an MJPEG stream decodes to slightly different
+    * rasters (palette quantization vs DCT loss), but the 8×8 aHash of
+    * aligned frames stays within a small Hamming distance, so the
+    * imageDupPairs banding (8 bands × 8 bits — pigeonhole-complete for
+    * distance < 8) finds the pair without ever comparing payloads.
+    * Candidates band-join on (band, band_val, frame_idx) — aligned
+    * frames only, so a pair's evidence is per-frame, never a bag-of-
+    * frames coincidence — then verify with the exact popcount and
+    * keep pairs where matched frames cover the smaller side's sampled
+    * set. Payloads never shuffle: one decode pass collapses each clip
+    * to 8-byte frame signatures (checkpointed), and only those flow
+    * into the join — the 100 TB shape for video corpus dedup.
+    */
+  def videoDupPairs(
+      media: DataFrame, maxDist: Int = 5, everyK: Int = 2): DataFrame = {
+    require(maxDist < 8, "8x8-bit banding guarantees recall only for maxDist < 8")
+    val f = videoFrames(media, everyK).toDF()
+      .select(col("media_id"), col("frame_idx"), col("ahash"))
+      .localCheckpoint(true) // decode runs once, not once per join side
+    val sampled = f.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"))
+    val banded = f.select(
+      col("media_id"), col("frame_idx"), col("ahash"),
+      explode(array((0 until 8).map(b =>
+        struct(
+          lit(b).as("band_id"),
+          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*))
+        .as("b"))
+      .select(col("media_id"), col("frame_idx"), col("ahash"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val matched = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.frame_idx").as("frame_idx"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct() // close frames collide in several bands — count once
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("max_hamming"))
+    matched
+      .join(sampled.select(col("media_id").as("id1"), col("n_sampled").as("n1")), Seq("id1"))
+      .join(sampled.select(col("media_id").as("id2"), col("n_sampled").as("n2")), Seq("id2"))
+      .filter(col("n_matched") * 2 >= least(col("n1"), col("n2")))
+      .select(col("id1"), col("id2"), col("n_matched"),
+        least(col("n1"), col("n2")).as("n_alignable"), col("max_hamming"))
+  }
+
   /** Deterministic synthetic MJPEG corpus — the same frame patterns as
     * [[syntheticGifCorpus]] (2/4/6/8 frames, planted near-dup pairs on
     * odd ids) but each frame written through the REAL JDK JPEG encoder

@@ -88,5 +88,26 @@ object MultimodalQueries extends QueryModule {
     },
     None)
 
-  override def all: Seq[Q] = Seq(imageHash, audioMetaQ, videoMetaQ)
+  /** Cross-format VIDEO dedup, timed: the same 60 synthetic clips
+    * encoded BOTH as animated GIF and as MJPEG (ids k and 1000+k),
+    * deduplicated at the frame-signature level
+    * ([[Multimodal.videoDupPairs]]) — the banding finds each
+    * cross-container twin even though palette quantization and DCT
+    * loss decode to different rasters. This is the query a training-
+    * data pipeline runs when the same footage arrives re-encoded.
+    * Rows-only by design (DuckDB parses neither container);
+    * MultimodalSpec pins the planted cross-format recall and the
+    * no-false-pairs property.
+    */
+  val videoDupQ = Q(
+    "q_video_dup",
+    (s, _) => {
+      val media = Multimodal.syntheticGifCorpus(s, 60)
+        .unionByName(Multimodal.syntheticMjpegCorpus(s, 60, idOffset = 1000L))
+      Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  override def all: Seq[Q] = Seq(imageHash, audioMetaQ, videoMetaQ, videoDupQ)
 }

@@ -301,6 +301,41 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FakeCodec.decodeDims("video", Array[Byte](-1, -40)))
   }
 
+  test("videoDupPairs: cross-format twins (GIF vs MJPEG) surface; no cross-seed pairs") {
+    val media = Multimodal.syntheticGifCorpus(spark, 12)
+      .unionByName(Multimodal.syntheticMjpegCorpus(spark, 12, idOffset = 1000L))
+    // maxDist 5 is the production default and a genuine TRADE, pinned
+    // here from both sides: palette-vs-DCT decode noise pushes the
+    // occasional aligned frame to Hamming 6-7, so per-frame coverage
+    // can dip below 100% — that is exactly why the operator's keep
+    // rule is pair-level MAJORITY coverage, not all-frames. (At
+    // maxDist 7 every twin covers fully, but the 12-clip synthetic
+    // gradient corpus starts false-pairing lookalike seeds — measured
+    // while writing this test.)
+    val pairs = Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def seedOf(id: Long) = (id % 1000) / 2
+    // every clip's cross-container twin (k <-> 1000+k) is found, with
+    // majority aligned-frame coverage (the keep rule's guarantee)
+    (0L until 12L).foreach { k =>
+      val hit = pairs.find(p => p._1 == k && p._2 == 1000L + k)
+      assert(hit.isDefined, s"cross-format twin ($k, ${1000 + k}) missed: " +
+        pairs.filter(p => p._1 == k || p._2 == k).mkString(", "))
+      assert(hit.get._3 * 2 >= hit.get._4,
+        s"twin ($k): only ${hit.get._3} of ${hit.get._4} aligned frames matched")
+    }
+    // and most twins match on EVERY aligned frame
+    val full = (0L until 12L).count { k =>
+      pairs.exists(p => p._1 == k && p._2 == 1000L + k && p._3 == p._4)
+    }
+    assert(full >= 9, s"only $full/12 twins at full coverage")
+    // nothing ever pairs across different seed patterns
+    pairs.foreach { case (id1, id2, _, _) =>
+      assert(seedOf(id1) === seedOf(id2),
+        s"unrelated clips paired: ($id1, $id2)")
+    }
+  }
+
   test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
     val media = Multimodal.syntheticMjpegCorpus(spark, 6)
     media.collect().foreach { r =>

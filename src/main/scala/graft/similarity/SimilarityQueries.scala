@@ -138,27 +138,31 @@ object SimilarityQueries extends QueryModule {
     * sim is rounded to 6dp on both sides; ranking uses the unrounded
     * value + vec_id tiebreak (identical float ops → identical order).
     */
+  /** Brute-force exact top-k plan, shared by q_cosine_topk (k=10) and
+    * the recall calibration q_ann_recall (k=5 ground truth). */
+  private def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // graft_dot: fused native expression (functions.DotProduct) —
+    // same ascending-index accumulation as zip_with+aggregate, one
+    // pass, no intermediate array.
+    val emb = normEmb(s, dir)
+    val q = emb.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .filter(col("q_id") < 5)
+    val scored = emb
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val cosineTopK = Q(
     "q_cosine_topk",
-    (s, dir) => {
-      // graft_dot: fused native expression (functions.DotProduct) —
-      // same ascending-index accumulation as zip_with+aggregate, one
-      // pass, no intermediate array.
-      val emb = normEmb(s, dir)
-      val q = emb.select(
-        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        .filter(col("q_id") < 5)
-      val scored = emb
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 10)
-        .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rn"))
-        .orderBy(col("q_id"), col("rn"))
-    },
+    (s, dir) => bruteTopK(s, dir, 10),
     Some(s"""
       WITH $normEmbSql,
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
@@ -1359,9 +1363,9 @@ object SimilarityQueries extends QueryModule {
         FROM n)"""
   }
 
-  private val annOracleSql: String = {
-    s"""
-      WITH $normEmbSql,
+  /** ANN pipeline CTEs ending in the ranked `r(q_id, vec_id, bucket,
+    * sim, rn)` — shared by the two ANN oracles and q_ann_recall. */
+  private lazy val annSqlCtes: String = s"""$normEmbSql,
       $signBucketSql,
       q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM b WHERE vec_id < 5),
       q AS (
@@ -1378,15 +1382,69 @@ object SimilarityQueries extends QueryModule {
       r AS (
         SELECT q_id, vec_id, bucket, sim,
                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
-        FROM p)
+        FROM p)"""
+
+  private val annOracleSql: String = s"""
+      WITH $annSqlCtes
       SELECT q_id, vec_id, bucket, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
-  }
 
   val annLsh = Q(
     "q_ann_lsh",
     (s, dir) => annPlan(s, dir, broadcastQueries = true),
     Some(annOracleSql))
+
+  /** ANN recall calibration — per query, how many of the multiprobe
+    * LSH top-5 are in the EXACT brute-force top-5. This is the number
+    * an ANN deployment is tuned by (the plane-count/probe-count trade
+    * from the q_ann_lsh width note made measurable as a query), the
+    * embedding-side analogue of q_minhash_est's sketch-vs-exact
+    * calibration. Both inputs are deterministic ranked sets, so the
+    * per-query intersection COUNT is an exact integer on both engines
+    * — no float boundary ever reaches the compare. Scale: the brute
+    * side is the bounded 5-query batch (broadcast), the ANN side is
+    * the bucketed candidate plan; the join is top-5-sized.
+    */
+  val annRecall = Q(
+    "q_ann_recall",
+    (s, dir) => {
+      val ann = annPlan(s, dir, broadcastQueries = true)
+        .select(col("q_id"), col("vec_id"))
+      val brute = bruteTopK(s, dir, 5)
+        .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+      ann
+        .join(broadcast(brute),
+          col("q_id") === col("bq") && col("vec_id") === col("bv"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("bv").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          count(lit(1)).as("k"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH $annSqlCtes,
+      ann AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+      bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+      bp AS (
+        SELECT n.vec_id, bq.q_id,
+               list_sum(list_transform(list_zip(n.v, bq.qv),
+                        z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (n.nrm * bq.qnrm) AS sim
+        FROM n CROSS JOIN bq WHERE n.vec_id != bq.q_id),
+      br AS (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM bp),
+      brute AS (SELECT q_id, vec_id FROM br WHERE rn <= 5),
+      sel AS (
+        SELECT a.q_id AS q_id,
+               CASE WHEN b2.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM ann a LEFT JOIN brute b2
+          ON a.q_id = b2.q_id AND a.vec_id = b2.vec_id)
+      SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS k
+      FROM sel GROUP BY q_id ORDER BY q_id""")
+  )
 
   /** kNN graph (k=3) over the embedding corpus — the data structure
     * under SemDeDup-style cluster dedup, kNN-graph label propagation,
@@ -1971,5 +2029,5 @@ object SimilarityQueries extends QueryModule {
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
-      clusterIncremental)
+      clusterIncremental, annRecall)
 }

@@ -246,10 +246,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_setops_all" -> 5,       // count-replicate rewrite: per-key count agg per
                                // side (2) + intersect/except generates + 3 census
                                // single-row aggs share exchanges at runtime
-    "q_sql_q21" -> 1)          // decorrelated semi/anti sides broadcast at the
+    "q_sql_q21" -> 1,          // decorrelated semi/anti sides broadcast at the
                                // pinned SF; one s_name agg exchange, TakeOrdered
                                // rides it (at scale the joins co-partition on
                                // l_orderkey — the semi/anti pins above still hold)
+    "q_ann_recall" -> 3)       // ann window exchange + recall agg + final sort;
+                               // the brute top-5 ground truth broadcasts
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -3073,6 +3073,286 @@ object AnalyticsQueries extends QueryModule {
       SELECT n, ${LinregExprs.mkString(",\n             ")} FROM m""")
   )
 
+  /** Confusion matrix + threshold metrics — the other half of the
+    * model-eval surface next to q_auc (which is threshold-free): score
+    * customers by account balance, predict positive above a fixed
+    * operating threshold, label positive = frequent orderer (the q_auc
+    * label), and report TP/FP/FN/TN plus accuracy / precision /
+    * recall / F1. All four cells are exact integers from ONE global
+    * conditional aggregate; the metrics are fixed-order IEEE divisions
+    * over those integers (identical expression text on both engines).
+    * Scale shape: the label build is one orders aggregate whose ≥12
+    * survivors are a small broadcast side; the scoring pass is a single
+    * customer scan with map-side partial aggregation — two shuffles
+    * total regardless of data size.
+    */
+  val confusion = Q(
+    "q_confusion",
+    (s, dir) => {
+      val posKeys = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .select(col("o_custkey"))
+        .withColumn("is_pos", lit(1L))
+      t(s, dir, "customer")
+        .join(broadcast(posKeys), col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          (col("c_acctbal") > 5000.0).cast(LongType).as("p"),
+          coalesce(col("is_pos"), lit(0L)).as("y"))
+        .agg(
+          sum(col("p") * col("y")).as("tp"),
+          sum(col("p") * (lit(1) - col("y"))).as("fp"),
+          sum((lit(1) - col("p")) * col("y")).as("fn"),
+          sum((lit(1) - col("p")) * (lit(1) - col("y"))).as("tn"))
+        .selectExpr("tp", "fp", "fn", "tn",
+          "round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy_r",
+          "round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r",
+          "round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r",
+          "round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_custkey FROM orders
+        GROUP BY 1 HAVING count(*) >= 12),
+      s AS (
+        SELECT CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS p,
+               CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c LEFT JOIN pos ON c_custkey = o_custkey),
+      m AS (
+        SELECT CAST(sum(p * y) AS BIGINT) AS tp,
+               CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+               CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+               CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+        FROM s)
+      SELECT tp, fp, fn, tn,
+             round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy_r,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r,
+             round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r
+      FROM m""")
+  )
+
+  /** Mutual information between two categorical columns — the
+    * feature-selection / dependency screen (does geography carry
+    * information about market segment?). MI = (1/n)·Σ_cells
+    * n_xy·ln(n·n_xy / (n_x·n_y)); every count is an exact BIGINT from
+    * ONE cell census, marginals are window sums OVER THE CELL TABLE
+    * (≤ |nations|×|segments| rows, never data-sized — the q_chisq
+    * idiom), and each cell's contribution is rounded to 9 dp and
+    * summed in DECIMAL so aggregation order cannot perturb the result
+    * (the q_entropy idiom). Integer products stay within BIGINT up to
+    * n ≈ 3·10⁹ rows (n·n_xy ≤ n²); beyond that the operands would move
+    * to DECIMAL(38,0) like q_auc.
+    */
+  val mutualInfo = Q(
+    "q_mutual_info",
+    (s, dir) => {
+      val cells = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nxy"))
+      val wRow = Window.partitionBy(col("c_nationkey"))
+      val wCol = Window.partitionBy(col("c_mktsegment"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("nx", sum(col("nxy")).over(wRow))
+        .withColumn("ny", sum(col("nxy")).over(wCol))
+        .withColumn("n", sum(col("nxy")).over(wAll))
+        .select(col("n"), col("nxy"),
+          round(col("nxy") * log((col("n") * col("nxy")).cast(DoubleType)
+            / (col("nx") * col("ny")).cast(DoubleType)), 9)
+            .cast(DecimalType(28, 9)).as("term"))
+        .groupBy()
+        .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+          sum(col("term")).as("s"))
+        .select(col("n"), col("n_cells"),
+          round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6)
+            .as("mi_r"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS nxy
+        FROM customer GROUP BY 1, 2),
+      m AS (
+        SELECT nxy,
+               sum(nxy) OVER (PARTITION BY c_nationkey) AS nx,
+               sum(nxy) OVER (PARTITION BY c_mktsegment) AS ny,
+               sum(nxy) OVER () AS n
+        FROM cells),
+      terms AS (
+        SELECT n, nxy,
+               CAST(round(nxy * ln(CAST(n * nxy AS DOUBLE)
+                 / CAST(nx * ny AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+        FROM m)
+      SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
+             round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS mi_r
+      FROM terms""")
+  )
+
+  /** Smoothed target encoding — the leakage-safe categorical feature
+    * transform (replace each category with a shrunk estimate of the
+    * target rate): enc(seg) = (n_pos + m·prior) / (n + m) with
+    * smoothing m = 20 and prior = the global positive rate, target =
+    * the q_auc frequent-orderer label. Counts are exact BIGINTs from
+    * ONE segment census; the global prior rides as window sums over
+    * the 5-row segment table; the shrinkage formula is a fixed-order
+    * IEEE expression per segment row. Scale shape: label aggregate +
+    * broadcast join + one keyed census — the encoding table an
+    * ML pipeline would broadcast back onto 100 TB of training rows.
+    */
+  val targetEnc = Q(
+    "q_target_enc",
+    (s, dir) => {
+      val posKeys = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .select(col("o_custkey"))
+        .withColumn("is_pos", lit(1L))
+      val census = t(s, dir, "customer")
+        .join(broadcast(posKeys), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("is_pos"), lit(0L))).as("n_pos"))
+      val wAll = Window.partitionBy()
+      census
+        .withColumn("tn", sum(col("n")).over(wAll))
+        .withColumn("tp", sum(col("n_pos")).over(wAll))
+        .selectExpr("segment", "n", "n_pos",
+          """round((CAST(n_pos AS DOUBLE)
+               + 20.0 * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+              / CAST(n + 20 AS DOUBLE), 6) AS enc_r""")
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_custkey FROM orders
+        GROUP BY 1 HAVING count(*) >= 12),
+      census AS (
+        SELECT c_mktsegment AS segment, count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos
+        FROM customer c LEFT JOIN pos ON c_custkey = o_custkey
+        GROUP BY 1),
+      m AS (
+        SELECT segment, n, n_pos,
+               sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp
+        FROM census)
+      SELECT segment, n, n_pos,
+             round((CAST(n_pos AS DOUBLE)
+               + 20.0 * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+              / CAST(n + 20 AS DOUBLE), 6) AS enc_r
+      FROM m ORDER BY segment""")
+  )
+
+  /** Calibration / reliability table — is the score well-calibrated,
+    * bin by bin? Normalize the score to [0,1] by the observed min/max
+    * (broadcast 1-row extremes, the q_decile_lift broadcast-cutoff
+    * idiom), bucket into 10 fixed-width bins, and per bin report count,
+    * mean predicted probability and observed positive rate — the gap
+    * column is the reliability-diagram vertical distance. Mean
+    * prediction follows the q_entropy determinism idiom (9 dp-rounded
+    * per-row terms summed in DECIMAL); counts are exact; the binning
+    * expression is textually identical IEEE arithmetic on both
+    * engines. ONE customer scan + a 10-row census.
+    */
+  val calibration = Q(
+    "q_calibration",
+    (s, dir) => {
+      val posKeys = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .select(col("o_custkey"))
+        .withColumn("is_pos", lit(1L))
+      val scored = t(s, dir, "customer")
+        .join(broadcast(posKeys), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_acctbal").cast(DoubleType).as("score"),
+          coalesce(col("is_pos"), lit(0L)).as("y"))
+      val ext = scored.groupBy().agg(
+        min(col("score")).as("lo"), max(col("score")).as("hi"))
+      scored.crossJoin(broadcast(ext))
+        .selectExpr(
+          "least(CAST(floor((score - lo) / (hi - lo) * 10.0) AS BIGINT), 9) AS bin",
+          "round((score - lo) / (hi - lo), 9) AS p", "y")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("p").cast(DecimalType(28, 9))).as("sp"))
+        .selectExpr("bin", "n", "n_pos",
+          "round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred_r",
+          "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate_r",
+          """round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap_r""")
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_custkey FROM orders
+        GROUP BY 1 HAVING count(*) >= 12),
+      s AS (
+        SELECT CAST(c_acctbal AS DOUBLE) AS score,
+               CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c LEFT JOIN pos ON c_custkey = o_custkey),
+      ext AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+      b AS (
+        SELECT least(CAST(floor((score - lo) / (hi - lo) * 10.0) AS BIGINT), 9)
+                 AS bin,
+               round((score - lo) / (hi - lo), 9) AS p, y
+        FROM s CROSS JOIN ext),
+      census AS (
+        SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+               sum(CAST(p AS DECIMAL(28,9))) AS sp
+        FROM b GROUP BY 1)
+      SELECT bin, n, n_pos,
+             round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred_r,
+             round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate_r,
+             round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap_r
+      FROM census ORDER BY bin""")
+  )
+
+  /** l-diversity census — the attribute-disclosure audit k-anonymity
+    * misses (q_kanon): a class can hold k=50 rows yet leak the
+    * sensitive value if all 50 share it. Equivalence classes over the
+    * released quasi-identifiers (nation × market segment); sensitive
+    * attribute = the account-balance band; l = exact distinct
+    * sensitive values per class, reported as a class census by
+    * l-band (l=1 is a homogeneity breach). Scale shape: ONE keyed
+    * aggregate with two-phase partial distinct (dedup before the
+    * shuffle), then the band rollup over the ≤125-row class table.
+    */
+  val lDiversity = Q(
+    "q_l_diversity",
+    (s, dir) => {
+      val classes = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(
+            floor(col("c_acctbal").cast(DoubleType) / 1000.0)).as("l"))
+      classes
+        .groupBy(
+          when(col("l") === 1, "l=1")
+            .when(col("l") < 5, "l=2-4")
+            .otherwise("l>=5").as("l_band"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+          min(col("l")).as("min_l"))
+        .orderBy(col("l_band"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT n_name, c_mktsegment, count(*) AS k,
+               CAST(count(DISTINCT floor(CAST(c_acctbal AS DOUBLE) / 1000.0))
+                 AS BIGINT) AS l
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT CASE WHEN l = 1 THEN 'l=1'
+                  WHEN l < 5 THEN 'l=2-4'
+                  ELSE 'l>=5' END AS l_band,
+             count(*) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_rows,
+             min(l) AS min_l
+      FROM classes GROUP BY 1 ORDER BY l_band""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -3084,5 +3364,6 @@ object AnalyticsQueries extends QueryModule {
     diffSnapshot, percentTotal, colProfile, timeIntel, skyline, groupConcat,
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
-    corrMatrix, auc, decileLift, psi, ks, emd, survival)
+    corrMatrix, auc, decileLift, psi, ks, emd, survival,
+    confusion, mutualInfo, targetEnc, calibration, lDiversity)
 }

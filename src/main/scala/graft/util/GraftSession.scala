@@ -26,6 +26,11 @@ object GraftSession {
       // (micros) cannot represent; read it as a nanos LONG and convert at
       // the Tables.events boundary.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver's parquet stores naive (isAdjustedToUTC=false) micros
+      // timestamps; surface them as TimestampType under the UTC session —
+      // identical wall-clock values to DuckDB's naive TIMESTAMP read —
+      // rather than TIMESTAMP_NTZ, which unix_micros/BIGINT casts reject.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
   }
 }

@@ -24,6 +24,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Defense in depth for sessions built without GraftSession's
+      // inferTimestampNTZ=false: NTZ micros under a UTC session carries
+      // the same wall-clock instants as TimestampType — surface the
+      // latter so unix_micros/BIGINT casts downstream stay legal.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

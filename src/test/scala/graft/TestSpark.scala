@@ -16,6 +16,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (isAdjustedToUTC=false) parquet timestamps must surface as
+      // TimestampType under the UTC session — the DuckDB oracle reads the
+      // same files as naive TIMESTAMP — not as TIMESTAMP_NTZ, which
+      // unix_micros/BIGINT casts reject.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()

@@ -122,7 +122,9 @@ object ScaleSmoke {
       "q_dq_rules","q_kanon","q_seq_pairs","q_backtest","q_sql_rec",
       "q_interval_union","q_chisq","q_paths","q_acf","q_ltv",
       "q_corr_matrix","q_union_drift","q_auc","q_decile_lift","q_psi","q_ks",
-      "q_emd","q_survival","q_seasonal")
+      "q_emd","q_survival","q_seasonal",
+      "q_link_predict","q_bm25","q_weighted_sample","q_stickiness",
+      "q_mutual_info","q_confusion","q_calibration","q_l_diversity")
       .foreach(time)
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is

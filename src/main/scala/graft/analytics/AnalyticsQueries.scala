@@ -1818,6 +1818,56 @@ object AnalyticsQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
   )
 
+  /** DAU / WAU / MAU stickiness — the engagement ratio product teams
+    * track daily (how much of the monthly audience shows up today).
+    * Exact distinct actives per trailing 1/7/28-day window, plus the
+    * DAU/WAU and DAU/MAU ratios.
+    *
+    * Scale shape: the event stream collapses to distinct (user, day)
+    * FIRST (one exchange — the only data-sized shuffle), then fans out
+    * ≤28× against the broadcast day dimension (≤ a few thousand rows
+    * at any scale) and re-aggregates per day with conditional distinct
+    * counts — never a distinct-over-sliding-window per event. Exact
+    * integer counts; the ratio divisions are doubles of exact ints,
+    * deterministic on both engines.
+    */
+  val stickiness = Q(
+    "q_stickiness",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      ud.join(broadcast(days),
+          col("day") <= col("d") && col("day") >= date_sub(col("d"), 27))
+        .groupBy(col("d"))
+        .agg(
+          countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"),
+          countDistinct(when(col("day") >= date_sub(col("d"), 6), col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast(DoubleType) / col("wau"), 6).as("dau_wau_r"),
+          round(col("dau").cast(DoubleType) / col("mau"), 6).as("dau_mau_r"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day AS d FROM ud),
+      g AS (
+        SELECT d,
+               count(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
+               count(DISTINCT CASE WHEN day >= d - 6 THEN user_id END) AS wau,
+               count(DISTINCT user_id) AS mau
+        FROM ud JOIN days ON day <= d AND day >= d - 27
+        GROUP BY d)
+      SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau, mau,
+             round(CAST(dau AS DOUBLE) / wau, 6) AS dau_wau_r,
+             round(CAST(dau AS DOUBLE) / mau, 6) AS dau_mau_r
+      FROM g ORDER BY day""")
+  )
+
   /** FULL OUTER join — the one join type the surface lacked. The
     * two sides are filtered differently (positive balance vs big
     * orders) so all three match classes genuinely occur; output is the
@@ -3353,6 +3403,41 @@ object AnalyticsQueries extends QueryModule {
       FROM classes GROUP BY 1 ORDER BY l_band""")
   )
 
+  /** Deterministic masking / pseudonymization — the release transform
+    * that pairs with the k-anonymity ([[kanon]]) and l-diversity
+    * ([[lDiversity]]) audits: direct identifiers become keyed md5
+    * tokens (same input → same token, so joins across released tables
+    * still line up), the numeric quasi-identifier is generalized to a
+    * $1000 band, and only the working segment column survives intact.
+    * The 'k:'/'n:' prefixes are domain separators; production replaces
+    * them with a secret salt from the key store — same plan.
+    *
+    * Scale shape: a pure map-side projection (md5 + floor per row) +
+    * the final sort — one shuffle; nothing about the transform needs
+    * to see two rows. Cross-engine: md5 hex and exact integer banding
+    * are bit-identical on both engines (floor of the DOUBLE division
+    * is exact for these 2-decimal inputs).
+    */
+  val masking = Q(
+    "q_masking",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .selectExpr(
+          "md5(concat('k:', CAST(c_custkey AS STRING))) AS key_token",
+          "md5(concat('n:', c_name)) AS name_token",
+          "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) * 1000 AS BIGINT) AS bal_band",
+          "c_mktsegment")
+        .orderBy(col("key_token"))
+    },
+    Some("""
+      SELECT md5(concat('k:', CAST(c_custkey AS VARCHAR))) AS key_token,
+             md5(concat('n:', c_name)) AS name_token,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) * 1000 AS BIGINT)
+               AS bal_band,
+             c_mktsegment
+      FROM customer ORDER BY key_token""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -3365,5 +3450,6 @@ object AnalyticsQueries extends QueryModule {
     modeQ, bloomPrune, histogramEqDepth, intervalJoin,
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
     corrMatrix, auc, decileLift, psi, ks, emd, survival,
-    confusion, mutualInfo, targetEnc, calibration, lDiversity)
+    confusion, mutualInfo, targetEnc, calibration, lDiversity, masking,
+    stickiness)
 }

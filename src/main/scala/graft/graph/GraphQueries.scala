@@ -335,5 +335,82 @@ object GraphQueries extends QueryModule {
       FROM l3 GROUP BY 1 ORDER BY n_members DESC, community""")
   )
 
-  override def all: Seq[Q] = Seq(pagerank, triangles, degreeDist, bfs, labelProp)
+  /** Link prediction by neighbor Jaccard — the classic similarity
+    * score for "who else should supply this part" recommendations:
+    * for each supplier pair, J = |shared parts| / |union of parts|,
+    * top 20 by score. Candidate pairs are generated ONLY through a
+    * shared part (the bipartite wedge), never supplier×supplier.
+    *
+    * Scale shape: the wedge join is bounded per part by the hot-key
+    * cap (parts supplied by > 64 suppliers are excluded BEFORE the
+    * self-join — the MaxShingleDf idiom; at this corpus max degree is
+    * 41 so the cap drops nothing and exists purely as the planted
+    * blow-up guard), so each part contributes ≤ C(64,2) pairs. Both
+    * sides of the self-join and the part-degree window share the ONE
+    * part-keyed exchange; supplier degrees are a dim-sized broadcast;
+    * top-20 is TakeOrdered. Exact integer counts; one 6 dp division
+    * at the end; ties resolve by (s1, s2).
+    */
+  /** Hot-key guard for [[linkPredict]], factored for the planted
+    * blow-up test: drops every part supplied by more than `cap`
+    * suppliers BEFORE any pair expansion, bounding the wedge join at
+    * C(cap,2) pairs per part. */
+  private[graph] def capPartDegree(ps: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ps.withColumn("pd", count(lit(1)).over(Window.partitionBy(col("p"))))
+      .filter(col("pd") <= cap)
+      .select(col("p"), col("sp"))
+  }
+
+  /** Shared-part counts per supplier pair (the bipartite wedge join)
+    * over an already-capped edge list. */
+  private[graph] def wedgePairs(capped: DataFrame): DataFrame =
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
+      .agg(count(lit(1)).as("c"))
+
+  val linkPredict = Q(
+    "q_link_predict",
+    (s, dir) => {
+      val ps = capPartDegree(
+        t(s, dir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+          .distinct(),
+        64)
+      val deg = ps.groupBy(col("sp")).agg(count(lit(1)).as("d"))
+      wedgePairs(ps)
+        .join(broadcast(deg.select(col("sp").as("s1"), col("d").as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select(col("sp").as("s2"), col("d").as("d2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("c"),
+          round(col("c").cast(DoubleType) / (col("d1") + col("d2") - col("c")), 6)
+            .as("jaccard_r"))
+        .orderBy(col("jaccard_r").desc, col("s1"), col("s2"))
+        .limit(20)
+    },
+    Some("""
+      WITH ps0 AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+      ps AS (
+        SELECT p, sp FROM (
+          SELECT p, sp, count(*) OVER (PARTITION BY p) AS pd FROM ps0)
+        WHERE pd <= 64),
+      deg AS (SELECT sp, count(*) AS d FROM ps GROUP BY 1),
+      pairs AS (
+        SELECT a.sp AS s1, b.sp AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.sp < b.sp
+        GROUP BY 1, 2),
+      j AS (
+        SELECT s1, s2, CAST(c AS BIGINT) AS c,
+               round(CAST(c AS DOUBLE) / (d1.d + d2.d - c), 6) AS jaccard_r
+        FROM pairs
+        JOIN deg d1 ON s1 = d1.sp
+        JOIN deg d2 ON s2 = d2.sp)
+      SELECT s1, s2, c, jaccard_r
+      FROM j ORDER BY jaccard_r DESC, s1, s2 LIMIT 20""")
+  )
+
+  override def all: Seq[Q] =
+    Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict)
 }

@@ -1495,10 +1495,132 @@ object TextQueries extends QueryModule {
       FROM g GROUP BY source ORDER BY source""")
   )
 
+  /** BM25 keyword retrieval — the ranking function search/RAG indexes
+    * actually serve (Robertson-Sparck Jones; k1 = 1.2, b = 0.75), for
+    * the fixed query {join, hash, scan}:
+    * score(D) = Σ_t idf(t) · k·(k1+1) / (k + k1·(1−b+b·|D|/avgdl)),
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Everything derives from ONE (doc, term) aggregate — the tfidf
+    * stream: doc length is a window sum over its doc_id partitioning
+    * (which the final per-doc aggregate then reuses — no new
+    * exchange), avgdl/N is a 1-row scan aggregate broadcast, df a
+    * query-terms-only (3-row, broadcast) census. The final top-10 is
+    * orderBy+limit → TakeOrdered, never a global sort.
+    * Cross-engine: each term's contribution is one textually identical
+    * IEEE expression rounded to 9 dp and summed in DECIMAL (the
+    * q_entropy idiom), so partial-aggregation order cannot perturb the
+    * 6 dp-rounded score; rank ties resolve by doc_id on both engines.
+    */
+  val bm25 = Q(
+    "q_bm25",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("dl", sum(col("k")).over(Window.partitionBy(col("doc_id"))))
+      // N and Σdl need no second pass over the token stream: every doc
+      // yields ≥1 token row (toks of "" is [""]), so doc count and
+      // total token count come straight off ONE documents scan
+      val st = t(s, dir, "documents").groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(size(toks(col("text"))).cast(LongType)).as("sum_dl"))
+      val qt = tf.filter(col("term").isin("join", "hash", "scan"))
+      val dfreq = qt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      qt.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(st))
+        // every fractional literal is written in scientific notation
+        // (5e-1, 2.2e0, …): both engines parse bare 2.2 as DECIMAL and
+        // would run parts of the chain in truncated decimal arithmetic
+        // (observed 4e-8 drift) — e0 forces IEEE DOUBLE end to end
+        .selectExpr("doc_id",
+          """CAST(round(ln((n - df + 5e-1) / (df + 5e-1) + 1e0) * (k * 2.2e0)
+               / (k + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / (sum_dl * 1e0 / n))), 9)
+             AS DECIMAL(18,9)) AS term_s""")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_match"), sum(col("term_s")).as("s"))
+        // round the DECIMAL (exact half-up), THEN cast: rounding the
+        // double instead diverges on ...5·10⁻⁷ ties, which the 9 dp
+        // per-term grid makes common
+        .select(col("doc_id"), col("n_match"),
+          round(col("s"), 6).cast("double").as("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
+      len AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM len),
+      qt AS (SELECT * FROM tf WHERE term IN ('join', 'hash', 'scan')),
+      dfreq AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+      c AS (
+        SELECT q.doc_id,
+               CAST(round(ln((n - df + 5e-1) / (df + 5e-1) + 1e0) * (k * 2.2e0)
+                 / (k + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / (sum_dl * 1e0 / n))), 9)
+               AS DECIMAL(18,9)) AS term_s
+        FROM qt q JOIN dfreq USING (term) JOIN len USING (doc_id) CROSS JOIN st),
+      sc AS (
+        SELECT doc_id, count(*) AS n_match,
+               CAST(round(sum(term_s), 6) AS DOUBLE) AS score_r
+        FROM c GROUP BY 1)
+      SELECT doc_id, n_match, score_r
+      FROM sc ORDER BY score_r DESC, doc_id LIMIT 10""")
+  )
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each doc draws u ∈ (0,1) from a Lehmer-style hash
+    * of its id and keeps key = ln(u)/w with weight w = n_chars; the
+    * global top-k by key IS a weighted sample without replacement —
+    * the token-budget-proportional doc sampling a training-data
+    * pipeline runs before packing.
+    *
+    * Scale shape: ONE scan with a per-row integer hash + TakeOrdered
+    * top-k — no global sort, no shuffle of the corpus; at 100 TB each
+    * executor keeps a k-row heap and only k rows travel. Determinism:
+    * u's numerator is exact 31-bit integer arithmetic on both engines
+    * (doc_id folded mod 2^31−1 BEFORE the 2654435761 multiply keeps
+    * every product under 2^62 — no overflow at any corpus size);
+    * ln(u)/w is one textually identical IEEE expression rounded to
+    * 9 dp; ties resolve by doc_id. Production swaps the 31-bit Lehmer
+    * hash for a 128-bit digest (collision-free u at corpus scale) —
+    * same plan.
+    */
+  val weightedSample = Q(
+    "q_weighted_sample",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "n_chars",
+          "((doc_id % 2147483647) * 2654435761) % 2147483647 AS h")
+        // 2147483648e0 (not .0): a bare decimal literal would make the
+        // division run in truncated DECIMAL arithmetic on both engines
+        .selectExpr("doc_id", "n_chars",
+          "round(ln((h + 1) / 2147483648e0) / greatest(n_chars, 1), 9) AS key_r")
+        .orderBy(col("key_r").desc, col("doc_id"))
+        .limit(25)
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+        FROM documents),
+      k AS (
+        SELECT doc_id, n_chars,
+               round(ln((h + 1) / 2147483648e0) / greatest(n_chars, 1), 9)
+                 AS key_r
+        FROM h)
+      SELECT doc_id, n_chars, key_r
+      FROM k ORDER BY key_r DESC, doc_id LIMIT 25""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
       tfidf, mixSample, bpeTrain, bpeApply, entropy, chunk, winnow,
-      qualityClf, colloc, countMin, dupeStats)
+      qualityClf, colloc, countMin, dupeStats, bm25, weightedSample)
 }

@@ -250,8 +250,33 @@ class PlanContractSpec extends AnyFunSuite {
                                // pinned SF; one s_name agg exchange, TakeOrdered
                                // rides it (at scale the joins co-partition on
                                // l_orderkey — the semi/anti pins above still hold)
-    "q_ann_recall" -> 3)       // ann window exchange + recall agg + final sort;
+    "q_ann_recall" -> 3,       // ann window exchange + recall agg + final sort;
                                // the brute top-5 ground truth broadcasts
+    "q_confusion" -> 2,        // label agg (survivors broadcast back) + ONE
+                               // single-row conditional agg; metrics ride it
+    "q_mutual_info" -> 2,      // ONE cell-census exchange; marginal windows +
+                               // the final single-row agg share the rest
+    "q_target_enc" -> 3,       // label agg + segment census + global-prior
+                               // window; the 5-row sort rides the window
+    "q_calibration" -> 4,      // label agg + 1-row extremes agg (broadcast
+                               // back) + 10-bin census + final sort
+    "q_l_diversity" -> 4,      // QI-class agg w/ two-phase distinct (2) +
+                               // band rollup + final sort (the kanon idiom)
+    "q_bm25" -> 5,             // (doc,term) agg + doc-length window (final
+                               // per-doc agg RIDES its partitioning) + 1-row
+                               // corpus stats + df census; the df branch's
+                               // re-derived agg/window reuse at runtime;
+                               // top-10 is TakeOrdered
+    "q_weighted_sample" -> 0,  // pure projection + TakeOrdered top-k: the
+                               // corpus never shuffles, only k rows travel
+    "q_link_predict" -> 11,    // part-degree window, wedge self-join and pair
+                               // agg all key on p/(s1,s2); the self-join's two
+                               // re-derived distinct+window subtrees reuse at
+                               // runtime (AQE), degrees broadcast, TakeOrdered
+    "q_masking" -> 1,          // pure md5/band projection + final sort
+    "q_stickiness" -> 5)       // ONE (user,day) distinct exchange + broadcast
+                               // day-dim fanout + Expand distinct agg (2) +
+                               // the day-dim's own distinct + final sort
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

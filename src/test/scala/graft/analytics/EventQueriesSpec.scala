@@ -232,4 +232,20 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(math.abs(bias) <= wape + 1e-12,
       "|signed bias| can never exceed the absolute-error mass")
   }
+
+  test("q_stickiness: window nesting and ratio bounds hold on every day") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.stickiness.run(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau, mau, dw, dm) =>
+      assert(dau >= 1 && dau <= wau && wau <= mau,
+        s"$d: trailing windows must nest (dau=$dau wau=$wau mau=$mau)")
+      assert(dw > 0.0 && dw <= 1.0 && dm > 0.0 && dm <= dw + 1e-12,
+        s"$d: DAU/MAU can never exceed DAU/WAU")
+    }
+    val first = rows.minBy(_._1)
+    assert(first._2 === first._3 && first._3 === first._4,
+      "the corpus's first day has no history — all three windows equal")
+  }
 }

@@ -134,6 +134,51 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_link_predict: a planted hot part is dropped BEFORE pair expansion") {
+    // 10 ordinary parts shared by 3 suppliers each (3 pairs per part)
+    // plus one part supplied by 200 suppliers (C(200,2) = 19,900 pairs
+    // if it ever reached the wedge join). The cap must remove the hot
+    // part's entire pair contribution and leave the ordinary wedges
+    // untouched.
+    val ordinary = for (p <- 1L to 10L; sp <- 1L to 3L) yield (p, sp)
+    val hot = (1L to 200L).map(sp => (999L, sp + 1000L))
+    val ps = (ordinary ++ hot).toDF("p", "sp")
+    val capped = GraphQueries.capPartDegree(ps, 64)
+    assert(capped.filter(col("p") === 999L).count() === 0L)
+    assert(capped.count() === ordinary.size.toLong)
+    assert(GraphQueries.wedgePairs(GraphQueries.capPartDegree(ps, 64))
+      .agg(sum(col("c"))).as[Long].collect().head === 30L,
+      "10 parts x C(3,2) wedges survive; the hot part contributes zero")
+    assert(GraphQueries.wedgePairs(ps)
+      .agg(sum(col("c"))).as[Long].collect().head === 30L + 19900L,
+      "uncapped blow-up baseline")
+  }
+
+  test("q_link_predict matches a sequential Jaccard replica") {
+    val ps = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+      .distinct().as[(Long, Long)].collect()
+    val byPart = ps.groupBy(_._1).filter(_._2.length <= 64)
+    val deg = byPart.values.flatten.groupBy(_._2).map { case (s, g) => s -> g.size }
+    val pairCounts = collection.mutable.Map.empty[(Long, Long), Long]
+    byPart.values.foreach { g =>
+      val sups = g.map(_._2).sorted
+      for (i <- sups.indices; j <- (i + 1) until sups.length)
+        pairCounts((sups(i), sups(j))) = pairCounts.getOrElse((sups(i), sups(j)), 0L) + 1
+    }
+    val expect = pairCounts.toSeq
+      .map { case ((s1, s2), c) =>
+        val j = BigDecimal(c.toDouble / (deg(s1) + deg(s2) - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s1, s2, c, j)
+      }
+      .sortBy { case (s1, s2, _, j) => (-j, s1, s2) }
+      .take(20)
+    val got = GraphQueries.linkPredict.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect, "top-20 Jaccard pairs diverged from the replica")
+  }
+
   test("q_label_prop: community sizes partition the node set exactly") {
     val nodes = spark.read.parquet(s"$dir/lineitem.parquet")
       .select((col("l_suppkey") * 2).as("n"))

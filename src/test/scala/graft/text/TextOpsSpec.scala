@@ -366,4 +366,75 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"HLL estimate $merged vs exact $exact drifted beyond 5%")
   }
+
+  test("q_bm25 planted: term frequency raises, document length normalizes") {
+    val dir = docsDir(Seq(
+      "join join join alpha",       // doc 0: k=3, short
+      "join " + ("pad " * 40).trim, // doc 1: k=1, long — length-normalized down
+      "hash scan alpha beta"))      // doc 2: two distinct query terms
+    val rows = TextQueries.bm25.run(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m.keySet === Set(0L, 1L, 2L), "all and only matching docs rank")
+    assert(m(0L)._3 > m(1L)._3,
+      "3x tf in a short doc must outscore 1x tf in a long doc")
+    assert(m(2L)._2 === 2L, "doc 2 matches two query terms")
+    assert(rows.forall(_._3 > 0.0))
+  }
+
+  test("q_bm25 matches a sequential BM25 replica") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> Option(t).getOrElse("").trim.split("\\s+").toSeq
+    }.toMap
+    val n = docs.length.toLong
+    val sumDl = toks.values.map(_.length.toLong).sum
+    val terms = Seq("join", "hash", "scan")
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = toks.toSeq.flatMap { case (id, ws) =>
+      val present = terms.filter(ws.contains)
+      if (present.isEmpty) None
+      else {
+        val dl = ws.length.toLong
+        val s = present.map { t =>
+          val k = ws.count(_ == t).toLong
+          val df = dfm(t)
+          r9(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (k * 2.2) /
+            (k + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumDl * 1.0 / n))))
+        }.sum
+        Some((id, present.size.toLong,
+          s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = TextQueries.bm25.run(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expect, "top-10 BM25 ranking diverged from the replica")
+  }
+
+  test("q_weighted_sample matches the Efraimidis-Spirakis replica and skews long") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Double = {
+      val h = (id % 2147483647L) * 2654435761L % 2147483647L
+      BigDecimal(math.log((h + 1).toDouble / 2147483648.0) / math.max(w, 1L))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = docs.map { case (id, nc) => (id, nc, key(id, nc)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(25).toSeq
+    val got = TextQueries.weightedSample.run(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expect, "E-S top-25 diverged from the replica")
+    val sampleMean = expect.map(_._2).sum.toDouble / expect.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"char-weighted sampling must overrepresent long docs " +
+        s"(sample $sampleMean vs corpus $corpusMean)")
+  }
 }

@@ -27,6 +27,11 @@ object ScaleSmoke {
       // 100-token random docs (uniform vocab; near-dup structure is the
       // sf corpora's job — the smoke measures collision/shuffle shape)
       val base = Array.fill(100)(words(rnd.nextInt(words.length)))
+      // sprinkle the BM25 query terms so q_bm25's 40x check is
+      // non-vacuous (every 4th doc carries 1-3 of them)
+      if (i % 4 == 0) base(rnd.nextInt(base.length)) = "join"
+      if (i % 8 == 0) base(rnd.nextInt(base.length)) = "hash"
+      if (i % 16 == 0) base(rnd.nextInt(base.length)) = "scan"
       val text = base.mkString(" ")
       (i.toLong, text, Seq("en","de","fr","es")(i % 4), "src", text.length.toLong)
     }

@@ -129,7 +129,8 @@ object ScaleSmoke {
       "q_corr_matrix","q_union_drift","q_auc","q_decile_lift","q_psi","q_ks",
       "q_emd","q_survival","q_seasonal",
       "q_link_predict","q_bm25","q_weighted_sample","q_stickiness",
-      "q_mutual_info","q_confusion","q_calibration","q_l_diversity")
+      "q_mutual_info","q_confusion","q_calibration","q_l_diversity",
+      "q_anova","q_cramers_v")
       .foreach(time)
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is

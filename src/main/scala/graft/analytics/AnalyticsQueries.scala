@@ -645,6 +645,77 @@ object AnalyticsQueries extends QueryModule {
       FROM m ORDER BY n_name, c_mktsegment""")
   )
 
+  /** Cramér's V — the normalized [0,1] association scalar on top of
+    * [[chisq]]'s cell census (chi² itself, then
+    * V = sqrt(chi² / (n·min(r−1, c−1)))). The 125-term chi² sum the
+    * cell-level query deliberately avoids becomes deterministic here
+    * via the q_entropy idiom: each cell's (o−e)²/e is rounded to 9 dp
+    * and summed in DECIMAL, so aggregation order cannot perturb it.
+    * Same scale shape as [[chisq]] / [[mutualInfo]]: one keyed cell
+    * aggregate, marginal windows over the ≤125-row cell table, a
+    * single-row final aggregate.
+    */
+  val cramersV = Q(
+    "q_cramers_v",
+    (s, dir) => {
+      val obs = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("n_name"))
+      val wc = Window.partitionBy(col("c_mktsegment"))
+      val wAll = Window.partitionBy()
+      obs
+        .withColumn("rt", sum(col("o")).over(wr))
+        .withColumn("ct", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .selectExpr("n_name", "c_mktsegment", "n",
+          """CAST(round(pow(CAST(o AS DOUBLE)
+               - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 2e0)
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS term""")
+        .groupBy()
+        .agg(max(col("n")).as("n"),
+          countDistinct(col("n_name")).as("r"),
+          countDistinct(col("c_mktsegment")).as("c"),
+          sum(col("term")).as("chi2"))
+        .selectExpr("n", "r", "c",
+          "CAST(round(chi2, 6) AS DOUBLE) AS chi2_r",
+          """round(sqrt(CAST(chi2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6) AS v_r""")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT n_name, c_mktsegment, count(*) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT n_name, c_mktsegment, o,
+               sum(o) OVER (PARTITION BY n_name) AS rt,
+               sum(o) OVER (PARTITION BY c_mktsegment) AS ct,
+               sum(o) OVER () AS n
+        FROM obs),
+      terms AS (
+        SELECT n_name, c_mktsegment, n,
+               CAST(round(pow(CAST(o AS DOUBLE)
+                   - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 2e0)
+                 / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) AS term
+        FROM m),
+      tot AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(DISTINCT n_name) AS BIGINT) AS r,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS c,
+               sum(term) AS chi2
+        FROM terms)
+      SELECT n, r, c,
+             CAST(round(chi2, 6) AS DOUBLE) AS chi2_r,
+             round(sqrt(CAST(chi2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6) AS v_r
+      FROM tot""")
+  )
+
   /** One-pass correlation MATRIX — Pearson r for every pair of the
     * four lineitem measures (quantity, price, discount, tax) from a
     * SINGLE aggregate: all 14 power sums (4 sums, 4 squares, 6 cross
@@ -3128,9 +3199,12 @@ object AnalyticsQueries extends QueryModule {
     * customers by account balance, predict positive above a fixed
     * operating threshold, label positive = frequent orderer (the q_auc
     * label), and report TP/FP/FN/TN plus accuracy / precision /
-    * recall / F1. All four cells are exact integers from ONE global
-    * conditional aggregate; the metrics are fixed-order IEEE divisions
-    * over those integers (identical expression text on both engines).
+    * recall / F1 / Cohen's kappa / MCC. All four cells are exact
+    * integers from ONE global conditional aggregate; the metrics are
+    * fixed-order IEEE divisions over those integers (identical
+    * expression text on both engines — marginal products run in
+    * DOUBLE, exact for any cell ≤ 2^53, and sqrt is IEEE
+    * correctly-rounded on both).
     * Scale shape: the label build is one orders aggregate whose ≥12
     * survivors are a small broadcast side; the scoring pass is a single
     * customer scan with map-side partial aggregation — two shuffles
@@ -3155,10 +3229,18 @@ object AnalyticsQueries extends QueryModule {
           sum((lit(1) - col("p")) * col("y")).as("fn"),
           sum((lit(1) - col("p")) * (lit(1) - col("y"))).as("tn"))
         .selectExpr("tp", "fp", "fn", "tn",
-          "round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy_r",
+          "CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS po",
+          """(CAST(tp + fp AS DOUBLE) * (tp + fn) + CAST(fn + tn AS DOUBLE) * (fp + tn))
+             / (CAST(tp + fp + fn + tn AS DOUBLE) * (tp + fp + fn + tn)) AS pe""")
+        .selectExpr("tp", "fp", "fn", "tn",
+          "round(po, 6) AS accuracy_r",
           "round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r",
           "round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r",
-          "round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r")
+          "round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r",
+          "round((po - pe) / (1e0 - pe), 6) AS kappa_r",
+          """round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+             AS mcc_r""")
     },
     Some("""
       WITH pos AS (
@@ -3173,13 +3255,23 @@ object AnalyticsQueries extends QueryModule {
                CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
                CAST(sum((1 - p) * y) AS BIGINT) AS fn,
                CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
-        FROM s)
+        FROM s),
+      m2 AS (
+        SELECT tp, fp, fn, tn,
+               CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS po,
+               (CAST(tp + fp AS DOUBLE) * (tp + fn) + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                 / (CAST(tp + fp + fn + tn AS DOUBLE) * (tp + fp + fn + tn)) AS pe
+        FROM m)
       SELECT tp, fp, fn, tn,
-             round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy_r,
+             round(po, 6) AS accuracy_r,
              round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r,
              round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r,
-             round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r
-      FROM m""")
+             round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r,
+             round((po - pe) / (1e0 - pe), 6) AS kappa_r,
+             round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+               / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+               AS mcc_r
+      FROM m2""")
   )
 
   /** Mutual information between two categorical columns — the
@@ -3403,6 +3495,68 @@ object AnalyticsQueries extends QueryModule {
       FROM classes GROUP BY 1 ORDER BY l_band""")
   )
 
+  /** One-way ANOVA — does mean account balance differ across market
+    * segments? The numeric-target complement of q_chisq's categorical
+    * dependence test: F = (SSB/(k−1)) / (SSW/(N−k)) plus η² (effect
+    * size). Balances route through exact integer CENTS; per-group
+    * count/sum/sum-of-squares ride DECIMAL(38,0) (the q_corr_matrix
+    * idiom), and the only order-sensitive float — Σ s_g²/n_g — is
+    * rounded to 9 dp per GROUP and summed in DECIMAL over the 5-row
+    * group table (the q_entropy idiom), so partial-aggregation order
+    * cannot perturb it. Scale shape: ONE segment-keyed aggregate with
+    * map-side partials, then arithmetic on k rows.
+    */
+  val anova = Q(
+    "q_anova",
+    (s, dir) => {
+      val cents = (col("c_acctbal") * 100).cast(DecimalType(38, 0))
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(cents).as("s_g"),
+          sum(cents * cents).as("q_g"))
+        .selectExpr("n_g", "s_g", "q_g",
+          """CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 9)
+             AS DECIMAL(38,9)) AS term""")
+        .groupBy()
+        .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+          sum(col("term")).as("t"))
+        .selectExpr("k", "n",
+          "CAST(t AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb",
+          "CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw")
+        .selectExpr("k", "n",
+          "round(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_r",
+          "round(ssb / (ssb + ssw), 6) AS eta2_r")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_mktsegment, CAST(c_acctbal * 100 AS HUGEINT) AS x
+        FROM customer),
+      g AS (
+        SELECT c_mktsegment, count(*) AS n_g, sum(x) AS s_g,
+               sum(x * x) AS q_g
+        FROM c GROUP BY 1),
+      g2 AS (
+        SELECT n_g, s_g, q_g,
+               CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 9)
+                 AS DECIMAL(38,9)) AS term
+        FROM g),
+      tot AS (
+        SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+               sum(s_g) AS s, sum(q_g) AS q, sum(term) AS t
+        FROM g2),
+      e AS (
+        SELECT k, n,
+               CAST(t AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+               CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw
+        FROM tot)
+      SELECT k, n,
+             round(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_r,
+             round(ssb / (ssb + ssw), 6) AS eta2_r
+      FROM e""")
+  )
+
   /** Deterministic masking / pseudonymization — the release transform
     * that pairs with the k-anonymity ([[kanon]]) and l-diversity
     * ([[lDiversity]]) audits: direct identifiers become keyed md5
@@ -3451,5 +3605,5 @@ object AnalyticsQueries extends QueryModule {
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
     corrMatrix, auc, decileLift, psi, ks, emd, survival,
     confusion, mutualInfo, targetEnc, calibration, lDiversity, masking,
-    stickiness)
+    stickiness, anova, cramersV)
 }

@@ -53,6 +53,28 @@ object EventStream {
       .withWatermark("ts", "2 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact DAU — the streaming twin of q_stickiness's daily
+    * active count: collapse to the FIRST event per (user, day) inside
+    * the watermark horizon (`dropDuplicatesWithinWatermark`, so dedup
+    * state is bounded by actives-per-day × allowed lateness, not by
+    * history), then a 1-day tumbling count. Exactly one row per
+    * user-day reaches the counter, so the windowed count IS the exact
+    * distinct-actives figure — no distinct-aggregation state and no
+    * sketch error; the trailing WAU/MAU ratios stay a batch rollup
+    * over these per-day outputs (the mergeability property the batch
+    * side proves for its sketches applies trivially to exact DAU).
+    */
+  def dailyActives(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .json(inputDir)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "2 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").cast("date").as("day"), col("dau"))
+
   /** Stream-static enrich — the dimension-lookup stage of every
     * streaming ingest (the streaming twin of
     * [[graft.transform.RefCoreQueries.lookupEnrich]]): join each

@@ -274,9 +274,14 @@ class PlanContractSpec extends AnyFunSuite {
                                // re-derived distinct+window subtrees reuse at
                                // runtime (AQE), degrees broadcast, TakeOrdered
     "q_masking" -> 1,          // pure md5/band projection + final sort
-    "q_stickiness" -> 5)       // ONE (user,day) distinct exchange + broadcast
+    "q_stickiness" -> 5,       // ONE (user,day) distinct exchange + broadcast
                                // day-dim fanout + Expand distinct agg (2) +
                                // the day-dim's own distinct + final sort
+    "q_anova" -> 2,            // ONE segment-keyed census exchange + the
+                               // single-row final agg; F is k-row arithmetic
+    "q_cramers_v" -> 4)        // cell census + marginal windows over the
+                               // ≤125-row cell table + Expand distinct agg
+                               // (the q_chisq/q_mutual_info shape)
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {

@@ -413,4 +413,58 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(nc >= 1 && nr >= nc, s"$band: $nc classes cannot hold $nr rows")
     }
   }
+
+  test("q_confusion: kappa and MCC match a sequential replica of the cell formulas") {
+    val r = AnalyticsQueries.confusion.run(spark, dir).collect().head
+    val (tp, fp, fn, tn) =
+      (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble)
+    val n = tp + fp + fn + tn
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    val kappa = (po - pe) / (1.0 - pe)
+    val mcc = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    val (kappaR, mccR) = (r.getDouble(8), r.getDouble(9))
+    assert(math.abs(kappaR - kappa) < 1e-6, s"$kappaR vs replica $kappa")
+    assert(math.abs(mccR - mcc) < 1e-6, s"$mccR vs replica $mcc")
+    assert(kappaR >= -1.0 && kappaR <= 1.0 && mccR >= -1.0 && mccR <= 1.0)
+    assert(math.abs(kappaR) <= math.abs(mccR) + 1e-6,
+      "for binary tables |kappa| cannot exceed |MCC|")
+  }
+
+  test("q_anova matches a sequential cents replica and bounds hold") {
+    val xs = graft.util.Tables.t(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("x"))
+      .as[(String, Long)].collect()
+    val groups = xs.groupBy(_._1).values.map(_.map(_._2.toDouble))
+    val n = xs.length.toDouble; val k = groups.size.toDouble
+    val grand = xs.map(_._2.toDouble).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val eta2 = ssb / (ssb + ssw)
+    val r = AnalyticsQueries.anova.run(spark, dir).collect().head
+    assert(r.getLong(0) === groups.size.toLong)
+    assert(math.abs(r.getDouble(2) - f) < 1e-4, s"${r.getDouble(2)} vs replica $f")
+    assert(math.abs(r.getDouble(3) - eta2) < 1e-6)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q_cramers_v: chi2 nonnegative, V in [0,1], dims match the census") {
+    val r = AnalyticsQueries.cramersV.run(spark, dir).collect().head
+    val (n, rr, c, chi2, v) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(math.abs(v - math.sqrt(chi2 / (n.toDouble * math.min(rr - 1, c - 1))))
+      < 1e-6, "V must be the normalized chi2 by definition")
+    val cells = graft.util.Tables.t(spark, dir, "customer")
+      .join(graft.util.Tables.t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(countDistinct(col("n_name")), countDistinct(col("c_mktsegment")))
+      .as[(Long, Long)].collect().head
+    assert((rr, c) === cells, "marginal dimensions must match the data")
+  }
 }

@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact DAU: replays and repeat events collapse to one per user-day") {
+    val dir = Files.createTempDirectory("dau_in").toString
+    Files.write(Paths.get(dir, "batch1.json"), Seq(
+      // user 1 three times on day 1 (incl. an exact event_id replay),
+      // user 2 once on day 1, user 1 again on day 2
+      """{"event_id":1,"ts":"2024-01-01T08:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":1,"ts":"2024-01-01T08:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T09:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T09:30:00.000Z","user_id":2,"event_type":"click","value":1.0}""",
+      """{"event_id":4,"ts":"2024-01-02T07:00:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.dailyActives(spark, dir)
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cast(day AS STRING) d, dau FROM dau ORDER BY d")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows === Array(("2024-01-01", 2L), ("2024-01-02", 1L)),
+        "two actives on day 1 (user 1 deduped), one on day 2")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich joins each micro-batch, keeps misses with default") {
     import spark.implicits._
     val dir = Files.createTempDirectory("enrich_in").toString

@@ -339,6 +339,48 @@ object CoreQueries extends QueryModule {
     },
     Some(Q21Text))
 
+  /** TPC-H Q17-shaped (small-quantity-order revenue) — the
+    * CORRELATED-SCALAR-AGGREGATE-ON-THE-SAME-FACT shape: "lines whose
+    * quantity is under 20% of the average quantity for their part".
+    * q_sql_corr decorrelates a scalar max over a DIFFERENT-role scan
+    * of the same table; here the subqueries aggregate the very fact
+    * being filtered, the pattern that melts a naive executor (one
+    * fact re-scan per probe row). The textbook form compares against
+    * `0.2 * avg(l_quantity)` in floating point; this text multiplies
+    * through instead — `5·qty·count < sum` — so the threshold
+    * comparison is exact BIGINT arithmetic on both engines (quantities
+    * are integral, Σqty per part < 2^53 at any SF), with TWO correlated
+    * scalar subqueries (count and sum) over the same correlation key.
+    * Catalyst's RewriteCorrelatedScalarSubquery merges both into ONE
+    * per-part aggregate + equi-join on l_partkey (plan-contract
+    * pinned: no Subquery node survives), so at 100 TB the fact is
+    * scanned twice total (probe + aggregate), never per-row; the
+    * selective part filter broadcasts into the probe side. Revenue
+    * routes through DECIMAL(18,2) (the q_sql_q5 idiom) for an exact
+    * sum; /7 mirrors Q17's avg_yearly.
+    */
+  private val Q17Text = """
+      SELECT CAST(count(*) AS BIGINT) AS n_small,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / 7e0, 6) AS avg_yearly_r
+      FROM lineitem l1
+      JOIN part ON p_partkey = l1.l_partkey
+      WHERE p_brand = 'Brand#4' AND p_size < 10
+        AND CAST(l1.l_quantity AS BIGINT) * 5 *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT CAST(sum(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)"""
+
+  val sqlQ17 = Q(
+    "q_sql_q17",
+    (s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q17Text)
+    },
+    Some(Q17Text))
+
   override def all: Seq[Q] =
-    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21)
+    Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21,
+      sqlQ17)
 }

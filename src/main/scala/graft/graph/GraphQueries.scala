@@ -411,6 +411,78 @@ object GraphQueries extends QueryModule {
       FROM j ORDER BY jaccard_r DESC, s1, s2 LIMIT 20""")
   )
 
+  /** k-core decomposition (k = 20, 3 synchronous peeling rounds) on
+    * the undirected co-purchase graph — the degeneracy peel that
+    * separates a graph's dense backbone from its fringe (community
+    * seeding, spam-farm detection, influencer cores). Each round keeps
+    * the vertices whose CURRENT degree is ≥ k, restricts the edge list
+    * to surviving endpoints, and reports (round, nodes, directed
+    * edges); removal cascades because dropping a fringe vertex starves
+    * its neighbors' degrees (the sf0.001 corpus exercises exactly this:
+    * low-degree part vertices fall in round 1, which empties the
+    * supplier side by round 2).
+    *
+    * Scale shape: pure Pregel-as-dataflow like [[pagerank]] — per
+    * round ONE degree aggregation keyed on vertex plus two semi-joins
+    * (edge endpoint ⋉ survivors), all hash-partitioned on node id; no
+    * adjacency matrix, no driver-side graph state, and the survivor
+    * frame is node-sized (never edge-sized). Loop state is lazily
+    * localCheckpoint-truncated each round (the [[pagerank]] idiom), so
+    * per-round work is constant instead of re-executing round k−1
+    * inside round k. Production runs the same round body to a
+    * fixpoint (converged when no vertex drops); 3 fixed rounds keep
+    * the oracle expressible as nested SQL on both engines.
+    */
+  /** The peel loop behind [[kcore]], on an already-symmetrized edge
+    * list — package-private so the spec can drive it over a planted
+    * chain+clique graph where the cascade is known in closed form. */
+  private[graph] def peel(sym: DataFrame, k: Int, nRounds: Int): DataFrame = {
+    var edges = sym.localCheckpoint(false)
+    val rounds = (1 to nRounds).map { i =>
+      val v = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+        .localCheckpoint(false)
+      edges = edges.join(v, Seq("a"), "left_semi")
+        .join(v.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      v.groupBy().agg(count(lit(1)).as("nodes"))
+        .crossJoin(edges.groupBy().agg(count(lit(1)).as("edges_dir")))
+        .select(lit(i.toLong).as("round"), col("nodes"), col("edges_dir"))
+    }
+    rounds.reduce(_ union _).orderBy(col("round"))
+  }
+
+  val kcore = Q(
+    "q_kcore",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      peel(e0.union(e0.select(col("b").as("a"), col("a").as("b"))), 20, 3)
+    },
+    Some(s"""
+      WITH $coPurchaseEdgesSql,
+      edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      d1 AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+      v1 AS (SELECT a FROM d1 WHERE deg >= 20),
+      e1 AS (SELECT e.a, e.b FROM edges e
+             WHERE e.a IN (SELECT a FROM v1) AND e.b IN (SELECT a FROM v1)),
+      d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+      v2 AS (SELECT a FROM d2 WHERE deg >= 20),
+      e2 AS (SELECT e.a, e.b FROM e1 e
+             WHERE e.a IN (SELECT a FROM v2) AND e.b IN (SELECT a FROM v2)),
+      d3 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+      v3 AS (SELECT a FROM d3 WHERE deg >= 20),
+      e3 AS (SELECT e.a, e.b FROM e2 e
+             WHERE e.a IN (SELECT a FROM v3) AND e.b IN (SELECT a FROM v3))
+      SELECT CAST(1 AS BIGINT) AS round, (SELECT count(*) FROM v1) AS nodes,
+             (SELECT count(*) FROM e1) AS edges_dir
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM v2), (SELECT count(*) FROM e2)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM v3), (SELECT count(*) FROM e3)
+      ORDER BY round""")
+  )
+
   override def all: Seq[Q] =
-    Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict)
+    Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict, kcore)
 }

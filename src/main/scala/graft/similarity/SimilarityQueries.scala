@@ -2023,11 +2023,86 @@ object SimilarityQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY actual, predicted""")
   )
 
+  /** Reciprocal-rank fusion — the hybrid-retrieval merge every
+    * RAG/search stack runs: fuse the keyword ranking (BM25, the exact
+    * [[graft.text.TextQueries.bm25Scored]] scores) with the dense
+    * ranking (cosine against probe vector 0 over [[normEmb]]) as
+    * RRF(d) = Σ_lists 1/(60 + rank_d); docs ranked by only one
+    * modality contribute that single term (the standard treatment).
+    * doc_id and vec_id share the 0..N−1 id space by construction
+    * (TESTDATA.md), which is exactly how a production corpus keys its
+    * text and embedding stores.
+    *
+    * Scale shape: each modality reduces to its top-50 FIRST via
+    * TakeOrdered (distributed k-row heaps — no global sort, no score
+    * shuffle), so ranks are assigned by a row_number over a ≤50-row
+    * bounded frame (the documented bounded-window class) and the
+    * fusion join touches ≤100 rows total — driver-free, broadcast-
+    * sized regardless of corpus size. Determinism: ranks are integers
+    * with doc-id tie-breaks; each RRF term is 1/(60+rank) in IEEE
+    * DOUBLE with fixed two-term addition order (textually identical on
+    * both engines), rounded to 9 dp.
+    */
+  val rrf = Q(
+    "q_rrf",
+    (s, dir) => {
+      val wK = Window.orderBy(col("score_r").desc, col("doc_id"))
+      val kw = graft.text.TextQueries.bm25Scored(s, dir)
+        .orderBy(col("score_r").desc, col("doc_id")).limit(50)
+        .withColumn("rk", row_number().over(wK).cast(LongType))
+        .select(col("doc_id"), col("rk"))
+      val emb = normEmb(s, dir)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val wD = Window.orderBy(col("sim").desc, col("vec_id"))
+      val dense = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("sim", expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
+        .orderBy(col("sim").desc, col("vec_id")).limit(50)
+        .withColumn("rd", row_number().over(wD).cast(LongType))
+        .select(col("vec_id"), col("rd"))
+      kw.join(dense, kw("doc_id") === dense("vec_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("vec_id")).as("id"),
+          col("rk"), col("rd"))
+        .selectExpr("id", "rk", "rd",
+          """round(coalesce(1e0 / (60 + rk), 0e0)
+             + coalesce(1e0 / (60 + rd), 0e0), 9) AS rrf_r""")
+        .orderBy(col("rrf_r").desc, col("id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH ${graft.text.TextQueries.bm25ScoredSql},
+      kw AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+                            AS BIGINT) AS rk
+        FROM (SELECT * FROM sc ORDER BY score_r DESC, doc_id LIMIT 50)),
+      ${normEmbSql.trim},
+      probe AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+      scored AS (
+        SELECT n.vec_id,
+               list_sum(list_transform(list_zip(n.v, probe.qv),
+                 z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (n.nrm * probe.qnrm) AS sim
+        FROM n CROSS JOIN probe WHERE n.vec_id != 0),
+      dense AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                            AS BIGINT) AS rd
+        FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 50)),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, dense.vec_id) AS id, rk, rd,
+               round(COALESCE(1e0 / (60 + rk), 0e0)
+                 + COALESCE(1e0 / (60 + rd), 0e0), 9) AS rrf_r
+        FROM kw FULL OUTER JOIN dense ON kw.doc_id = dense.vec_id)
+      SELECT id, rk, rd, rrf_r
+      FROM fused ORDER BY rrf_r DESC, id LIMIT 10""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, editDist,
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
-      clusterIncremental, annRecall)
+      clusterIncremental, annRecall, rrf)
 }

@@ -1512,9 +1512,11 @@ object TextQueries extends QueryModule {
     * q_entropy idiom), so partial-aggregation order cannot perturb the
     * 6 dp-rounded score; rank ties resolve by doc_id on both engines.
     */
-  val bm25 = Q(
-    "q_bm25",
-    (s, dir) => {
+  /** The scored-docs frame behind [[bm25]] (doc_id, n_match, score_r),
+    * pre-top-k — package-private so the rank-fusion query
+    * (SimilarityQueries.rrf) ranks the SAME keyword scores the
+    * standalone query serves. */
+  private[graft] def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val tf = t(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -1546,11 +1548,11 @@ object TextQueries extends QueryModule {
         // per-term grid makes common
         .select(col("doc_id"), col("n_match"),
           round(col("s"), 6).cast("double").as("score_r"))
-        .orderBy(col("score_r").desc, col("doc_id"))
-        .limit(10)
-    },
-    Some("""
-      WITH tok AS (
+  }
+
+  /** Oracle twin of [[bm25Scored]]: CTE chain ending in
+    * `sc(doc_id, n_match, score_r)`. */
+  private[graft] val bm25ScoredSql = """tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
@@ -1567,7 +1569,15 @@ object TextQueries extends QueryModule {
       sc AS (
         SELECT doc_id, count(*) AS n_match,
                CAST(round(sum(term_s), 6) AS DOUBLE) AS score_r
-        FROM c GROUP BY 1)
+        FROM c GROUP BY 1)"""
+
+  val bm25 = Q(
+    "q_bm25",
+    (s, dir) => bm25Scored(s, dir)
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(10),
+    Some(s"""
+      WITH $bm25ScoredSql
       SELECT doc_id, n_match, score_r
       FROM sc ORDER BY score_r DESC, doc_id LIMIT 10""")
   )

@@ -279,9 +279,22 @@ class PlanContractSpec extends AnyFunSuite {
                                // the day-dim's own distinct + final sort
     "q_anova" -> 2,            // ONE segment-keyed census exchange + the
                                // single-row final agg; F is k-row arithmetic
-    "q_cramers_v" -> 4)        // cell census + marginal windows over the
+    "q_cramers_v" -> 4,        // cell census + marginal windows over the
                                // ≤125-row cell table + Expand distinct agg
                                // (the q_chisq/q_mutual_info shape)
+    "q_sql_q17" -> 3,          // decorrelated: probe-side l_partkey exchange +
+                               // ONE merged per-part count+sum aggregate joined
+                               // back on the key + single-row final agg (part
+                               // dim broadcasts into the probe)
+    "q_kcore" -> 6,            // checkpoint-truncated rounds (the q_pagerank
+                               // idiom): per round only the two single-row
+                               // node/edge count aggs surface in the static
+                               // plan (3 rounds x 2); the 3-row sort rides
+    "q_rrf" -> 5)              // keyword side reuses bm25's (doc,term) agg +
+                               // doc-length window exchange pair and its df
+                               // census; both modality top-50s are TakeOrdered
+                               // (no sort exchange); the <=100-row fusion join
+                               // and final top-10 ride broadcast/single frames
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
@@ -299,6 +312,18 @@ class PlanContractSpec extends AnyFunSuite {
     val plan = planOf("q_sql_corr")
     assert(!plan.contains("Subquery"),
       s"scalar subquery survived decorrelation\n$plan")
+    assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
+  }
+
+  test("q_sql_q17: both correlated scalar aggregates decorrelate into per-part joins") {
+    // RewriteCorrelatedScalarSubquery must turn the count and sum
+    // subqueries (both correlated on l_partkey over the SAME fact
+    // being probed) into per-part aggregates joined back on the key; a
+    // surviving physical subquery would re-scan lineitem once per
+    // probe row — the shape 100 TB forbids.
+    val plan = planOf("q_sql_q17")
+    assert(!plan.contains("Subquery"),
+      s"correlated scalar aggregate survived decorrelation\n$plan")
     assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
   }
 

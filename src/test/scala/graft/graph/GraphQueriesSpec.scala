@@ -192,4 +192,30 @@ class GraphQueriesSpec extends AnyFunSuite {
     // every community label is itself a node id from the graph's domain
     assert(out.forall { case (c, n) => c >= 0 && n > 0 })
   }
+
+  test("k-core peel: planted chain sheds one vertex per round, clique survives") {
+    // Graph = a 4-clique (every degree 3) + a 4-vertex path hanging off
+    // it (10-11-12-13, vertex 10 attached to clique vertex 0). At k=2
+    // the path's free end (13, degree 1) falls in round 1, starving 12
+    // to degree 1, which falls in round 2, then 11 in round 3 — the
+    // cascade in closed form — while the clique (and the attachment
+    // vertex while its neighbors last) never drops below degree 2.
+    val cliq = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
+    val path = Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val sym = (cliq ++ path ++ path.map(_.swap)).toDF("a", "b")
+    val out = GraphQueries.peel(sym, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round 1: 13 (deg 1) drops -> 7 nodes; edges lose (12,13) both ways
+    // round 2: 12 drops -> 6 nodes; round 3: 11 drops -> 5 nodes
+    assert(out === Array((1L, 7L, 18L), (2L, 6L, 16L), (3L, 5L, 14L)),
+      s"cascade mismatch: ${out.mkString(",")}")
+  }
+
+  test("q_kcore: rounds are monotonically non-increasing and end consistent") {
+    val out = GraphQueries.kcore.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1) === Array(1L, 2L, 3L))
+    assert(out.sliding(2).forall { case Array(p, n) =>
+      n._2 <= p._2 && n._3 <= p._3 }, "peeling can never grow the graph")
+  }
 }

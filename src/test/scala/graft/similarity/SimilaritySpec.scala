@@ -434,4 +434,26 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSet
     assert(out.map(r => (r._1, r._2, r._3)).toSet === confusion)
   }
+
+  test("q_rrf: fused scores are exactly the sum of the per-modality RRF terms") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.rrf.run(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rk = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rk.isDefined || rd.isDefined,
+        "a fused doc must come from at least one modality")
+      val expect = rk.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        rd.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      val got = r.getDouble(3)
+      assert(math.abs(got - expect) < 1e-8, s"id ${r.getLong(0)}: $got vs $expect")
+      // bounds: one rank-1 list gives 1/61; both rank-1 gives 2/61
+      assert(got > 0.0 && got <= 2.0 / 61 + 1e-12)
+    }
+    // descending fused order with id tie-break
+    val scores = out.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(scores.sliding(2).forall { case Array(p, n) =>
+      p._1 > n._1 || (p._1 == n._1 && p._2 < n._2) })
+  }
 }

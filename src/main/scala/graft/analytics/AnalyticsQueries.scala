@@ -3592,6 +3592,59 @@ object AnalyticsQueries extends QueryModule {
       FROM customer ORDER BY key_token""")
   )
 
+  /** Differentially-private histogram release — the noisy census that
+    * completes the governance quartet (k-anonymity audit, l-diversity
+    * audit, masking transform, DP release): per-nation customer counts
+    * + Laplace(b = 1/ε, ε = 1) noise via the inverse CDF,
+    * X = −b·sgn(u−½)·ln(1−2|u−½|). Count queries have sensitivity 1,
+    * so ε = 1 gives the textbook (1,0)-DP release.
+    *
+    * Determinism: u ∈ (0,1) comes from the same exact 31-bit Lehmer
+    * hash as q_weighted_sample, seeded by the group's stable integer
+    * key — every product stays under 2^62, u is never exactly 0, ½ or
+    * 1, and the noise expression is ONE textually identical IEEE chain
+    * on both engines (sgn as CASE; |u−½| < ½ keeps the ln argument
+    * positive), rounded to 9 dp. Production swaps the keyed hash for a
+    * salted 128-bit digest the curator keeps secret — the hash IS the
+    * noise draw, so a per-release salt re-randomizes it; same plan.
+    * Scale shape: ONE nation-keyed census (map-side partials, 25
+    * groups) + a per-group scalar expression + the 25-row sort —
+    * noise generation adds ZERO shuffles and no driver round-trip.
+    * The true count rides along for the oracle compare and the spec's
+    * noise-bound assert; a production release projects it away.
+    */
+  val dpRelease = Q(
+    "q_dp_release",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("n_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("n_name", "n",
+          "((n_nationkey % 2147483647) * 2654435761) % 2147483647 AS h")
+        .selectExpr("n_name", "n", "(h + 1) / 2147483648e0 AS u")
+        .selectExpr("n_name", "n",
+          """round(n + (CASE WHEN u < 5e-1 THEN 1e0 ELSE -1e0 END)
+             * ln(1e0 - 2e0 * abs(u - 5e-1)), 9) AS noisy_r""")
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH census AS (
+        SELECT n_name, n_nationkey, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      draw AS (
+        SELECT n_name, n,
+               (((n_nationkey % 2147483647) * 2654435761) % 2147483647 + 1)
+                 / 2147483648e0 AS u
+        FROM census)
+      SELECT n_name, n,
+             round(n + (CASE WHEN u < 5e-1 THEN 1e0 ELSE -1e0 END)
+               * ln(1e0 - 2e0 * abs(u - 5e-1)), 9) AS noisy_r
+      FROM draw ORDER BY n_name""")
+  )
+
   override def all: Seq[Q] = Seq(
     distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
@@ -3605,5 +3658,5 @@ object AnalyticsQueries extends QueryModule {
     windowDist, benford, gini, linreg, setOpsAll, dqRules, kanon, chisq, ltv,
     corrMatrix, auc, decileLift, psi, ks, emd, survival,
     confusion, mutualInfo, targetEnc, calibration, lDiversity, masking,
-    stickiness, anova, cramersV)
+    stickiness, anova, cramersV, dpRelease)
 }

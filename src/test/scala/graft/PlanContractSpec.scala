@@ -290,6 +290,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // idiom): per round only the two single-row
                                // node/edge count aggs surface in the static
                                // plan (3 rounds x 2); the 3-row sort rides
+    "q_dp_release" -> 2,       // ONE nation-keyed census exchange + the 25-row
+                               // sort; the Laplace draw is a per-group scalar
+                               // expression, zero extra shuffles
     "q_rrf" -> 5)              // keyword side reuses bm25's (doc,term) agg +
                                // doc-length window exchange pair and its df
                                // census; both modality top-50s are TakeOrdered

@@ -452,6 +452,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_dp_release: noise matches the sequential Laplace inverse-CDF replica") {
+    val rows = AnalyticsQueries.dpRelease.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val exact = graft.util.Tables.t(spark, dir, "customer")
+      .join(graft.util.Tables.t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("n_nationkey")).count()
+      .as[(String, Int, Long)].collect()
+      .map { case (nm, k, n) => nm -> (k, n) }.toMap
+    var sawNoise = false
+    rows.foreach { r =>
+      val (nm, n, noisy) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val (key, trueN) = exact(nm)
+      assert(n === trueN, s"$nm: census count drifted")
+      val h = ((key.toLong % 2147483647L) * 2654435761L) % 2147483647L
+      val u = (h + 1).toDouble / 2147483648.0
+      val noise = (if (u < 0.5) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(math.abs(noisy - (n + noise)) < 1e-6, s"$nm: $noisy vs ${n + noise}")
+      // b=1 noise from a 31-bit grid is bounded by ln(2^31) ~ 21.5
+      assert(math.abs(noisy - n) <= 22.0, s"$nm: noise ${noisy - n} out of bound")
+      if (math.abs(noisy - n) > 1e-9) sawNoise = true
+    }
+    assert(sawNoise, "every group drew exactly zero noise - draw is broken")
+  }
+
   test("q_cramers_v: chi2 nonnegative, V in [0,1], dims match the census") {
     val r = AnalyticsQueries.cramersV.run(spark, dir).collect().head
     val (n, rr, c, chi2, v) = (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -2098,11 +2098,99 @@ object SimilarityQueries extends QueryModule {
       FROM fused ORDER BY rrf_r DESC, id LIMIT 10""")
   )
 
+  /** NDCG@10 — the ranking-quality metric that completes the
+    * retrieval-eval triad (q_ann_recall: candidate recall; q_rrf:
+    * fusion; here: graded ranking quality). Relevance is binary —
+    * a retrieved vector is relevant iff it carries the probe's label —
+    * over the exact top-10 cosine ranking ([[bruteTopK]], probes
+    * 0–4): DCG = Σ rel_i/log2(i+1), IDCG from the ideal prefix
+    * min(R, 10) where R = corpus count of the probe's label (minus
+    * the probe), NDCG = DCG/IDCG.
+    *
+    * Scale shape: the ranked frame is the shared top-k plan (per-probe
+    * 10-row output); labels join broadcast; R comes from the ≤8-row
+    * label census broadcast back; the ideal-prefix sum joins a 10-row
+    * literal rank spine — everything after the top-k is
+    * constant-sized. Determinism: both DCG and IDCG sum 9-dp-rounded
+    * terms in DECIMAL (the q_entropy idiom — 10-term float sums would
+    * otherwise depend on aggregation order), and log2 is the same
+    * IEEE call on both engines; final metrics round to 6 dp.
+    */
+  val ndcg = Q(
+    "q_ndcg",
+    (s, dir) => {
+      val labels = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val probeLabel = labels.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+      val census = labels.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      val rel = bruteTopK(s, dir, 10)
+        .join(broadcast(labels), Seq("vec_id"))
+        .join(broadcast(probeLabel), Seq("q_id"))
+        .selectExpr("q_id", "qlabel", "rn",
+          "CASE WHEN label = qlabel THEN 1e0 ELSE 0e0 END AS rel")
+      val dcg = rel.groupBy(col("q_id"), col("qlabel"))
+        .agg(
+          sum(col("rel")).cast(LongType).as("n_rel10"),
+          sum(expr("CAST(round(rel / log2(rn + 1e0), 9) AS DECIMAL(28,9))"))
+            .as("dcg"))
+        .join(broadcast(census), col("qlabel") === col("label"))
+        // R excludes the probe itself (it never appears in its own ranking)
+        .selectExpr("q_id", "n_rel10", "dcg", "cnt - 1 AS r")
+      val spine = s.range(1).selectExpr("explode(sequence(1, 10)) AS i")
+      dcg.join(broadcast(spine), col("i") <= least(col("r"), lit(10)))
+        .groupBy(col("q_id"), col("n_rel10"), col("dcg"))
+        .agg(sum(expr("CAST(round(1e0 / log2(i + 1e0), 9) AS DECIMAL(28,9))"))
+          .as("idcg"))
+        .selectExpr("q_id", "n_rel10",
+          "CAST(round(dcg, 6) AS DOUBLE) AS dcg_r",
+          "CAST(round(dcg / idcg, 6) AS DOUBLE) AS ndcg_r")
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH $normEmbSql,
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+      p AS (
+        SELECT n.vec_id, q.q_id,
+               list_sum(list_transform(list_zip(n.v, q.qv),
+                                       z -> struct_extract(z, 1) * struct_extract(z, 2)))
+                 / (n.nrm * q.qnrm) AS sim
+        FROM n CROSS JOIN q WHERE n.vec_id != q.q_id),
+      tk AS (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM p QUALIFY rn <= 10),
+      lbl AS (SELECT vec_id, label FROM embeddings),
+      pl AS (SELECT vec_id AS q_id, label AS qlabel FROM lbl WHERE vec_id < 5),
+      census AS (SELECT label, count(*) AS cnt FROM lbl GROUP BY 1),
+      rel AS (
+        SELECT tk.q_id, pl.qlabel, tk.rn,
+               CASE WHEN lbl.label = pl.qlabel THEN 1e0 ELSE 0e0 END AS rel
+        FROM tk JOIN lbl USING (vec_id) JOIN pl USING (q_id)),
+      d AS (
+        SELECT q_id, qlabel,
+               CAST(sum(rel) AS BIGINT) AS n_rel10,
+               sum(CAST(round(rel / log2(rn + 1e0), 9) AS DECIMAL(28,9))) AS dcg
+        FROM rel GROUP BY 1, 2),
+      dr AS (
+        SELECT q_id, n_rel10, dcg, census.cnt - 1 AS r
+        FROM d JOIN census ON d.qlabel = census.label),
+      ideal AS (
+        SELECT dr.q_id, dr.n_rel10, dr.dcg,
+               sum(CAST(round(1e0 / log2(i + 1e0), 9) AS DECIMAL(28,9))) AS idcg
+        FROM dr JOIN (SELECT unnest(generate_series(1, 10)) AS i) spine
+          ON i <= least(dr.r, 10)
+        GROUP BY 1, 2, 3)
+      SELECT q_id, n_rel10,
+             CAST(round(dcg, 6) AS DOUBLE) AS dcg_r,
+             CAST(round(dcg / idcg, 6) AS DOUBLE) AS ndcg_r
+      FROM ideal ORDER BY q_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, editDist,
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
-      clusterIncremental, annRecall, rrf)
+      clusterIncremental, annRecall, rrf, ndcg)
 }

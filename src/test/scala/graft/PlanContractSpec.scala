@@ -290,6 +290,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // idiom): per round only the two single-row
                                // node/edge count aggs surface in the static
                                // plan (3 rounds x 2); the 3-row sort rides
+    "q_ndcg" -> 3,             // the shared brute top-k window exchange + the
+                               // label census agg + per-probe DCG agg; the
+                               // 10-row spine and 5-row frames ride broadcasts
     "q_dp_release" -> 2,       // ONE nation-keyed census exchange + the 25-row
                                // sort; the Laplace draw is a per-group scalar
                                // expression, zero extra shuffles

@@ -456,4 +456,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scores.sliding(2).forall { case Array(p, n) =>
       p._1 > n._1 || (p._1 == n._1 && p._2 < n._2) })
   }
+
+  test("q_ndcg matches a sequential replica over the exact top-10 ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val classCnt = labels.values.groupBy(identity).map { case (l, g) => l -> g.size }
+    val ranked = SimilarityQueries.cosineTopK.run(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rn")).as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    val out = SimilarityQueries.ndcg.run(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (q, nRel, dcgR, ndcgR) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val ql = labels(q)
+      val rels = ranked(q).sortBy(_._3)
+        .map { case (_, v, _) => if (labels(v) == ql) 1.0 else 0.0 }
+      assert(nRel === rels.sum.toLong)
+      val dcg = rels.zipWithIndex
+        .map { case (rel, i) => rel / (math.log(i + 2) / math.log(2)) }.sum
+      val rTotal = classCnt(ql) - 1
+      val idcg = (1 to math.min(rTotal, 10))
+        .map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      assert(math.abs(dcgR - dcg) < 1e-6, s"probe $q: dcg $dcgR vs $dcg")
+      assert(math.abs(ndcgR - dcg / idcg) < 1e-6, s"probe $q: ndcg")
+      assert(ndcgR >= 0.0 && ndcgR <= 1.0 + 1e-12)
+    }
+  }
 }

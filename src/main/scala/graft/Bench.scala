@@ -141,6 +141,39 @@ object Bench {
             s"selected queries — these are NOT gated: ${missing.mkString(", ")}")
       base
     }
+    // Retry-confirm reference: the explicit baseline if given, else the
+    // committed bench_local.json beside the build. Every round a driver
+    // one-shot flagged a >2x that min-of-3 later cleared (r05 x2, r09
+    // q_pagerank at 2.26x vs 1.21x isolated); wiring the committed
+    // budget in as the DEFAULT retry reference makes the bench
+    // self-correcting — a mid-run spike gets an isolated re-time and
+    // the min is what's reported — without changing the exit-code
+    // contract (the regression GATE below still fires only when
+    // SPARK_GRAFT_BENCH_BASELINE is explicitly set).
+    val retryRef = baseOpt.orElse {
+      val f = new java.io.File("bench_local.json")
+      if (f.exists) Some(loadBaseline(f.getPath)).filter(_.nonEmpty) else None
+    }
+    // Warm-up beyond the per-query one: execute the historically
+    // slowest selected queries once before ANY timing, so the first
+    // heavy queries of the run don't pay one-time JVM/codegen/IO-cache
+    // costs that read as regressions (r09 driver flag). Bounded to 3
+    // queries and logged; a missing reference file just skips it.
+    retryRef.foreach { ref =>
+      val warm = selected.filter { case (n, _) => ref.getOrElse(n, 0.0) > 0 }
+        .sortBy { case (n, _) => -ref(n) }.take(3)
+      warm.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          force(fn(spark, sfDir))
+          System.err.println(
+            f"[bench] WARMUP $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } catch {
+          case e: Throwable => // timing pass reports the real failure
+            System.err.println(s"[bench] WARMUP $name failed: ${e.getMessage}")
+        }
+      }
+    }
     def time(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       force(fn(spark, sfDir)) // warm-up: plan + JIT + page cache
@@ -166,7 +199,7 @@ object Bench {
     // suspects immediately and take the min — a REAL plan regression
     // reproduces under isolation; noise does not. The confirmed numbers
     // are also what's recorded, so the next round's baseline is cleaner.
-    val results = baseOpt.fold(firstPass) { base =>
+    val results = retryRef.fold(firstPass) { base =>
       val suspects = regressions(firstPass, base).map(_._1).toSet
       firstPass.map { case (name, t) =>
         if (!suspects.contains(name) || t < 0) name -> t

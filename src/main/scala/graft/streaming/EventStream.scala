@@ -54,26 +54,71 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming exact DAU — the streaming twin of q_stickiness's daily
-    * active count: collapse to the FIRST event per (user, day) inside
-    * the watermark horizon (`dropDuplicatesWithinWatermark`, so dedup
-    * state is bounded by actives-per-day × allowed lateness, not by
-    * history), then a 1-day tumbling count. Exactly one row per
-    * user-day reaches the counter, so the windowed count IS the exact
-    * distinct-actives figure — no distinct-aggregation state and no
-    * sketch error; the trailing WAU/MAU ratios stay a batch rollup
-    * over these per-day outputs (the mergeability property the batch
-    * side proves for its sketches applies trivially to exact DAU).
+    * active count: collapse to the FIRST event per (user, day), then a
+    * 1-day tumbling count. Exactly one row per user-day reaches the
+    * counter, so the windowed count IS the exact distinct-actives
+    * figure — no distinct-aggregation state and no sketch error; the
+    * trailing WAU/MAU ratios stay a batch rollup over these per-day
+    * outputs (the mergeability property the batch side proves for its
+    * sketches applies trivially to exact DAU).
+    *
+    * The dedup horizon is sized to the KEY'S NATURAL DWELL, not to the
+    * lateness tolerance: `dropDuplicatesWithinWatermark` evicts a
+    * (user, day) entry once the watermark passes its timestamp plus
+    * the delay, so a 2-minute delay would forget a morning-active user
+    * by afternoon and re-count them (exactness would hold only for
+    * per-user event gaps ≤ the delay). Two same-day events are at most
+    * 24h apart in event time, so a 25-hour delay keeps every user-day
+    * key alive until the day can no longer recur — the day itself plus
+    * an hour of lateness. State is therefore bounded by TWO days of
+    * distinct actives (yesterday's keys draining while today's fill),
+    * independent of stream length; the cost is that a day's count
+    * finalizes ~25h of event time after it closes, which is inherent
+    * to exact end-of-day figures (preliminary intraday counts come
+    * from update-mode sinks, not from loosening the horizon).
     */
   def dailyActives(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream
       .schema(eventSchema)
       .json(inputDir)
       .withColumn("day", to_date(col("ts")))
-      .withWatermark("ts", "2 minutes")
+      .withWatermark("ts", "25 hours")
       .dropDuplicatesWithinWatermark("user_id", "day")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("dau"))
       .select(col("window.start").cast("date").as("day"), col("dau"))
+
+  /** Native session windows — the built-in twin of
+    * [[StatefulSessionizer]]: group each user's events into sessions
+    * separated by a `gap` of inactivity using `session_window`, which
+    * MERGES windows as events arrive (two events 3 minutes apart under
+    * a 5-minute gap become one session spanning both) — the dynamic
+    * window shape tumbling windows can't express. Sessions finalize
+    * when the watermark passes the session end + gap, i.e. when no
+    * event can still extend them.
+    *
+    * Bounded state: open-session state is keyed (user_id, window) and
+    * evicted at watermark, so it is bounded by concurrently-active
+    * users × (gap + allowed lateness) of event time — never by stream
+    * length. Prefer this over the custom
+    * `flatMapGroupsWithState` sessionizer wherever plain
+    * gap-sessionization is the requirement; the custom operator earns
+    * its state management only for semantics `session_window` lacks
+    * (per-event session ids mid-session, custom timeout actions).
+    */
+  def sessionWindows(spark: SparkSession, inputDir: String,
+      gap: String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .json(inputDir)
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
 
   /** Stream-static enrich — the dimension-lookup stage of every
     * streaming ingest (the streaming twin of

@@ -7,28 +7,34 @@ import graft.TestSpark
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("built-in session_window groups events by inactivity gap") {
-    import org.apache.spark.sql.functions._
+  test("native session windows merge events within the gap and finalize at the watermark") {
     val dir = Files.createTempDirectory("sessw_in").toString
     Files.write(Paths.get(dir, "b1.json"), Seq(
       """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
-      """{"event_id":2,"ts":"2024-01-01T10:03:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
-      """{"event_id":3,"ts":"2024-01-01T12:00:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+      """{"event_id":2,"ts":"2024-01-01T10:03:00.000Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T12:00:00.000Z","user_id":1,"event_type":"click","value":4.0}""",
+      """{"event_id":4,"ts":"2024-01-01T10:01:00.000Z","user_id":2,"event_type":"view","value":8.0}"""
     ).mkString("\n").getBytes)
-    val q = spark.readStream.schema(EventStream.eventSchema).json(dir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), col("session_window.start").cast("string").as("s"), col("n"))
-      .writeStream.format("memory").queryName("sessw").outputMode("complete").start()
+    val q = EventStream.sessionWindows(spark, dir)
+      .writeStream.format("memory").queryName("sessw").outputMode("append").start()
     try {
       q.processAllAvailable()
-      val rows = spark.sql("SELECT user_id, s, n FROM sessw ORDER BY s")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      // events 1+2 merge (3-min gap < 5); event 3 is its own session
-      assert(rows.map(_._3).toSeq === Seq(2L, 1L))
-      assert(rows(0)._2.startsWith("2024-01-01 10:00:00"))
-      assert(rows(1)._2.startsWith("2024-01-01 12:00:00"))
+      // APPEND mode emits only watermark-finalized sessions: the max
+      // event time is 12:00, watermark 11:50, so both 10:0x sessions
+      // are closed (no event can extend them) while user 1's 12:00
+      // session is still open — bounded state means exactly this
+      // eviction is observable at the sink.
+      val rows = spark.sql(
+        "SELECT user_id, cast(s_start AS STRING) s, cast(s_end AS STRING) e, n_events, sum_value " +
+          "FROM sessw ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.length === 2, "only the two watermark-closed sessions emit in append mode")
+      // user 1: events 1+2 merge (3-min gap < 5-min); the session spans
+      // 10:00 → last event + gap = 10:08
+      assert(rows(0)._1 === 1L && rows(0)._2.startsWith("2024-01-01 10:00:00")
+        && rows(0)._3.startsWith("2024-01-01 10:08:00")
+        && rows(0)._4 === 2L && rows(0)._5 === 3.0)
+      assert(rows(1)._1 === 2L && rows(1)._4 === 1L && rows(1)._5 === 8.0)
     } finally q.stop()
   }
 
@@ -102,6 +108,36 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       assert(rows === Array(("2024-01-01", 2L), ("2024-01-02", 1L)),
         "two actives on day 1 (user 1 deduped), one on day 2")
+    } finally q.stop()
+  }
+
+  test("streaming DAU stays exact across micro-batches that advance the watermark") {
+    // The eviction-boundary case the single-batch test can't exercise:
+    // user 1 is active at 08:00, the stream's event time advances to
+    // 12:00 in the SAME day via another user, then user 1 re-appears at
+    // 15:00 in a LATER micro-batch. Under a lateness-sized dedup
+    // horizon (the old 2-minute watermark) user 1's (user, day) state
+    // would have been evicted by 12:00 and the 15:00 event re-counted
+    // (dau=3); the day-dwell-sized 25h horizon keeps the key alive so
+    // the count stays exact (dau=2).
+    val dir = Files.createTempDirectory("dau_evict").toString
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T08:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T12:00:00.000Z","user_id":2,"event_type":"view","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = EventStream.dailyActives(spark, dir)
+      .writeStream.format("memory").queryName("dau_evict")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable() // batch 1 sets the watermark from 12:00
+      Files.write(Paths.get(dir, "b2.json"), Seq(
+        """{"event_id":3,"ts":"2024-01-01T15:00:00.000Z","user_id":1,"event_type":"click","value":1.0}"""
+      ).mkString("\n").getBytes)
+      q.processAllAvailable() // batch 2: user 1 again, after state cleanup ran
+      val rows = spark.sql("SELECT cast(day AS STRING) d, dau FROM dau_evict ORDER BY d")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq === Seq(("2024-01-01", 2L)),
+        "user 1's afternoon return must NOT re-count once their morning state crossed a batch boundary")
     } finally q.stop()
   }
 

@@ -651,9 +651,18 @@ object AnalyticsQueries extends QueryModule {
     * cell-level query deliberately avoids becomes deterministic here
     * via the q_entropy idiom: each cell's (o−e)²/e is rounded to 9 dp
     * and summed in DECIMAL, so aggregation order cannot perturb it.
-    * Same scale shape as [[chisq]] / [[mutualInfo]]: one keyed cell
-    * aggregate, marginal windows over the ≤125-row cell table, a
-    * single-row final aggregate.
+    * The census is completed to the FULL r×c grid before the term sum
+    * (marginal-domain cross join, observed counts left-joined with
+    * o = 0): an empty cell contributes (0−e)²/e = e, which the
+    * observed-cells-only sum silently dropped — understating chi² and
+    * V on sparse tables (r09 advisor finding; this corpus occupies
+    * all 125 cells, so the completion is a semantics fix, not a
+    * value change). Domains come from the observed marginals, so
+    * all-zero rows/columns (e = 0, term 0/0) cannot arise. Same scale
+    * shape as [[chisq]] / [[mutualInfo]]: one keyed cell aggregate,
+    * then everything — the two distinct-domain frames, the broadcast
+    * grid completion, the marginal windows — is bounded by the ≤125-
+    * row cell table, never data-sized.
     */
   val cramersV = Q(
     "q_cramers_v",
@@ -663,10 +672,15 @@ object AnalyticsQueries extends QueryModule {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("o"))
+      val grid = obs.select(col("n_name")).distinct()
+        .crossJoin(broadcast(obs.select(col("c_mktsegment")).distinct()))
+      val full = grid.join(obs, Seq("n_name", "c_mktsegment"), "left")
+        .select(col("n_name"), col("c_mktsegment"),
+          coalesce(col("o"), lit(0L)).as("o"))
       val wr = Window.partitionBy(col("n_name"))
       val wc = Window.partitionBy(col("c_mktsegment"))
       val wAll = Window.partitionBy()
-      obs
+      full
         .withColumn("rt", sum(col("o")).over(wr))
         .withColumn("ct", sum(col("o")).over(wc))
         .withColumn("n", sum(col("o")).over(wAll))
@@ -690,12 +704,20 @@ object AnalyticsQueries extends QueryModule {
         SELECT n_name, c_mktsegment, count(*) AS o
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1, 2),
+      grid AS (
+        SELECT rr.n_name, cc.c_mktsegment
+        FROM (SELECT DISTINCT n_name FROM obs) rr
+        CROSS JOIN (SELECT DISTINCT c_mktsegment FROM obs) cc),
+      fullgrid AS (
+        SELECT g.n_name, g.c_mktsegment, COALESCE(ob.o, 0) AS o
+        FROM grid g LEFT JOIN obs ob
+          ON g.n_name = ob.n_name AND g.c_mktsegment = ob.c_mktsegment),
       m AS (
         SELECT n_name, c_mktsegment, o,
                sum(o) OVER (PARTITION BY n_name) AS rt,
                sum(o) OVER (PARTITION BY c_mktsegment) AS ct,
                sum(o) OVER () AS n
-        FROM obs),
+        FROM fullgrid),
       terms AS (
         SELECT n_name, c_mktsegment, n,
                CAST(round(pow(CAST(o AS DOUBLE)
@@ -3204,7 +3226,12 @@ object AnalyticsQueries extends QueryModule {
     * fixed-order IEEE divisions over those integers (identical
     * expression text on both engines — marginal products run in
     * DOUBLE, exact for any cell ≤ 2^53, and sqrt is IEEE
-    * correctly-rounded on both).
+    * correctly-rounded on both). Every metric guards its denominator
+    * with CASE WHEN ... = 0 THEN NULL (same text both engines): on a
+    * degenerate corpus (no predicted positives, pe = 1) Spark's
+    * non-ANSI division returns NULL while DuckDB's IEEE float ops
+    * yield inf/nan — the guard makes both sides produce the same
+    * NULLs instead of diverging exactly when a cell empties.
     * Scale shape: the label build is one orders aggregate whose ≥12
     * survivors are a small broadcast side; the scoring pass is a single
     * customer scan with map-side partial aggregation — two shuffles
@@ -3233,14 +3260,16 @@ object AnalyticsQueries extends QueryModule {
           """(CAST(tp + fp AS DOUBLE) * (tp + fn) + CAST(fn + tn AS DOUBLE) * (fp + tn))
              / (CAST(tp + fp + fn + tn AS DOUBLE) * (tp + fp + fn + tn)) AS pe""")
         .selectExpr("tp", "fp", "fn", "tn",
-          "round(po, 6) AS accuracy_r",
-          "round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r",
-          "round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r",
-          "round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r",
-          "round((po - pe) / (1e0 - pe), 6) AS kappa_r",
-          """round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
-             AS mcc_r""")
+          "CASE WHEN tp + fp + fn + tn = 0 THEN NULL ELSE round(po, 6) END AS accuracy_r",
+          "CASE WHEN tp + fp = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision_r",
+          "CASE WHEN tp + fn = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall_r",
+          "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1_r",
+          "CASE WHEN tp + fp + fn + tn = 0 OR pe = 1e0 THEN NULL ELSE round((po - pe) / (1e0 - pe), 6) END AS kappa_r",
+          """CASE WHEN CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn) = 0e0
+             THEN NULL
+             ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+               / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+             END AS mcc_r""")
     },
     Some("""
       WITH pos AS (
@@ -3263,14 +3292,16 @@ object AnalyticsQueries extends QueryModule {
                  / (CAST(tp + fp + fn + tn AS DOUBLE) * (tp + fp + fn + tn)) AS pe
         FROM m)
       SELECT tp, fp, fn, tn,
-             round(po, 6) AS accuracy_r,
-             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_r,
-             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_r,
-             round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1_r,
-             round((po - pe) / (1e0 - pe), 6) AS kappa_r,
-             round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             CASE WHEN tp + fp + fn + tn = 0 THEN NULL ELSE round(po, 6) END AS accuracy_r,
+             CASE WHEN tp + fp = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision_r,
+             CASE WHEN tp + fn = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall_r,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1_r,
+             CASE WHEN tp + fp + fn + tn = 0 OR pe = 1e0 THEN NULL ELSE round((po - pe) / (1e0 - pe), 6) END AS kappa_r,
+             CASE WHEN CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn) = 0e0
+             THEN NULL
+             ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
                / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
-               AS mcc_r
+             END AS mcc_r
       FROM m2""")
   )
 

@@ -380,7 +380,93 @@ object CoreQueries extends QueryModule {
     },
     Some(Q17Text))
 
+  /** TPC-H Q2-shaped (minimum-cost supplier) — the CORRELATED SCALAR
+    * OVER A DIFFERENT RELATION shape the front door lacked (r09
+    * verdict #6): q_sql_corr's subquery re-scans the OUTER table in
+    * another role; here the scalar min aggregates a different 4-table
+    * JOIN (the offer relation, restricted to the same region as the
+    * outer row's supplier chain), correlated on the outer part key.
+    * The synthetic schema has no partsupp, so lineitem plays the
+    * offer table (l_extendedprice as the supply cost) — same
+    * correlation structure, same rewrite. Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the per-part min into ONE
+    * region-filtered aggregate over the offer join + an equi-join
+    * back on l_partkey (plan-pinned: no Subquery node survives), so
+    * at 100 TB the offer relation is scanned twice total, never
+    * per-row; region/nation/supplier broadcast into both sides.
+    * Price equality compares the same stored DOUBLE on both engines
+    * (no arithmetic); DISTINCT collapses repeat min-price offers, so
+    * (p_partkey, s_name) uniquely keys the output and the ordered
+    * LIMIT is deterministic.
+    */
+  private val Q2Text = """
+      SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             l_extendedprice AS min_price
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 5 AND p_type = 'ECONOMY'
+        AND r_name = 'EUROPE'
+        AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                               JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                               JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                               WHERE r2.r_name = 'EUROPE'
+                                 AND l2.l_partkey = p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""
+
+  val sqlQ2 = Q(
+    "q_sql_q2",
+    (s, dir) => {
+      Seq("part", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q2Text)
+    },
+    Some(Q2Text))
+
+  /** TPC-H Q15-shaped (top supplier) — the AGGREGATE-VIEW / MAX-OF-AGG
+    * shape (r09 verdict #6): a revenue rollup defined once as a CTE
+    * (Q15's CREATE VIEW, minus the DDL) is consumed TWICE — once as
+    * the join input, once under an uncorrelated scalar max — and the
+    * filter keeps the supplier(s) achieving the maximum. Revenue stays
+    * DECIMAL through the sum AND the max-equality comparison (exact on
+    * both engines — a DOUBLE round-trip could split ties differently),
+    * casting to DOUBLE only in the output. The scalar max is
+    * UNCORRELATED, so it executes once and broadcasts as a literal
+    * into the filter — one supplier-keyed aggregate, no per-row work;
+    * at 100 TB the rollup is the only fact-sized stage and the
+    * ship-date window prunes the scan.
+    */
+  private val Q15Text = """
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                        AS DECIMAL(18,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier
+      JOIN revenue0 ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey"""
+
+  val sqlQ15 = Q(
+    "q_sql_q15",
+    (s, dir) => {
+      Seq("supplier", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q15Text)
+    },
+    Some(Q15Text))
+
   override def all: Seq[Q] =
     Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21,
-      sqlQ17)
+      sqlQ17, sqlQ2, sqlQ15)
 }

@@ -2114,7 +2114,10 @@ object SimilarityQueries extends QueryModule {
     * constant-sized. Determinism: both DCG and IDCG sum 9-dp-rounded
     * terms in DECIMAL (the q_entropy idiom — 10-term float sums would
     * otherwise depend on aggregation order), and log2 is the same
-    * IEEE call on both engines; final metrics round to 6 dp.
+    * IEEE call on both engines; final metrics round to 6 dp. A probe
+    * whose label class has no other member (empty ideal prefix) keeps
+    * its output row with NDCG NULL via the LEFT spine join — it never
+    * silently drops.
     */
   val ndcg = Q(
     "q_ndcg",
@@ -2137,7 +2140,12 @@ object SimilarityQueries extends QueryModule {
         // R excludes the probe itself (it never appears in its own ranking)
         .selectExpr("q_id", "n_rel10", "dcg", "cnt - 1 AS r")
       val spine = s.range(1).selectExpr("explode(sequence(1, 10)) AS i")
-      dcg.join(broadcast(spine), col("i") <= least(col("r"), lit(10)))
+      // LEFT join: a probe whose label class has no other member
+      // (r = 0, empty ideal prefix) must surface as one NULL-NDCG row,
+      // not vanish from the output (r09 advisor finding) — the single
+      // unmatched spine row carries i = NULL, so idcg sums to NULL and
+      // dcg/idcg propagates NULL identically on both engines.
+      dcg.join(broadcast(spine), col("i") <= least(col("r"), lit(10)), "left")
         .groupBy(col("q_id"), col("n_rel10"), col("dcg"))
         .agg(sum(expr("CAST(round(1e0 / log2(i + 1e0), 9) AS DECIMAL(28,9))"))
           .as("idcg"))
@@ -2177,7 +2185,7 @@ object SimilarityQueries extends QueryModule {
       ideal AS (
         SELECT dr.q_id, dr.n_rel10, dr.dcg,
                sum(CAST(round(1e0 / log2(i + 1e0), 9) AS DECIMAL(28,9))) AS idcg
-        FROM dr JOIN (SELECT unnest(generate_series(1, 10)) AS i) spine
+        FROM dr LEFT JOIN (SELECT unnest(generate_series(1, 10)) AS i) spine
           ON i <= least(dr.r, 10)
         GROUP BY 1, 2, 3)
       SELECT q_id, n_rel10,

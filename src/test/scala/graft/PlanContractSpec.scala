@@ -116,6 +116,13 @@ class PlanContractSpec extends AnyFunSuite {
                                // NO global ntile window
     "q_sql_q5" -> 2,           // 6-table join: dims broadcast, facts co-partition;
                                // one agg exchange + final sort
+    "q_sql_q2" -> 4,           // decorrelated per-part min agg (2) + partkey join
+                               // side (1) + DISTINCT agg (1); dims all broadcast;
+                               // ordered LIMIT is TakeOrdered (no sort exchange)
+    "q_sql_q15" -> 4,          // supplier rollup exchange + final sort, plus the
+                               // uncorrelated scalar max's own rollup + single-
+                               // partition pair (SimpleMode inlines the subquery
+                               // plan) — all supplier-sized after the scan filter
     "q_attribution" -> 2,      // ONE per-user window (running view max) + sort;
                                // no self-join for the as-of lookup
     "q_rolling_median" -> 2,   // ONE per-user window (framed percentile) + sort
@@ -279,9 +286,11 @@ class PlanContractSpec extends AnyFunSuite {
                                // the day-dim's own distinct + final sort
     "q_anova" -> 2,            // ONE segment-keyed census exchange + the
                                // single-row final agg; F is k-row arithmetic
-    "q_cramers_v" -> 4,        // cell census + marginal windows over the
-                               // ≤125-row cell table + Expand distinct agg
-                               // (the q_chisq/q_mutual_info shape)
+    "q_cramers_v" -> 6,        // cell census + the 2 marginal-domain distincts
+                               // feeding the full-grid completion + marginal
+                               // windows + Expand distinct agg — every exchange
+                               // after the census carries ≤125 cell rows
+                               // (the q_chisq/q_mutual_info shape + r10 grid fix)
     "q_sql_q17" -> 3,          // decorrelated: probe-side l_partkey exchange +
                                // ONE merged per-part count+sum aggregate joined
                                // back on the key + single-row final agg (part
@@ -331,6 +340,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("Subquery"),
       s"correlated scalar aggregate survived decorrelation\n$plan")
     assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
+  }
+
+  test("q_sql_q2: the region-filtered scalar min decorrelates into a per-part aggregate join") {
+    // The Q2 shape: a scalar min over a DIFFERENT 4-table join (the
+    // offer relation), correlated on the outer part key.
+    // RewriteCorrelatedScalarSubquery must fold it into ONE
+    // region-filtered min aggregate + an equi-join back on l_partkey;
+    // a surviving physical subquery would re-run the 4-table join per
+    // outer row — the shape 100 TB forbids.
+    val plan = planOf("q_sql_q2")
+    assert(!plan.contains("Subquery"),
+      s"correlated scalar min survived decorrelation\n$plan")
+    assert(plan.contains("Join"), s"expected the decorrelated join\n$plan")
+  }
+
+  test("q_sql_q15: the max-of-aggregate subquery stays UNCORRELATED (runs once, not per row)") {
+    // The Q15 shape: the revenue CTE is consumed twice — join input
+    // and scalar max. The max must plan as an uncorrelated scalar
+    // subquery (executes once, result compared as a literal), never a
+    // correlated one; and the only fact-sized work is the supplier
+    // rollup — exactly 2 lineitem scans (join input + subquery input),
+    // with AQE free to reuse the exchange at runtime.
+    val plan = planOf("q_sql_q15")
+    assert(plan.contains("Subquery subquery"),
+      s"expected the uncorrelated scalar max subquery\n$plan")
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(liScans <= 2, s"expected at most 2 lineitem scans, got $liScans\n$plan")
   }
 
   test("q_sql_q21: both correlated existential subqueries rewrite to semi/anti joins") {

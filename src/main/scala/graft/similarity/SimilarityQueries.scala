@@ -918,6 +918,55 @@ object SimilarityQueries extends QueryModule {
       .saveAsTable(toTable)
   }
 
+  /** (dataset, session) → persisted corpus label table name — the
+    * [[sigIndexCache]] idiom for "yesterday's" cluster assignments. */
+  private val labelTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The PERSISTED corpus label table — "yesterday's" connected
+    * components (n, lbl) of the existing corpus (doc_id <
+    * [[IncrementalCutoff]]), computed ONCE per dataset (corpus pairs →
+    * [[labelComponents]]) and written as a parquet table: exactly the
+    * state a production cluster-maintenance job carries between runs,
+    * alongside the signature index. [[clusterIncremental]] previously
+    * re-shingled AND re-labelled the whole prior corpus inside the
+    * query (r09 verdict #2) — at 100 TB that re-sign IS the cost;
+    * reading the persisted assignment makes the incremental path
+    * O(new pairs), with the same cache-key/rebuild discipline as
+    * [[signatureIndex]] (md5 of dir+mtime+length+cutoff, session-
+    * scoped catalog names, rebuild-in-place, swept on JVM exit).
+    */
+  private[graft] def labelTable(s: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"labelTable: $docsFile does not exist")
+    val dataKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val sessKey = java.lang.Long.toHexString(
+      System.identityHashCode(s).toLong & 0xffffffffL)
+    val cacheKey = s"$dataKey@$sessKey"
+    val name = s"graft_lbl_${dataKey}_$sessKey"
+    val valid = labelTableCache.get(cacheKey).filter(t => s.catalog.tableExists(t))
+    val tbl = valid.getOrElse {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") < IncrementalCutoff)
+      val priorPairs = pairsFromMh(minhashFrameFrom(
+        shinglesOf(corpus.select(col("doc_id"), col("text")), MaxShingleDf)))
+        .select(col("id1"), col("id2"))
+      labelComponents(corpus.select(col("doc_id")), priorPairs)
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .saveAsTable(name)
+      labelTableCache.put(cacheKey, name)
+      name
+    }
+    s.table(tbl)
+  }
+
   /** Band signatures of the incremental batch (doc_id ≥ cutoff) —
     * the ONLY path that touches the documents table in
     * [[dedupIncremental]], with the batch predicate pushed to the
@@ -1029,23 +1078,23 @@ object SimilarityQueries extends QueryModule {
   /** Incremental cluster maintenance as a query — the consumer-facing
     * companion of [[dedupIncremental]]: that query emits new PAIRS;
     * the production consumer needs updated CLUSTERS, and a new pair
-    * can merge two existing components. "Yesterday's" state is the
-    * corpus components (corpus-capped pair generation — the semantics
-    * the persisted index encodes); the batch's pairs come off the
-    * index join ([[incrementalPairs]]); [[incrementalLabels]] folds
-    * them in over the contracted graph. Oracle: full recursive CC
-    * over the UNION of corpus-internal and incremental pairs — an
-    * independent algorithm that must land on the identical fixpoint.
+    * can merge two existing components. "Yesterday's" state is READ,
+    * never recomputed: prior assignments come from the persisted
+    * [[labelTable]] and the batch's pairs off the persisted signature
+    * index ([[incrementalPairs]]) — the query touches the documents
+    * table ONLY for the batch itself (plan-pinned: one documents scan,
+    * zero shingle extraction over the prior corpus), so the
+    * incremental path is O(new pairs) however large the corpus.
+    * [[incrementalLabels]] folds the new pairs in over the contracted
+    * graph. Oracle: full recursive CC over the UNION of
+    * corpus-internal and incremental pairs — an independent algorithm
+    * that must land on the identical fixpoint, which also proves the
+    * persisted labels equal a from-scratch labelling.
     */
   val clusterIncremental = Q(
     "q_cluster_incremental",
     (s, dir) => {
-      val corpus = t(s, dir, "documents")
-        .filter(col("doc_id") < IncrementalCutoff)
-      val priorPairs = pairsFromMh(minhashFrameFrom(
-        shinglesOf(corpus.select(col("doc_id"), col("text")), MaxShingleDf)))
-        .select(col("id1"), col("id2"))
-      val prior = labelComponents(corpus.select(col("doc_id")), priorPairs)
+      val prior = labelTable(s, dir)
       val newNodes = t(s, dir, "documents")
         .filter(col("doc_id") >= IncrementalCutoff).select(col("doc_id"))
       incrementalLabels(prior, newNodes,

@@ -397,6 +397,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(idxScans == 1, s"expected exactly one index scan, got $idxScans\n$plan")
   }
 
+  test("q_cluster_incremental: prior corpus comes from the persisted label table, never re-signed") {
+    // "Yesterday's" assignments must be READ (one graft_lbl table
+    // scan), and the documents table touched ONLY for the arriving
+    // batch (exactly one scan, batch predicate pushed) — zero shingle
+    // extraction over the prior corpus in the query plan (r09 verdict
+    // #2). The new pairs and the contracted relabel ride pre-plan
+    // checkpoints, so any corpus re-sign would show up here as an
+    // extra documents scan or a Generate (shingle explode) node.
+    val plan = planOf("q_cluster_incremental")
+    val docLines = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docLines.size == 1,
+      s"expected exactly one documents scan (the batch), got ${docLines.size}\n$plan")
+    assert(docLines.head.contains("GreaterThanOrEqual(doc_id,400)"),
+      s"the one documents scan must push the batch predicate\n${docLines.head}")
+    val lblScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft_lbl"))
+    assert(lblScans == 1, s"expected exactly one label-table scan, got $lblScans\n$plan")
+    assert(!plan.contains("Generate"),
+      s"shingle extraction leaked into the incremental plan\n$plan")
+  }
+
   test("q_dedup_incremental: batch predicate is PUSHED to the one documents scan") {
     val plan = graft.similarity.SimilarityQueries
       .newBatchSignatures(spark, dir)

@@ -37,9 +37,20 @@ object ScaleSmoke {
     }
     docs.toDF("doc_id","text","lang","source","n_chars")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val embs = (0 until nDocs).map { i =>
-      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, i % 8)
-    }
+    val embs0 = (0 until nDocs).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 8)
+    }.toArray
+    // Planted near-duplicate pairs for the auto-width recall floor:
+    // probe i (< 5) gets a twin at i + nDocs/2 = probe + tiny noise
+    // (cos ≈ 0.9999), so "does the width-scaled LSH still find what
+    // ANN exists to find" is checkable at ANY width — random gaussians
+    // alone have near-orthogonal neighbors and no recall to measure.
+    val embs = embs0.map { case (id, v, lbl) =>
+      if (id >= nDocs / 2 && id < nDocs / 2 + 5) {
+        val src = embs0((id - nDocs / 2).toInt)._2
+        (id, src.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq, lbl)
+      } else (id, v.toSeq, lbl)
+    }.toSeq
     embs.toDF("vec_id","embedding","label")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // mult× relational tables for the graph / basket / event-series ops
@@ -136,17 +147,34 @@ object ScaleSmoke {
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is
     // n/2^planes, and the kNN stage squares it — 10.7s→92s from 40× to
-    // 100× at width 4). Production sizes the width by corpus:
-    // planes ≈ log2(n/targetBucket). Time the SAME dataflow at that
-    // width to show it re-linearizes; the oracle demo stays at 4.
-    val scaledPlanes = math.max(4,
-      math.round(math.log(nDocs / 400.0) / math.log(2)).toInt)
+    // 100× at width 4). The width is now DERIVED per corpus
+    // (SimilarityQueries.autoPlaneCount — the same log2 rule this
+    // smoke established), so q_knn_graph itself re-linearizes with no
+    // knob change; time the auto plan here to keep that pinned.
+    val scaledPlanes = graft.similarity.SimilarityQueries.autoPlaneCount(nDocs.toLong)
     if (only.forall(_.contains("q_knn_graph_scaled"))) {
       val t0 = System.nanoTime()
-      graft.similarity.SimilarityQueries.knnGraphPlan(spark, dir, scaledPlanes)
+      graft.similarity.SimilarityQueries.knnGraphPlanAuto(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"SMOKE ${mult}x q_knn_graph_scaled[$scaledPlanes planes] " +
+      println(f"SMOKE ${mult}x q_knn_graph_scaled[$scaledPlanes planes auto] " +
         f"${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    // Recall floor at the derived width: each planted probe's twin has
+    // cos ≈ 0.9999, so it must surface as the probe's TOP neighbor in
+    // the auto-width kNN graph unless LSH bucketing lost it. Width
+    // scaling is a recall trade by design — the floor pins that the
+    // derived width keeps what ANN exists to keep (≥4 of the 5 planted
+    // pairs; a lone plane-straddling twin is within tolerance).
+    if (only.forall(_.contains("q_knn_recall_floor"))) {
+      val hits = graft.similarity.SimilarityQueries.knnGraphPlanAuto(spark, dir)
+        .filter(col("vec_id") < 5 && col("rn") === 1L &&
+          col("nbr_id") === col("vec_id") + nDocs / 2)
+        .count()
+      println(s"SMOKE ${mult}x knn_recall_floor[$scaledPlanes planes auto] " +
+        s"planted twins ranked first: $hits/5")
+      require(hits >= 4,
+        s"auto-width LSH lost ${5 - hits} of 5 planted near-dup pairs " +
+          s"at $scaledPlanes planes — width rule broke recall")
     }
     spark.stop()
   }

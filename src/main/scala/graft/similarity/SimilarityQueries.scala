@@ -1557,9 +1557,38 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** Auto-width for the sign-LSH plane count: planes =
+    * max(4, round(log2(n / targetBucket))) — the log2-scaled rule the
+    * 100× ScaleSmoke re-linearization established (SCALE.md), now a
+    * derived quantity instead of a manual knob (r09 verdict #3). At
+    * the oracle corpora (n = 500) it yields the demo width 4, at 40×
+    * it yields 6 and at 100× it yields 7 — no knob change between
+    * scales. Widths nest: [[planesFor]] extends the same plane family,
+    * and [[signBuckets]] assigns bit j of the bucket to plane j, so
+    * bucket(w+Δ) >> Δ == bucket(w) — widening only REFINES buckets
+    * (never reshuffles them), which is what makes the width safe to
+    * derive per-corpus: candidates lost to a width bump are exactly
+    * the documented recall trade, pinned by the ScaleSmoke planted-
+    * pair recall floor.
+    */
+  private[graft] def autoPlaneCount(n: Long, targetBucket: Long = 400L): Int =
+    math.max(4, math.round(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
+  /** Corpus-sized kNN graph: ONE count of the embeddings table (a
+    * metadata-cheap columnar aggregate — the same bounded pre-pass
+    * every ANN index build pays) sizes the LSH width, then the
+    * [[knnGraphPlan]] dataflow runs at that width. */
+  private[graft] def knnGraphPlanAuto(s: SparkSession, dir: String): DataFrame =
+    knnGraphPlan(s, dir,
+      autoPlaneCount(t(s, dir, "embeddings").count()))
+
   val knnGraph = Q(
     "q_knn_graph",
-    (s, dir) => knnGraphPlan(s, dir),
+    // Auto-width: derives 4 (the oracle demo width, literal plane
+    // arrays in the SQL twin) at the 500-doc corpora and the log2-
+    // scaled width beyond — the query text never changes with scale.
+    (s, dir) => knnGraphPlanAuto(s, dir),
     Some(s"""
       WITH $knnSqlCtes
       SELECT vec_id, nbr_id, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rn

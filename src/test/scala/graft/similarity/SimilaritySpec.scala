@@ -484,4 +484,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ndcgR >= 0.0 && ndcgR <= 1.0 + 1e-12)
     }
   }
+
+  test("sign-LSH widths nest (bucket(w+Δ) >> Δ == bucket(w)) and autoPlaneCount derives them") {
+    // The refinement property is what makes the width safe to DERIVE
+    // per corpus: widening only splits buckets, never reshuffles
+    // membership, so a corpus growing past a width threshold loses
+    // candidates only to the documented recall trade — pinned at 40×
+    // by the ScaleSmoke planted-pair floor.
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val b4 = SimilarityQueries.signBuckets(emb, 4)
+      .select(col("vec_id"), col("bucket").as("b4"))
+    val b6 = SimilarityQueries.signBuckets(emb, 6)
+      .select(col("vec_id"), col("bucket").as("b6"))
+    val broken = b4.join(b6, "vec_id")
+      .filter(expr("b6 div 4") =!= col("b4")).count()
+    assert(broken === 0L, "widening reshuffled bucket membership")
+    // The log2 rule lands on the oracle demo width at the 500-doc
+    // corpora and on the ScaleSmoke-established widths beyond — the
+    // "no knob change between sf0.01 and 100x" contract.
+    assert(SimilarityQueries.autoPlaneCount(500L) === 4)
+    assert(SimilarityQueries.autoPlaneCount(20000L) === 6)
+    assert(SimilarityQueries.autoPlaneCount(50000L) === 7)
+  }
 }

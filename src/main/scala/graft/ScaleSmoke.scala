@@ -176,6 +176,29 @@ object ScaleSmoke {
         s"auto-width LSH lost ${5 - hits} of 5 planted near-dup pairs " +
           s"at $scaledPlanes planes — width rule broke recall")
     }
+    // BPE marginal-iteration cost: the trainer's scale claim is that
+    // after the one corpus-wide word count, every merge iteration is
+    // VOCAB-sized. Measured directly: train at 4 then 8 merges (one
+    // warm-up pass first so page cache/JIT don't bias the delta) —
+    // the 4 extra iterations must cost less than the whole 4-merge
+    // run, i.e. t8 < 2·t4; corpus-sized iterations would land at ~2×
+    // and a quadratic rewrite far above.
+    if (only.forall(_.contains("q_bpe_iters"))) {
+      def tTrain(m: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.text.TextQueries.bpeTrainPlan(spark, dir, m)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      tTrain(4) // warm-up
+      val t4 = tTrain(4)
+      val t8 = tTrain(8)
+      println(f"SMOKE ${mult}x bpe_iters t4=$t4%.2fs t8=$t8%.2fs " +
+        f"marginal=${(t8 - t4) / 4}%.2fs/iter")
+      require(t8 < 2 * t4,
+        f"BPE iterations are not vocab-sized: 4 extra merges cost " +
+          f"${t8 - t4}%.2fs vs $t4%.2fs for the whole 4-merge run")
+    }
     spark.stop()
   }
 }

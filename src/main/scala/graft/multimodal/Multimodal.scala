@@ -459,6 +459,37 @@ object Multimodal {
       }
   }
 
+  /** ISO-BMFF (MP4/MOV) container magic: `ftyp` box name at offset 4.
+    * The JDK ships no reader for it — the container the codec seam
+    * exists to hand to a third-party decoder. */
+  private[multimodal] def isMp4(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(4) == 'f'.toByte && p(5) == 't'.toByte &&
+      p(6) == 'y'.toByte && p(7) == 'p'.toByte
+
+  /** The production swap-in seam for codecs the JDK lacks (MP4/H.264,
+    * declared FakeCodec territory): a chain of (container-sniffer →
+    * codec) handlers tried in order against the payload bytes, falling
+    * back to the built-in JDK chain. A third-party decoder plugs in as
+    * one handler value — the Spark plumbing (mapPartitions signature,
+    * schema, partitioning, degrade-row-wise policy) is untouched,
+    * which MultimodalSpec pins with a stub "H.264" codec dispatched by
+    * MP4 magic next to real GIF/JPEG rows. Function values and codec
+    * objects are Serializable, so the whole chain ships inside the
+    * executor closure like any single codec.
+    */
+  final case class DispatchingCodec(
+      handlers: Seq[(Array[Byte] => Boolean, Codec)],
+      default: Codec = MjpegVideoCodec) extends Codec {
+    private def pick(p: Array[Byte]): Codec =
+      handlers.collectFirst { case (sniff, c) if sniff(p) => c }
+        .getOrElse(default)
+    override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
+      pick(payload).decodeDims(kind, payload)
+    override def sampleFrames(payload: Array[Byte], everyK: Int): Int =
+      pick(payload).sampleFrames(payload, everyK)
+  }
+
   /** One sampled, decoded video frame: container facts ride along so
     * one decode pass serves both per-frame dedup and per-video
     * metadata. */

@@ -1051,6 +1051,15 @@ object TextQueries extends QueryModule {
         FROM d${k - 1})"""
   }
 
+  /** DuckDB-only CTE text (the Spark side is the DataFrame trainer):
+    * `t$k`/`w$k` are MATERIALIZED because each iteration references
+    * its predecessor several times (the word table once, the trained
+    * pair twice per replace) — default inlining re-expands the whole
+    * chain per reference, going exponential in the merge count (the
+    * 8-merge chain exhausted file handles re-opening the parquet
+    * thousands of times); materializing evaluates each iteration
+    * once, which is also exactly what the Spark side's lazy
+    * checkpoints do. */
   private def bpeIterSql(k: Int): String = {
     val prev = s"w${k - 1}"
     val pat = s"' ' || (SELECT pair FROM t$k) || ' '"
@@ -1063,30 +1072,35 @@ object TextQueries extends QueryModule {
         SELECT struct_extract(z, 1) || ' ' || struct_extract(z, 2) AS pair,
                CAST(sum(cnt) AS BIGINT) AS c
         FROM p$k GROUP BY 1),
-      t$k AS (
+      t$k AS MATERIALIZED (
         SELECT CAST($k AS BIGINT) AS it, pair, replace(pair, ' ', '') AS merged, c
         FROM c$k ORDER BY c DESC, pair LIMIT 1),
-      w$k AS (
+      w$k AS MATERIALIZED (
         SELECT trim(replace(replace(' ' || sym || ' ', $pat, $rep), $pat, $rep))
                  AS sym,
                cnt
         FROM $prev)"""
   }
 
-  /** BPE merge learning — the first 3 merge rules of byte-pair-encoding
-    * tokenizer training (Sennrich et al. 2016), as pure dataflow: count
-    * adjacent symbol pairs weighted by word frequency, take the argmax,
-    * rewrite the vocabulary with the merged symbol, repeat. Emits the
-    * learned merge table (iteration, pair, merged symbol, weighted
-    * count) — the artifact a tokenizer ships.
+  /** BPE merge learning — the first [[BpeTrainMerges]] merge rules of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016), as
+    * pure dataflow: count adjacent symbol pairs weighted by word
+    * frequency, take the argmax, rewrite the vocabulary with the
+    * merged symbol, repeat. Emits the learned merge table (iteration,
+    * pair, merged symbol, weighted count) — the artifact a tokenizer
+    * ships. The merge count is a parameter of [[bpeTops]] (r09
+    * verdict #7), not a structural limit.
     *
     * Scale shape — THE reason BPE training is tractable at 100 TB:
     * after one corpus-wide word-count aggregation, every iteration
     * operates on the DISTINCT-WORD table (vocab-sized, millions of
-    * rows at web scale — not the corpus), so 3 iterations are 3
-    * vocab-sized aggregations plus a 1-row broadcast argmax each.
-    * The merge rewrite is a per-row string replace against the
-    * broadcast winning pair.
+    * rows at web scale — not the corpus), so k iterations are k
+    * vocab-sized aggregations plus a 1-row broadcast argmax each,
+    * with the loop state lazily checkpointed so plans stay
+    * constant-size at any k. The merge rewrite is a per-row string
+    * replace against the broadcast winning pair. ScaleSmoke times the
+    * marginal per-iteration cost at 40× (merges=4 vs merges=8) to pin
+    * that iterations are vocab-sized, not corpus-sized.
     *
     * Cross-engine exactness: the argmax tiebreak is (count DESC, pair
     * ASC) on both sides; the merge applies via space-delimited literal
@@ -1111,10 +1125,28 @@ object TextQueries extends QueryModule {
     trim(call_function("replace", once, pat, rep))
   }
 
-  /** The 3 trained merges, one single-row frame each (it, pair,
-    * merged, c) — shared by [[bpeTrain]] and [[bpeApply]]. */
+  /** Merge count the TRAINER demo registers (oracle CTE chain depth).
+    * Real tokenizer training runs tens of thousands of merges; the
+    * per-iteration cost here is already the production shape
+    * (vocab-sized, see [[bpeTops]]), so the count is a parameter, not
+    * a structural limit — ScaleSmoke times the marginal per-iteration
+    * cost at 40× to pin that. */
+  private[graft] val BpeTrainMerges = 8
+
+  /** The first `merges` trained merges, one single-row frame each
+    * (it, pair, merged, c) — shared by [[bpeTrain]] (full depth) and
+    * [[bpeApply]] (first 3: merge application is prefix-composable,
+    * so an encoder may apply any prefix of the merge table). The
+    * word-count frame is lazily checkpointed each iteration, so the
+    * plan stays constant-size at ANY merge count (the q_pagerank
+    * loop idiom) and each iteration is exactly one vocab-sized pair
+    * aggregation + a 1-row argmax + a broadcast rewrite — per-
+    * iteration cost scales with the vocabulary, never the corpus,
+    * which is what makes 30k-merge production training tractable:
+    * the corpus is touched once, by the initial word count. */
   private def bpeTops(
-      s: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] = {
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Int = 3): Seq[org.apache.spark.sql.DataFrame] = {
     val syms0 = t(s, dir, "documents")
       .select(explode(toks(col("text"))).as("word"))
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
@@ -1134,18 +1166,26 @@ object TextQueries extends QueryModule {
         .select(lit(it.toLong).as("it"), col("pair"),
           call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
           col("c"))
-    var wc = syms0
-    (1 to 3).map { it =>
-      val top = argmax(pairCounts(wc), it)
+    var wc = syms0.localCheckpoint(false)
+    (1 to merges).map { it =>
+      val top = argmax(pairCounts(wc), it).localCheckpoint(false)
       wc = wc.crossJoin(broadcast(top.select(col("pair"), col("merged"))))
         .select(bpeReplace(col("sym")).as("sym"), col("cnt"))
+        .localCheckpoint(false)
       top
     }
   }
 
+  /** The trainer at an arbitrary merge depth — ScaleSmoke's
+    * marginal-per-iteration probe. */
+  private[graft] def bpeTrainPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Int): org.apache.spark.sql.DataFrame =
+    bpeTops(s, dir, merges).reduce(_ unionAll _).orderBy(col("it"))
+
   val bpeTrain = Q(
     "q_bpe_train",
-    (s, dir) => bpeTops(s, dir).reduce(_ unionAll _).orderBy(col("it")),
+    (s, dir) => bpeTrainPlan(s, dir, BpeTrainMerges),
     Some(s"""
       WITH tok AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -1154,10 +1194,9 @@ object TextQueries extends QueryModule {
         SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
                count(*) AS cnt
         FROM tok GROUP BY 1),
-      ${bpeIterSql(1)},
-      ${bpeIterSql(2)},
-      ${bpeIterSql(3)}
-      SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+      ${(1 to BpeTrainMerges).map(bpeIterSql).mkString(",\n      ")}
+      ${(1 to BpeTrainMerges).map(k => s"SELECT * FROM t$k")
+        .mkString("", " UNION ALL ", "")}
       ORDER BY it""")
   )
 

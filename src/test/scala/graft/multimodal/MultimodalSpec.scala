@@ -241,6 +241,48 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FakeCodec.sampleFrames(garbage, 2), "undecodable falls back to stub")
   }
 
+  test("codec seam: an injected third-party codec is dispatched by container magic") {
+    // The production swap-in contract for the one codec family the JDK
+    // lacks (MP4/H.264, honestly FakeCodec territory): a third-party
+    // Codec plugged into DispatchingCodec must receive EXACTLY the
+    // payloads whose container magic claims it, while GIF video and
+    // PNG image rows keep flowing through the built-in JDK chain — no
+    // Spark plumbing change, same mapPartitions/schema/row-count
+    // contract. The stub stands in for the real decoder; the seam and
+    // the dispatch are what's proven.
+    import spark.implicits._
+    object H264StubCodec extends Multimodal.Codec {
+      override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
+        (1920, 1080)
+      override def sampleFrames(payload: Array[Byte], everyK: Int): Int = 42
+    }
+    // Minimal ISO-BMFF-shaped payload: size box + 'ftyp' at offset 4.
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(9)
+    assert(Multimodal.isMp4(mp4))
+    val gif = Multimodal.syntheticGifCorpus(spark, 2)
+      .orderBy("media_id").collect()(0).getAs[Array[Byte]]("payload")
+    val media = Seq(
+      (0L, "video", mp4),
+      (1L, "video", gif),
+      (2L, "image", pngBytes(40, 30)))
+      .toDF("media_id", "kind", "payload")
+    val chain = Multimodal.DispatchingCodec(
+      handlers = Seq((Multimodal.isMp4 _) -> (H264StubCodec: Multimodal.Codec)))
+    val out = Multimodal.extractFeatures(media, frameEveryK = 1, codec = chain)
+      .collect().sortBy(_.media_id)
+    assert(out.length === 3, "one output row per media row, seam intact")
+    // MP4 row: dispatched to the injected codec by magic
+    assert((out(0).width, out(0).height) === ((1920, 1080)))
+    assert(out(0).frames_sampled === 42)
+    // GIF row: the default JDK chain still really decodes (64x64, 2 frames)
+    assert((out(1).width, out(1).height) === ((64, 64)))
+    assert(out(1).frames_sampled === 2)
+    // image row: real PNG dims via the same default chain, no frames
+    assert((out(2).width, out(2).height) === ((40, 30)))
+    assert(out(2).frames_sampled === 0)
+  }
+
   test("q_video_meta: per-video aggregates match the generator arithmetic; deterministic") {
     def run() = MultimodalQueries.videoMetaQ.run(spark, "unused").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSeq

@@ -466,7 +466,445 @@ object CoreQueries extends QueryModule {
     },
     Some(Q15Text))
 
+  // --------------------------------------------------------------------
+  // Round-10 front-door completion: the remaining TPC-H query SHAPES the
+  // registry lacked, adapted to the reduced star schema (TESTDATA.md has
+  // no partsupp and fewer attribute columns, so partsupp-backed queries
+  // substitute the lineitem-derived supplier×part relation and attribute
+  // filters move to columns that exist — each scaladoc names the swap).
+  // Same contract as q_sql_q3: the ORACLE IS THE SAME TEXT, every
+  // construct chosen to parse identically in Spark SQL and DuckDB, sums
+  // routed through DECIMAL so both engines aggregate exactly.
+  // --------------------------------------------------------------------
+
+  /** TPC-H Q4-shaped (order-priority checking) — correlated EXISTS over
+    * the fact: count orders in a window that have at least one returned
+    * line (stand-in for Q4's commit<receipt lateness test; those columns
+    * don't exist here). Catalyst rewrites the EXISTS to a LEFT SEMI hash
+    * join on l_orderkey (`RewritePredicateSubquery`), so the fact is
+    * scanned once with the returnflag filter pushed down — never a
+    * per-order probe. The date range prunes the orders scan. At 100 TB
+    * both sides shuffle on orderkey once; the semi join keeps the build
+    * side to matching keys only.
+    */
+  private val Q4Text = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
+  val sqlQ4 = Q(
+    "q_sql_q4",
+    (s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q4Text)
+    },
+    Some(Q4Text))
+
+  /** TPC-H Q6 (forecasting-revenue change) — verbatim shape: the pure
+    * scan-filter-aggregate with NO join, the baseline every engine must
+    * ace. All three predicates (date range, discount band, quantity cap)
+    * push to the parquet scan; the single global sum runs as map-side
+    * partials + one 1-row final — zero wide shuffles. The whole query is
+    * one WholeStageCodegen span over the scan.
+    */
+  private val Q6Text = """
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""
+
+  val sqlQ6 = Q(
+    "q_sql_q6",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q6Text)
+    },
+    Some(Q6Text))
+
+  /** TPC-H Q8-shaped (national market share) — the widest join tree in
+    * the front door: lineitem joins part, supplier, orders, customer,
+    * region and nation TWICE in different roles (customer's region
+    * gates the rows, supplier's nation feeds the CASE numerator). The
+    * market-share ratio is a conditional-aggregate-over-aggregate in one
+    * GROUP BY — no second pass. Scale shape: the four dims broadcast,
+    * the three fact-side joins hash-partition on their keys, and the
+    * selective p_type + date filters reach the scans; the CASE routes
+    * through DECIMAL(18,6) on both branches so each engine sums exactly
+    * and the final double division is bit-identical.
+    */
+  private val Q8Text = """
+      SELECT o_year,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                        AS DECIMAL(18,6)) AS volume,
+                   n2.n_name AS nation
+            FROM lineitem
+            JOIN part      ON p_partkey = l_partkey
+            JOIN supplier  ON s_suppkey = l_suppkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31'
+              AND p_type = 'ECONOMY') all_nations
+      GROUP BY o_year
+      ORDER BY o_year"""
+
+  val sqlQ8 = Q(
+    "q_sql_q8",
+    (s, dir) => {
+      Seq("lineitem", "part", "supplier", "orders", "customer", "nation",
+        "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q8Text)
+    },
+    Some(Q8Text))
+
+  /** TPC-H Q9-shaped (product-type profit) — profit per supplier-nation
+    * per year over a LIKE-filtered part subset. The schema has no
+    * partsupp, so supply cost substitutes `p_retailprice * 0.1 *
+    * quantity` (same arithmetic shape: a per-row margin expression mixing
+    * three tables' columns). The substring LIKE cannot push to a parquet
+    * min/max but prunes rows before the fact joins; amount routes through
+    * DECIMAL(18,6) per row so the per-group sums are exact on both
+    * engines. Scale: part/supplier/nation broadcast or co-partition,
+    * lineitem⋈orders shuffles once on orderkey.
+    */
+  private val Q9Text = """
+      SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      FROM (SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                        - p_retailprice * CAST(0.1 AS DOUBLE) * l_quantity
+                        AS DECIMAL(18,6)) AS amount
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""
+
+  val sqlQ9 = Q(
+    "q_sql_q9",
+    (s, dir) => {
+      Seq("lineitem", "part", "supplier", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q9Text)
+    },
+    Some(Q9Text))
+
+  /** TPC-H Q10-shaped (returned-item reporting) — top-20 customers by
+    * revenue lost to returns in a quarter. GROUP BY carries the
+    * customer attribute columns (the Q10 idiom — they're functionally
+    * dependent on c_custkey but both engines require them listed), and
+    * the ordered LIMIT plans as TakeOrdered, never a global sort. The
+    * c_custkey tiebreak makes the top-20 deterministic under revenue
+    * ties. Scale: returnflag + date filters push to the two fact scans,
+    * nation broadcasts, customer⋈orders⋈lineitem co-partitions.
+    */
+  private val Q10Text = """
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""
+
+  val sqlQ10 = Q(
+    "q_sql_q10",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q10Text)
+    },
+    Some(Q10Text))
+
+  /** TPC-H Q11-shaped (important stock) — GROUP BY + HAVING against an
+    * UNCORRELATED SCALAR aggregate over the same relation: parts whose
+    * traded value for one nation's suppliers exceeds a fixed fraction
+    * of that nation's total. partsupp doesn't exist, so the value
+    * relation is lineitem⋈supplier⋈nation (same grouping shape). The
+    * subquery plans once as a 1-row broadcast into the HAVING filter —
+    * the relation is scanned twice by construction (value-per-part and
+    * grand total), which is Q11's defining cost; both passes push the
+    * nation filter down. DECIMAL throughout keeps the threshold compare
+    * exact on both engines (no float-boundary flake).
+    */
+  private val Q11Text = """
+      SELECT l_partkey AS ps_partkey,
+             CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                  AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+      HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) >
+        (SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                * CAST(0.002 AS DECIMAL(8,4))
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3')
+      ORDER BY part_value DESC, ps_partkey"""
+
+  val sqlQ11 = Q(
+    "q_sql_q11",
+    (s, dir) => {
+      Seq("lineitem", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q11Text)
+    },
+    Some(Q11Text))
+
+  /** TPC-H Q12-shaped (shipping-mode line priority) — the conditional
+    * two-way count split inside one aggregation, via the standard
+    * `count(*) FILTER (WHERE …)` clause (parses and types BIGINT
+    * identically on both engines; l_linestatus stands in for the absent
+    * l_shipmode). One fact⋈fact join on orderkey with the date range
+    * pushed to the lineitem scan, then a 2-group hash agg — map-side
+    * partials make the final exchange carry 2 rows per task.
+    */
+  private val Q12Text = """
+      SELECT l_linestatus AS shipmode,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                                 OR o_orderpriority = '2-HIGH') AS high_line_count,
+             count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+                                AND o_orderpriority <> '2-HIGH') AS low_line_count
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_linestatus
+      ORDER BY shipmode"""
+
+  val sqlQ12 = Q(
+    "q_sql_q12",
+    (s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q12Text)
+    },
+    Some(Q12Text))
+
+  /** TPC-H Q13 (customer order-count distribution) — the DOUBLE
+    * AGGREGATION over a LEFT OUTER join with an extra ON-clause filter:
+    * customers with zero qualifying orders must survive as c_count=0
+    * (the filter lives in ON, not WHERE — moving it would silently drop
+    * them, the classic outer-join bug this query exists to catch).
+    * o_comment doesn't exist, so the exclusion predicate filters
+    * o_orderpriority instead. Scale: one shuffle on custkey for the
+    * outer join + first agg (they share partitioning), then a tiny
+    * second agg over ≤ distinct-count rows.
+    */
+  private val Q13Text = """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                                  AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
+
+  val sqlQ13 = Q(
+    "q_sql_q13",
+    (s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q13Text)
+    },
+    Some(Q13Text))
+
+  /** TPC-H Q14-shaped (promotion effect) — the conditional-revenue-share
+    * scalar: percent of one month's revenue from PROMO parts, as a
+    * CASE-split sum over sum in a single ungrouped aggregate (p_type
+    * here is a category word, so equality replaces Q14's LIKE 'PROMO%').
+    * Both CASE branches are DECIMAL(18,6) so each engine's two sums are
+    * exact; the ×100/÷ arithmetic happens once on the final doubles.
+    * Scale: date range pushes to the fact scan, part broadcasts at local
+    * SF (AQE decides), the global agg is map-side partials + 1 row.
+    */
+  private val Q14Text = """
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                                     AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               * CAST(100 AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-02-01'"""
+
+  val sqlQ14 = Q(
+    "q_sql_q14",
+    (s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q14Text)
+    },
+    Some(Q14Text))
+
+  /** TPC-H Q16-shaped (supplier-part relationship count) — DISTINCT
+    * aggregation over a NOT IN anti-join: how many distinct suppliers
+    * ship each surviving (brand, type, size) combination, excluding a
+    * name-pattern supplier blocklist. partsupp doesn't exist, so the
+    * supplier×part relation is lineitem (same distinct-count shape).
+    * The NOT IN subquery is non-nullable-key, so Catalyst plans a
+    * null-aware ANTI join against a broadcast 100-row list; the IN-list
+    * size filter prunes parts before the join; count(DISTINCT) expands
+    * to the standard two-phase agg (dedup on group+suppkey, then count).
+    */
+  private val Q16Text = """
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#45'
+        AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  val sqlQ16 = Q(
+    "q_sql_q16",
+    (s, dir) => {
+      Seq("lineitem", "part", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q16Text)
+    },
+    Some(Q16Text))
+
+  /** TPC-H Q19-shaped (discounted revenue) — the DISJUNCTIVE predicate
+    * stack: three brand/size/quantity bands OR-ed together over the
+    * part join. The equi key (p_partkey = l_partkey) is common to every
+    * disjunct, so it lives in ON and the OR stays a residual filter —
+    * the join is a plain hash join, NEVER a cartesian with a filter
+    * (the trap this query exists to catch; the suite's global
+    * no-CartesianProduct contract would fail the naive plan). p_container
+    * doesn't exist, so the in-list container bands become p_size ranges.
+    */
+  private val Q19Text = """
+      SELECT CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 1  AND l_quantity <= 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+             AND l_quantity >= 10 AND l_quantity <= 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+             AND l_quantity >= 20 AND l_quantity <= 30)"""
+
+  val sqlQ19 = Q(
+    "q_sql_q19",
+    (s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q19Text)
+    },
+    Some(Q19Text))
+
+  /** TPC-H Q20-shaped (potential part promotion) — the NESTED IN stack:
+    * suppliers (in a nation band) who moved more than a threshold
+    * quantity of a name-pattern part family in a year. partsupp's
+    * availqty doesn't exist, so the inner relation aggregates lineitem
+    * per (supplier, part) and the HAVING threshold replaces the
+    * correlated availqty compare (the correlated-scalar variant is
+    * already pinned by q_sql_q2/q_sql_q17). Both IN subqueries rewrite
+    * to LEFT SEMI joins; the part-name list broadcasts into the fact
+    * scan side, and the per-(supp,part) agg shuffles once on the
+    * composite key before collapsing to distinct suppkeys.
+    */
+  private val Q20Text = """
+      SELECT s_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                       'NATION_5')
+        AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > CAST(60 AS DOUBLE))
+      ORDER BY s_name"""
+
+  val sqlQ20 = Q(
+    "q_sql_q20",
+    (s, dir) => {
+      Seq("supplier", "nation", "lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q20Text)
+    },
+    Some(Q20Text))
+
+  /** TPC-H Q22-shaped (global sales opportunity) — the UNCORRELATED
+    * SCALAR threshold + NOT EXISTS anti-join combo: above-average-balance
+    * customers with no RECENT orders, bucketed by a derived country code
+    * (c_nationkey % 5 stands in for the absent phone prefix; the date
+    * bound inside NOT EXISTS keeps the anti-join non-degenerate — every
+    * customer here has SOME order). The avg subquery broadcasts as one
+    * row; the NOT EXISTS plans as a LEFT ANTI hash join on custkey with
+    * the date filter pushed inside the right scan — at 100 TB that
+    * filter shrinks the anti build side to the recent window only.
+    */
+  private val Q22Text = """
+      SELECT cntrycode, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(avg(c_acctbal) AS DOUBLE)
+                               FROM customer
+                               WHERE c_acctbal > CAST(0 AS DOUBLE))
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01'))
+           custsale
+      GROUP BY cntrycode
+      ORDER BY cntrycode"""
+
+  val sqlQ22 = Q(
+    "q_sql_q22",
+    (s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q22Text)
+    },
+    Some(Q22Text))
+
   override def all: Seq[Q] =
     Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21,
-      sqlQ17, sqlQ2, sqlQ15)
+      sqlQ17, sqlQ2, sqlQ15, sqlQ4, sqlQ6, sqlQ8, sqlQ9, sqlQ10, sqlQ11,
+      sqlQ12, sqlQ13, sqlQ14, sqlQ16, sqlQ19, sqlQ20, sqlQ22)
 }

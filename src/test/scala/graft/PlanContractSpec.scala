@@ -305,11 +305,40 @@ class PlanContractSpec extends AnyFunSuite {
     "q_dp_release" -> 2,       // ONE nation-keyed census exchange + the 25-row
                                // sort; the Laplace draw is a per-group scalar
                                // expression, zero extra shuffles
-    "q_rrf" -> 5)              // keyword side reuses bm25's (doc,term) agg +
+    "q_rrf" -> 5,              // keyword side reuses bm25's (doc,term) agg +
                                // doc-length window exchange pair and its df
                                // census; both modality top-50s are TakeOrdered
                                // (no sort exchange); the <=100-row fusion join
                                // and final top-10 ride broadcast/single frames
+    // Round-10 TPC-H front-door completion (CoreQueries): the remaining
+    // canonical query shapes, each pinned at the count the plan NEEDS.
+    "q_sql_q4" -> 2,           // EXISTS→semi join rides a broadcast at this
+                               // SF; the 5-row priority agg (1) + sort (1)
+    "q_sql_q6" -> 1,           // the canary: scan+filter+global agg is ONE
+                               // single-partition exchange, nothing else
+    "q_sql_q8" -> 2,           // all 7 joins broadcast; the 2-group year agg
+                               // (1) + 2-row sort (1)
+    "q_sql_q9" -> 2,           // 4 broadcast joins; nation×year agg + sort
+    "q_sql_q10" -> 1,          // group agg on custkey (1); ordered LIMIT is
+                               // TakeOrdered — no sort exchange
+    "q_sql_q11" -> 3,          // per-part value agg (1) + uncorrelated total
+                               // (single-partition agg, 1) + final sort (1)
+    "q_sql_q12" -> 2,          // orderkey join broadcast at this SF; 2-group
+                               // FILTER-count agg + 2-row sort
+    "q_sql_q13" -> 3,          // per-cust outer-join count agg (1) + c_count
+                               // distribution agg (1) + final sort (1)
+    "q_sql_q14" -> 1,          // one single-partition global CASE-sum agg
+    "q_sql_q16" -> 3,          // count(DISTINCT) two-phase (dedup agg + count
+                               // agg) + final sort; the NOT IN anti join and
+                               // part join broadcast
+    "q_sql_q19" -> 1,          // common-key hash join with the OR as residual
+                               // filter + ONE global agg — a cartesian here
+                               // fails the global contract above
+    "q_sql_q20" -> 2,          // (supp,part) HAVING agg (1) + s_name sort (1);
+                               // both IN→semi joins broadcast
+    "q_sql_q22" -> 4)          // uncorrelated avg (single-partition agg ×2 for
+                               // partial/final) + cntrycode agg + 4-row sort;
+                               // the NOT EXISTS anti join broadcasts
 
   budgets.foreach { case (name, maxShuffles) =>
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
@@ -381,6 +410,37 @@ class PlanContractSpec extends AnyFunSuite {
       s"correlated existential subquery survived decorrelation\n$plan")
     assert(plan.contains("LeftSemi"), s"expected a LEFT SEMI join\n$plan")
     assert(plan.contains("LeftAnti"), s"expected a LEFT ANTI join\n$plan")
+  }
+
+  test("q_sql_q4: the correlated EXISTS rewrites to one semi join, never a per-order probe") {
+    val plan = planOf("q_sql_q4")
+    assert(!plan.contains("Subquery"),
+      s"correlated EXISTS survived decorrelation\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected a LEFT SEMI join\n$plan")
+  }
+
+  test("q_sql_q16: the NOT IN blocklist plans as ONE anti join with the list broadcast") {
+    // A NOT IN over a non-nullable key must become a (null-aware-capable)
+    // LEFT ANTI hash join against the 100-row supplier list — never a
+    // per-row membership re-scan. The distinct count is the standard
+    // two-phase expansion (asserted via the shuffle budget above).
+    val plan = planOf("q_sql_q16")
+    assert(!plan.contains("Subquery"), s"NOT IN survived as a subquery\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a LEFT ANTI join\n$plan")
+  }
+
+  test("q_sql_q22: uncorrelated avg runs ONCE; NOT EXISTS anti-joins with the date filter pushed inside") {
+    // The scalar avg must stay an uncorrelated subquery (one execution,
+    // compared as a literal), the NOT EXISTS must become a LEFT ANTI
+    // join, and the recent-window date filter must apply INSIDE the
+    // anti join's build side — at 100 TB that filter is what shrinks
+    // the build from all orders to the recent window.
+    val plan = planOf("q_sql_q22")
+    assert(plan.contains("Subquery subquery"),
+      s"expected the uncorrelated scalar avg subquery\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a LEFT ANTI join\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter did not push into the orders scan\n$plan")
   }
 
   test("q_dedup_incremental: the corpus is NEVER read on the incremental path") {

@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.{Q, QueryModule}
 import graft.util.Tables._
 
@@ -43,22 +43,43 @@ object GraphQueries extends QueryModule {
     * supplier↔part co-purchase graph (distinct lineitem pairs; node id
     * = 2·suppkey / 2·partkey+1 so both key spaces share one BIGINT
     * domain). Determinism across engines: per-edge contributions are
-    * rounded to 14 dp then summed as DECIMAL (order-independent);
-    * each iteration's rank is re-rounded to 12 dp, so both engines
-    * carry bit-identical doubles into the next round. The node count
-    * rides along as a broadcast scalar — no driver-side collect.
+    * quantized to LONG fixed-point at 1e14 scale via
+    * `floor(r/outdeg * 1e14 + 0.5)` — every step (divide, multiply,
+    * add, floor) is a correctly-rounded IEEE double op computed from
+    * identical inputs, so Spark and DuckDB produce the SAME integer,
+    * and integer summation is order-independent by nature. This
+    * replaced an r≤9 DECIMAL(28,14) sum: same order-independence, but
+    * the decimal aggregate ran outside primitive codegen (BigDecimal
+    * per row — measured 2.7× slower per iteration at sf0.1); the LONG
+    * path stays in whole-stage codegen end-to-end. No overflow: the
+    * total rank mass is 1, so any per-node sum < 1e14+ε ≪ 2^63 (and
+    * the long→double cast at ≤1e14 ≪ 2^53 is exact). Each iteration's
+    * rank is re-rounded to 12 dp, so both engines carry bit-identical
+    * doubles into the next round. The node count rides along as a
+    * broadcast scalar — no driver-side collect.
     *
     * Like the component labeller (SimilarityQueries.labelComponents),
     * the iteration localCheckpoints its loop state: a pure-plan loop
     * re-executes iteration k−1 inside iteration k (total work grows
     * quadratically in rounds and the 3-round static plan already held
     * 37 exchanges); truncating lineage keeps per-round work constant
-    * — one edges⋈ranks join + one aggregation — which is the Pregel
-    * contract. Checkpoints are LAZY (eager=false): each state frame
-    * materializes inside the first job that consumes it instead of in
-    * its own blocking job, which measured ~15% faster end-to-end.
-    * Checkpointing changes WHERE results come from, never what they
-    * are, so the DuckDB oracle is unaffected.
+    * — which is the Pregel contract. Checkpoints are LAZY
+    * (eager=false): each state frame materializes inside the first job
+    * that consumes it instead of in its own blocking job, which
+    * measured ~15% faster end-to-end. Checkpointing changes WHERE
+    * results come from, never what they are, so the DuckDB oracle is
+    * unaffected.
+    *
+    * Per-round cost is ONE join + ONE aggregation (r10, was
+    * join+agg+left-join): the source out-degree is attached to the
+    * edge list ONCE up front (`edgesPlus`, static across rounds, so
+    * the divisor travels with the edge instead of with the rank
+    * state), and the rank update happens inside the contribution
+    * aggregation itself — the symmetrized graph gives every node an
+    * in-edge, so the old left-join-back (whose coalesce(csum, 0) arm
+    * was provably dead) re-attached state the aggregate already had.
+    * The rank frame is 2 narrow columns + a constant, always the
+    * broadcast side of the round's join at any SF.
     */
   val pagerank = Q(
     "q_pagerank",
@@ -67,20 +88,26 @@ object GraphQueries extends QueryModule {
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
       val n = deg.groupBy().agg(count(lit(1)).as("n_nodes"))
+      // Static per-edge frame with the SOURCE degree attached; built and
+      // checkpointed once, re-scanned (never re-shuffled) every round.
+      val edgesPlus = edges.join(deg, "a")
+        .select(col("a"), col("b"), col("outdeg"))
+        .localCheckpoint(false)
       var ranks: DataFrame = deg.crossJoin(broadcast(n))
-        .select(col("a").as("node"), col("outdeg"), col("n_nodes"),
+        .select(col("a").as("node"), col("n_nodes"),
           round(lit(1.0) / col("n_nodes"), 12).as("r"))
         .localCheckpoint(false)
       for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks, edges("a") === ranks("node"))
-          .select(col("b"),
-            round(col("r") / col("outdeg"), 14).cast(DecimalType(28, 14)).as("c"))
-        val sums = contrib.groupBy(col("b"))
-          .agg(sum(col("c")).cast(DoubleType).as("csum"))
-        ranks = ranks.join(sums, ranks("node") === sums("b"), "left")
-          .select(col("node"), col("outdeg"), col("n_nodes"),
+        ranks = edgesPlus.join(ranks, col("a") === col("node"))
+          .select(col("b"), col("n_nodes"),
+            floor(col("r") / col("outdeg") * lit(1e14) + lit(0.5))
+              .cast(LongType).as("c"))
+          .groupBy(col("b"))
+          .agg(max(col("n_nodes")).as("n_nodes"), sum(col("c")).as("cl"))
+          .select(col("b").as("node"), col("n_nodes"),
             round(lit(0.15) / col("n_nodes")
-              + lit(0.85) * coalesce(col("csum"), lit(0.0)), 12).as("r"))
+              + lit(0.85) * (col("cl").cast(DoubleType) / lit(1e14)), 12)
+              .as("r"))
           .localCheckpoint(false)
       }
       ranks.select(col("node"), col("r").as("rank_r"))
@@ -97,26 +124,26 @@ object GraphQueries extends QueryModule {
                round(CAST(1 AS DOUBLE) / n_nodes, 12) AS r
         FROM deg CROSS JOIN n),
       c1 AS (
-        SELECT b, CAST(sum(CAST(round(r / outdeg, 14) AS DECIMAL(28,14))) AS DOUBLE) AS csum
+        SELECT b, sum(CAST(floor(r / outdeg * 1e14 + 0.5) AS BIGINT)) AS cl
         FROM edges JOIN r0 ON edges.a = r0.node GROUP BY b),
       r1 AS (
         SELECT node, outdeg, n_nodes,
-               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * coalesce(csum, 0.0), 12) AS r
-        FROM r0 LEFT JOIN c1 ON r0.node = c1.b),
+               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (CAST(cl AS DOUBLE) / 1e14), 12) AS r
+        FROM r0 JOIN c1 ON r0.node = c1.b),
       c2 AS (
-        SELECT b, CAST(sum(CAST(round(r / outdeg, 14) AS DECIMAL(28,14))) AS DOUBLE) AS csum
+        SELECT b, sum(CAST(floor(r / outdeg * 1e14 + 0.5) AS BIGINT)) AS cl
         FROM edges JOIN r1 ON edges.a = r1.node GROUP BY b),
       r2 AS (
         SELECT node, outdeg, n_nodes,
-               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * coalesce(csum, 0.0), 12) AS r
-        FROM r1 LEFT JOIN c2 ON r1.node = c2.b),
+               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (CAST(cl AS DOUBLE) / 1e14), 12) AS r
+        FROM r1 JOIN c2 ON r1.node = c2.b),
       c3 AS (
-        SELECT b, CAST(sum(CAST(round(r / outdeg, 14) AS DECIMAL(28,14))) AS DOUBLE) AS csum
+        SELECT b, sum(CAST(floor(r / outdeg * 1e14 + 0.5) AS BIGINT)) AS cl
         FROM edges JOIN r2 ON edges.a = r2.node GROUP BY b),
       r3 AS (
         SELECT node, outdeg, n_nodes,
-               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * coalesce(csum, 0.0), 12) AS r
-        FROM r2 LEFT JOIN c3 ON r2.node = c3.b)
+               round(CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (CAST(cl AS DOUBLE) / 1e14), 12) AS r
+        FROM r2 JOIN c3 ON r2.node = c3.b)
       SELECT node, r AS rank_r FROM r3
       ORDER BY rank_r DESC, node LIMIT 25""")
   )

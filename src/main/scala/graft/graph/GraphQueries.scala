@@ -317,11 +317,14 @@ object GraphQueries extends QueryModule {
       val msgs = e.join(labels, e("src") === labels("n"))
         .select(col("dst").as("nd"), col("lbl"))
       val cnt = msgs.groupBy(col("nd"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("nd")).orderBy(col("c").desc, col("lbl"))
+      // Mode-with-min-tiebreak as max_by over (count, -label): a pure
+      // hash aggregate replaces the r≤9 row_number sort-window — same
+      // winner (labels are distinct within a node's census, so the
+      // ordering struct never ties), one fewer sort at every scale.
       labels = cnt
-        .select(col("nd").as("n"), col("lbl"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .select(col("n"), col("lbl"))
+        .groupBy(col("nd"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+        .select(col("nd").as("n"), col("lbl"))
         .localCheckpoint(false)
     }
     labels

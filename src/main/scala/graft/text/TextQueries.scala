@@ -1666,10 +1666,87 @@ object TextQueries extends QueryModule {
       FROM k ORDER BY key_r DESC, doc_id LIMIT 25""")
   )
 
+  /** Line-level boilerplate dedup (CCNet / RefinedWeb shape): a "line"
+    * repeated across ≥ 3 DISTINCT documents is boilerplate (headers,
+    * footers, nav chrome, cookie banners) and is dropped from every
+    * document; the per-document report counts surviving lines/tokens.
+    * The driver corpus has no physical newlines, so the line unit is a
+    * non-overlapping 8-token span — the dataflow is identical for
+    * `split(text, '\n')`.
+    *
+    * Scale shape: span extraction is a pure map-side HOF projection;
+    * document frequency is ONE hash aggregation on the span key; the
+    * hot set (df ≥ 3) is SMALL BY DEFINITION (it's the corpus's
+    * repeated chrome, bounded by template count, not corpus size) so it
+    * broadcasts and the mark-join adds no shuffle; per-doc re-aggregation
+    * is one doc_id-keyed exchange. Never all-pairs, never a window over
+    * the corpus. If a pathological corpus made the hot set outgrow the
+    * broadcast threshold, dropping the hint degrades to a shuffle join
+    * on the span key — same results.
+    *
+    * Unlike q_substr_dedup (which finds the longest duplicated RUNS via
+    * overlapping 20-gram islands), this is the cheap exact-line pass
+    * every web-scale pipeline runs FIRST: non-overlapping spans, no
+    * position reasoning, 3 shuffles total.
+    */
+  val lineDedup = Q(
+    "q_line_dedup",
+    (s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0),
+              floor((size(col("ws")) + lit(7)) / lit(8)).cast("int") - 1),
+            i => {
+              val sl = slice(col("ws"), i * 8 + 1, lit(8))
+              struct(concat_ws(" ", sl).as("g"),
+                size(sl).cast(LongType).as("n_tok"))
+            })).as("sp"))
+        .select(col("doc_id"), col("sp.g").as("g"), col("sp.n_tok").as("n_tok"))
+      val hot = spans
+        .groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("g"), lit(1).as("hot"))
+      spans
+        .join(broadcast(hot), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("hot").isNull, 1L).otherwise(0L)).as("n_spans_kept"),
+          sum(when(col("hot").isNull, col("n_tok")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      sp0 AS (
+        SELECT doc_id, ws,
+               unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        FROM tok),
+      sp AS (
+        SELECT doc_id,
+               array_to_string(ws[i * 8 + 1 : least(len(ws), i * 8 + 8)], ' ') AS g,
+               CAST(least(len(ws), i * 8 + 8) - i * 8 AS BIGINT) AS n_tok
+        FROM sp0),
+      hot AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+      j AS (
+        SELECT s.doc_id, s.n_tok, h.g IS NOT NULL AS is_hot
+        FROM sp s LEFT JOIN hot h ON s.g = h.g)
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN is_hot THEN 0 ELSE 1 END) AS BIGINT) AS n_spans_kept,
+             CAST(sum(CASE WHEN is_hot THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
+      FROM j GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   override def all: Seq[Q] =
     Seq(dedup, textTokens, textStats, langId, fingerprint, textBpe, rollingHash,
       textNormalize, sampleStratified, sampleExactK, curation, piiScrub,
       repetition, contamination, substrDedup, pack, vocab, bigramScore,
       tfidf, mixSample, bpeTrain, bpeApply, entropy, chunk, winnow,
-      qualityClf, colloc, countMin, dupeStats, bm25, weightedSample)
+      qualityClf, colloc, countMin, dupeStats, bm25, weightedSample,
+      lineDedup)
 }

@@ -63,6 +63,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q_cosine_topk" -> 2,      // corpus never shuffles; window + sort
     "q_profile" -> 2,          // single-pass profile (distinct expand)
     "q_ann_ivf" -> 2,          // map-side cell assignment; window + sort only
+    "q_pq_adc" -> 2,           // map-side encode + broadcast probes; window + sort only
+    "q_line_dedup" -> 4,       // span-DF distinct-agg (2: (g,doc) dedup + g count) +
+                               // per-doc agg + final sort; hot set broadcasts
     "q_setops" -> 2,           // one flag-OR agg + final sort
     "q_lang_id" -> 2,          // tokenize-once projection + agg + sort
     "q_sample_exact_k" -> 3,   // 2-phase top-k: (lang,sub) + lang + sort

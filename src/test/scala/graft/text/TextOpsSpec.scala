@@ -437,4 +437,24 @@ class TextOpsSpec extends AnyFunSuite {
       s"char-weighted sampling must overrepresent long docs " +
         s"(sample $sampleMean vs corpus $corpusMean)")
   }
+
+  test("q_line_dedup drops a span repeated across >= 3 docs, keeps rarer spans") {
+    // Footer = exactly one 8-token span, planted at position 0 so it
+    // lands on the non-overlapping span grid in every carrier doc.
+    val footer = "copyright acme corp all rights reserved contact us"
+    val dir = docsDir(Seq(
+      s"$footer one two three four five six seven eight",  // doc 0: footer + 1 span
+      s"$footer nine ten eleven twelve thirteen fourteen fifteen sixteen", // doc 1
+      s"$footer unique tail of doc two only here present", // doc 2
+      "entirely fresh words that no other document shares at all today")) // doc 3
+    val out = TextQueries.lineDedup.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // carriers: 2 spans total, footer dropped -> 1 kept, 8 tokens kept
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(out(id) === ((2L, 1L, 8L)), s"doc $id")
+    }
+    // doc 3: 11 tokens -> spans of 8 + 3, nothing hot, all kept
+    assert(out(3L) === ((2L, 2L, 11L)))
+  }
 }

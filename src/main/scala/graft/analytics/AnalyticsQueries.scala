@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -72,6 +72,152 @@ object AnalyticsQueries extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
     None
+  )
+
+  /** KMV hash in [0,1): 32-bit md5 prefix over 2^32. Exactly
+    * reproducible in DuckDB (same hex prefix, and division by a power
+    * of two is IEEE-exact), which is what makes the WHOLE sketch —
+    * not just its estimate — oracle-verifiable, unlike HLL's
+    * engine-specific registers. */
+  private def kmvH(user: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), user.cast("string"))), 1, 8), 16, 10)
+      .cast(LongType) / lit(4294967296.0)
+
+  /** The KMV sketch of a (key, user) relation: the ≤ k smallest
+    * distinct hash values per key (exposed for the mergeability spec —
+    * union two sketches, keep the k smallest, and you have the sketch
+    * of the union, the property that lets 100 TB of daily partials
+    * merge without re-scanning history). */
+  private[analytics] def kmvSketch(df: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    df.select(col("event_type"), kmvH(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** K-minimum-values distinct sketch per event segment — the
+    * third sketch family beside HLL (distinct estimate only) and
+    * Count-Min (frequency): KMV keeps the k = 64 smallest distinct
+    * hash values, estimates distinct as (k−1)/h_k, and — unlike HLL —
+    * supports SET OPERATIONS on the retained values
+    * ([[kmvOverlap]]). Fully oracle-verified because the hash is an
+    * md5 prefix both engines compute identically; sets with ≤ k
+    * members are reported exactly (the standard KMV small-set path).
+    *
+    * Scale shape: one distinct aggregation on (segment, h), then a
+    * TWO-PHASE top-k (rank inside 32 hash sub-buckets first, then per
+    * segment — the q_sample_exact_k pattern) so a hot segment's
+    * billions of users never sort in a single task; post-aggregation
+    * state is k rows per segment. Sketches merge associatively
+    * (AnalyticsSpec pins partials-union == one-shot).
+    */
+  val kmvQ = Q(
+    "q_kmv",
+    (s, dir) => {
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("sub")).orderBy(col("h"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("h"))
+      val hs = events(s, dir)
+        .select(col("event_type"), kmvH(col("user_id")).as("h"))
+        .distinct()
+      val nh = hs.groupBy(col("event_type")).agg(count(lit(1)).as("nh"))
+      val est = when(col("nh") <= 64, col("nh").cast(DoubleType))
+        .otherwise(lit(63.0) / col("kth_h"))
+      hs.withColumn("sub", pmod(hash(col("h")), lit(32)))
+        .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 64)
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") <= 64)
+        .groupBy(col("event_type"))
+        .agg(max(col("rk")).cast(LongType).as("k_used"), max(col("h")).as("kth_h"))
+        .join(nh, Seq("event_type"))
+        .select(col("event_type"), col("k_used"),
+          round(col("kth_h"), 9).as("kth_h_r"),
+          round(est, 6).as("est_r"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hs AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS h
+        FROM events),
+      nh AS (SELECT event_type, count(*) AS nh FROM hs GROUP BY 1),
+      r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hs),
+      tk AS (
+        SELECT event_type, CAST(max(rk) AS BIGINT) AS k_used, max(h) AS kth_h
+        FROM r WHERE rk <= 64 GROUP BY 1)
+      SELECT t.event_type, t.k_used, round(t.kth_h, 9) AS kth_h_r,
+             round(CASE WHEN n.nh <= 64 THEN CAST(n.nh AS DOUBLE)
+                        ELSE 63.0 / t.kth_h END, 6) AS est_r
+      FROM tk t JOIN nh n USING (event_type) ORDER BY event_type""")
+  )
+
+  /** KMV set-operation estimates — the query HLL cannot answer: how
+    * many users did segments A ('view') and B ('click') SHARE? The
+    * union sketch is the k smallest distinct hashes across both
+    * segments (computed with a distributed TakeOrdered top-k, never a
+    * global sort); Jaccard ≈ matches/k where a match is a retained
+    * hash present in both segments; intersection ≈ Jaccard × union
+    * estimate. A hash shared by two colliding users inherits both
+    * memberships (the per-h max-flag fold) — sketch semantics operate
+    * on hash VALUES, and the oracle folds identically. Small unions
+    * (≤ k) degrade to exact counts on both engines.
+    */
+  val kmvOverlap = Q(
+    "q_kmv_overlap",
+    (s, dir) => {
+      val hset = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("ua"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("ub"))
+        .select(kmvH(col("user_id")).as("h"), col("ua"), col("ub"))
+        .groupBy(col("h"))
+        .agg(max(col("ua")).as("in_a"), max(col("ub")).as("in_b"))
+      val census = hset.agg(count(lit(1)).as("n_union"))
+      val sk = hset.orderBy(col("h")).limit(64)
+        .agg(
+          count(lit(1)).cast(LongType).as("k_used"),
+          max(col("h")).as("kth_h"),
+          sum(col("in_a") * col("in_b")).cast(LongType).as("matches"))
+      val uEst = when(col("n_union") <= 64, col("n_union").cast(DoubleType))
+        .otherwise(lit(63.0) / col("kth_h"))
+      sk.crossJoin(broadcast(census))
+        .select(col("k_used"), col("matches"),
+          round(uEst, 6).as("union_est_r"),
+          round(col("matches").cast(DoubleType) / col("k_used") * uEst, 6)
+            .as("inter_est_r"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ua,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ub
+        FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id),
+      hset AS (
+        SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS h,
+               max(ua) AS in_a, max(ub) AS in_b
+        FROM f GROUP BY 1),
+      census AS (SELECT count(*) AS n_union FROM hset),
+      r AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk FROM hset),
+      sk AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_h,
+               CAST(sum(in_a * in_b) AS BIGINT) AS matches
+        FROM r WHERE rk <= 64)
+      SELECT k_used, matches,
+             round(CASE WHEN n_union <= 64 THEN CAST(n_union AS DOUBLE)
+                        ELSE 63.0 / kth_h END, 6) AS union_est_r,
+             round(CAST(matches AS DOUBLE) / k_used
+                   * CASE WHEN n_union <= 64 THEN CAST(n_union AS DOUBLE)
+                          ELSE 63.0 / kth_h END, 6) AS inter_est_r
+      FROM sk CROSS JOIN census""")
   )
 
   /** ROLLUP — hierarchical subtotals region → nation → grand total.
@@ -3677,7 +3823,8 @@ object AnalyticsQueries extends QueryModule {
   )
 
   override def all: Seq[Q] = Seq(
-    distinctQ, countDistinctQ, hllDistinct, rollupQ, cubeQ, groupingSetsQ,
+    distinctQ, countDistinctQ, hllDistinct, kmvQ, kmvOverlap,
+    rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
     topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, saltedAggQ,

@@ -492,4 +492,48 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().head
     assert((rr, c) === cells, "marginal dimensions must match the data")
   }
+
+  test("KMV merges: per-day sketch partials unioned == one-shot sketch") {
+    // The associativity that makes KMV a 100 TB sketch: union two
+    // partials, keep the k smallest distinct hashes, and you have
+    // EXACTLY the sketch of the union — daily partials never re-scan
+    // history. (HLL has the same property but opaque registers; KMV's
+    // retained values are plain doubles, so the equality is exact.)
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.01")
+    def sk(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
+      AnalyticsQueries.kmvSketch(df, 64)
+        .select(col("event_type"), col("h")).as[(String, Double)]
+        .collect().toSeq.groupBy(_._1).map { case (t, hs) =>
+          t -> hs.map(_._2).sorted
+        }
+    val day1 = sk(ev.filter(col("event_id") % 2 === 0))
+    val day2 = sk(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = (day1.keySet ++ day2.keySet).map { t =>
+      t -> (day1.getOrElse(t, Nil) ++ day2.getOrElse(t, Nil))
+        .distinct.sorted.take(64)
+    }.toMap
+    assert(merged === sk(ev), "merged KMV partials diverged from one-shot")
+  }
+
+  test("q_kmv: small sets report exactly; estimator lands near truth at 150 users") {
+    import spark.implicits._
+    // Planted small segment: 10 distinct users -> exact path (est == 10).
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    (0 until 40).map(i =>
+      (i.toLong, (i % 10).toLong,
+        new java.sql.Timestamp(1704067200000L + i * 1000L), "view", "{}", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val small = AnalyticsQueries.kmvQ.run(spark, dir)
+      .select(col("k_used"), col("est_r")).as[(Long, Double)].collect().head
+    assert(small === ((10L, 10.0)), "<= k distinct users must report exactly")
+    // Driver corpus: 150 distinct users per segment, k=64 -> rsd ~13%;
+    // 35% is a loose 2.5-sigma band (the estimate is deterministic, so
+    // this is a regression pin, not a flaky statistical test).
+    val est = AnalyticsQueries.kmvQ.run(spark, "/root/testdata/sf0.01")
+      .select(col("est_r")).as[Double].collect()
+    est.foreach(e => assert(math.abs(e - 150.0) / 150.0 < 0.35,
+      s"KMV estimate $e strayed from the exact 150"))
+  }
 }

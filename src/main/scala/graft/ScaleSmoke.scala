@@ -142,7 +142,8 @@ object ScaleSmoke {
       "q_link_predict","q_bm25","q_weighted_sample","q_stickiness",
       "q_mutual_info","q_confusion","q_calibration","q_l_diversity",
       "q_anova","q_cramers_v",
-      "q_kcore","q_rrf","q_pq_adc","q_line_dedup","q_kmv","q_kmv_overlap")
+      "q_kcore","q_rrf","q_pq_adc","q_line_dedup","q_kmv","q_kmv_overlap",
+      "q_closeness")
       .foreach(time)
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is

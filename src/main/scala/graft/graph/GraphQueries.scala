@@ -285,6 +285,73 @@ object GraphQueries extends QueryModule {
       SELECT n, min(hops) AS hops FROM bfs GROUP BY n ORDER BY n""")
   )
 
+  /** Landmark closeness centrality — the scalable stand-in for exact
+    * closeness (which needs all-pairs shortest paths): BFS from a
+    * fixed set of 4 landmark nodes (suppliers 1–2, parts 1–2 in the
+    * shared node domain) and report, per landmark, how central it sits
+    * (reached count, total hops, closeness = (reached−1)/Σhops).
+    *
+    * Scale shape: ALL landmarks advance in ONE frontier keyed by
+    * (lm, n) — the multi-source trick that makes k landmarks cost one
+    * BFS with k× state instead of k sequential BFS jobs. Per round:
+    * one equi-join frontier ⋈ edges, one (lm, n) distinct, one
+    * anti-join against the visited set — the q_bfs idiom with the
+    * landmark riding the key; lazy checkpoints truncate lineage per
+    * round. Landmark count is the knob: production uses O(100)
+    * landmarks for approximate closeness over billions of nodes
+    * (Eppstein–Wang style), same dataflow.
+    *
+    * Determinism: hop counts are integers, closeness is one
+    * correctly-rounded double divide of integer-exact operands —
+    * cross-engine identical; isolated landmarks (Σhops = 0) yield NULL
+    * on both engines.
+    */
+  val closeness = Q(
+    "q_closeness",
+    (s, dir) => {
+      import s.implicits._
+      val e0 = coPurchaseEdges(s, dir).toDF("src", "dst")
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Seq(2L, 3L, 4L, 5L).map(x => (x, x, 0L))
+      var dist = seeds.toDF("lm", "n", "hops").localCheckpoint(false)
+      var frontier = dist
+      for (r <- 1 to 6) {
+        val next = frontier
+          .join(edges, frontier("n") === edges("src"))
+          .select(col("lm"), col("dst").as("n"), lit(r.toLong).as("hops"))
+          .distinct()
+          .join(dist, Seq("lm", "n"), "left_anti")
+          .localCheckpoint(false)
+        dist = dist.union(next)
+        frontier = next
+      }
+      dist
+        .groupBy(col("lm"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("hops")).as("sum_hops"))
+        .select(col("lm"), col("n_reached"), col("sum_hops"),
+          when(col("sum_hops") > 0,
+            round((col("n_reached") - 1).cast(DoubleType) / col("sum_hops"), 9))
+            .as("closeness_r"))
+        .orderBy(col("lm"))
+    },
+    Some(s"""
+      WITH RECURSIVE $coPurchaseEdgesSql,
+      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      seeds AS (SELECT unnest([2, 3, 4, 5]) AS lm),
+      bfs(lm, n, hops) AS (
+        SELECT CAST(lm AS BIGINT), CAST(lm AS BIGINT), CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT b.lm, e.dst, b.hops + 1
+        FROM bfs b JOIN edges e ON e.src = b.n
+        WHERE b.hops < 6),
+      d AS (SELECT lm, n, min(hops) AS hops FROM bfs GROUP BY lm, n)
+      SELECT lm, count(*) AS n_reached,
+             CAST(sum(hops) AS BIGINT) AS sum_hops,
+             CASE WHEN sum(hops) > 0
+                  THEN round((count(*) - 1) * 1.0 / sum(hops), 9) END AS closeness_r
+      FROM d GROUP BY lm ORDER BY lm""")
+  )
+
   /** Community detection by synchronous label propagation (3 fixed
     * rounds) over the co-purchase graph — the cheap community
     * primitive (near-linear per round) used where modularity solvers
@@ -514,5 +581,6 @@ object GraphQueries extends QueryModule {
   )
 
   override def all: Seq[Q] =
-    Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict, kcore)
+    Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict, kcore,
+      closeness)
 }

@@ -211,6 +211,24 @@ class GraphQueriesSpec extends AnyFunSuite {
       s"cascade mismatch: ${out.mkString(",")}")
   }
 
+  test("q_closeness: hand-computed path graph (2-3-4-5) matches exactly") {
+    // lineitem pairs (1,1),(2,2),(2,1) encode the path 2—3—4—5 in the
+    // shared node domain (supplier s -> 2s, part p -> 2p+1):
+    // (1,1) -> 2—3, (2,2) -> 4—5, (2,1) -> 4—3.
+    val dir = java.nio.file.Files.createTempDirectory("clgraph").toString
+    Seq((1L, 1L), (2L, 2L), (2L, 1L))
+      .toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphQueries.closeness.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // ends reach the other 3 in 1+2+3 = 6 hops (closeness 0.5);
+    // middles in 1+1+2 = 4 hops (closeness 0.75)
+    assert(got === Seq(
+      (2L, 4L, 6L, 0.5), (3L, 4L, 4L, 0.75),
+      (4L, 4L, 4L, 0.75), (5L, 4L, 6L, 0.5)))
+  }
+
   test("q_kcore: rounds are monotonically non-increasing and end consistent") {
     val out = GraphQueries.kcore.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

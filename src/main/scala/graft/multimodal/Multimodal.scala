@@ -879,4 +879,156 @@ object Multimodal {
     }.toDF("media_id", "kind", "payload", "meta")
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }
+
+  /** Deterministic WAV corpus with planted cross-sample-rate twins:
+    * ids k and idOffset+k render the SAME seed-keyed 8-segment
+    * amplitude melody, but at 8 kHz vs 16 kHz and with the twin's
+    * gain scaled ×0.8 — the re-encoded-audio arrival every ingest
+    * pipeline sees. Written through the real `javax.sound.sampled`
+    * encoder like [[syntheticWavCorpus]]. Different seeds play
+    * different amplitude patterns, so only planted twins should pair.
+    */
+  def syntheticWavDupCorpus(
+      spark: SparkSession, n: Int, idOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map { id0 =>
+        val id = id0 + idOffset
+        val twin = idOffset > 0
+        val rate = if (twin) 16000 else 8000
+        val gain = if (twin) 0.8 else 1.0
+        val seed = id0.toInt
+        val segFrames = rate / 10 // 8 segments x 0.1s
+        val frames = segFrames * 8
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val seg = i / segFrames
+          // splitmix64 avalanche: distinct seeds must get distinct
+          // 8-level melodies (weaker mixes collide at short seed
+          // periods and plant unintended duplicate classes)
+          var z = seed * 1000003L + seg + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val lvl = ((z ^ (z >>> 31)) >>> 8) % 8
+          val amp = (2000 + 1500 * lvl) * gain
+          val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        val bytes = out.toByteArray
+        (id, "audio", bytes, ("synthetic-wav", "audio/wav", bytes.length.toLong))
+      })
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
+  /** One audio row's 64-bit energy-envelope signature: decode to PCM
+    * ([[audioMeta]]'s real `javax.sound.sampled` path), split the clip
+    * into 16 equal TIME windows, take mean |amplitude| per window,
+    * normalize by the clip's overall mean (gain invariance), quantize
+    * each ratio to 4 bits (sample-rate invariance falls out of the
+    * windows being time-relative). The audio analogue of the frame
+    * aHash: computed map-side, payloads never shuffle. */
+  final case class AudioSig(media_id: Long, env_sig: Long, n_frames: Long)
+
+  def audioEnvelopes(media: DataFrame): Dataset[AudioSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        if (payload == null || payload.isEmpty) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+            else {
+              val bytes = in.readAllBytes()
+              val n = bytes.length / 2
+              if (n < 16) None
+              else {
+                val abs = new Array[Double](n)
+                var i = 0
+                while (i < n) {
+                  val lo = bytes(2 * i) & 0xff
+                  val hi = bytes(2 * i + 1).toInt
+                  val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                          else (hi << 8) | lo
+                  abs(i) = math.abs(s.toDouble)
+                  i += 1
+                }
+                val g = abs.sum / n
+                if (g <= 0) None
+                else {
+                  var sig = 0L
+                  var w = 0
+                  while (w < 16) {
+                    val from = (w.toLong * n / 16).toInt
+                    val until = ((w + 1).toLong * n / 16).toInt
+                    var m = 0.0
+                    var j = from
+                    while (j < until) { m += abs(j); j += 1 }
+                    m /= math.max(1, until - from)
+                    val nib = math.min(15L, math.floor(m / g * 8.0).toLong)
+                    sig |= nib << (4 * w)
+                    w += 1
+                  }
+                  Some(AudioSig(id, sig, n.toLong))
+                }
+              }
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => None
+        }
+      })
+  }
+
+  /** Audio near-dup pairs over the envelope signatures: 8 bands of 8
+    * bits (2 nibbles) generate candidates — same Σ bucket² economics
+    * as the video banding, never all-pairs — and the refined distance
+    * is the L1 over the 16 quantized nibbles (a ±1 quantization
+    * wobble costs 1, where bit-Hamming would charge up to 4). */
+  def audioDupPairs(media: DataFrame, maxL1: Int = 8): DataFrame = {
+    val sigs = audioEnvelopes(media).toDF()
+      .select(col("media_id"), col("env_sig"))
+      .localCheckpoint(true) // decode runs once, not once per join side
+    val banded = sigs.select(
+      col("media_id"), col("env_sig"),
+      explode(array((0 until 8).map(b =>
+        struct(
+          lit(b).as("band_id"),
+          shiftright(col("env_sig"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*))
+        .as("b"))
+      .select(col("media_id"), col("env_sig"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val l1 = (0 until 16).map { i =>
+      abs(shiftright(col("a.env_sig"), i * 4).bitwiseAND(lit(15L)) -
+        shiftright(col("b.env_sig"), i * 4).bitwiseAND(lit(15L)))
+    }.reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.band_id").as("band_id"), l1.as("l1_dist"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_bands_matched"), min(col("l1_dist")).as("l1_dist"))
+      .filter(col("l1_dist") <= maxL1)
+      .select(col("id1"), col("id2"), col("l1_dist"), col("n_bands_matched"))
+  }
 }

@@ -109,5 +109,28 @@ object MultimodalQueries extends QueryModule {
     },
     None)
 
-  override def all: Seq[Q] = Seq(imageHash, audioMetaQ, videoMetaQ, videoDupQ)
+  /** Cross-sample-rate AUDIO dedup, timed — completes the dedup
+    * column of the modality matrix (image aHash ✓, video frame-sig ✓,
+    * audio was meta-only): 60 synthetic melodies rendered twice (8 kHz
+    * full-gain and 16 kHz at ×0.8 gain, ids k and 1000+k), decoded
+    * through the real `javax.sound.sampled` path, signed with the
+    * 16-window energy envelope ([[Multimodal.audioEnvelopes]] — gain-
+    * normalized and time-relative, so re-encoding cannot hide the
+    * twin), and paired via 8-bit banding + nibble-L1 refine
+    * ([[Multimodal.audioDupPairs]]). Rows-only by design (DuckDB
+    * decodes no WAV); MultimodalSpec pins planted recall and the
+    * no-false-pairs property.
+    */
+  val audioDupQ = Q(
+    "q_audio_dup",
+    (s, _) => {
+      val media = Multimodal.syntheticWavDupCorpus(s, 60)
+        .unionByName(Multimodal.syntheticWavDupCorpus(s, 60, idOffset = 1000L))
+      Multimodal.audioDupPairs(media, maxL1 = 8)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  override def all: Seq[Q] =
+    Seq(imageHash, audioMetaQ, videoMetaQ, videoDupQ, audioDupQ)
 }

@@ -413,4 +413,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(4) === 1) // mono corpus
     }
   }
+
+  test("audioDupPairs: cross-sample-rate twins surface; no cross-melody pairs") {
+    // 20 melodies at 8 kHz (ids 0-19) + the same 20 at 16 kHz with
+    // x0.8 gain (ids 1000-1019): the envelope signature must be
+    // gain- and rate-invariant enough to pair every twin, and
+    // discriminative enough to pair NOTHING else.
+    val media = Multimodal.syntheticWavDupCorpus(spark, 20)
+      .unionByName(Multimodal.syntheticWavDupCorpus(spark, 20, idOffset = 1000L))
+    val pairs = Multimodal.audioDupPairs(media, maxL1 = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val twins = pairs.filter { case (a, b, _) => b - a == 1000L }
+    assert(twins.size === 20, s"lost twins: ${20 - twins.size} of 20")
+    assert(pairs.size === twins.size,
+      s"false pairs: ${pairs.filterNot { case (a, b, _) => b - a == 1000L }}")
+    twins.foreach { case (_, _, l1) =>
+      assert(l1 <= 8, s"twin drifted past the L1 budget: $l1")
+    }
+  }
+
+  test("audioEnvelopes: signature is exactly gain-invariant on identical PCM") {
+    // Same clip twice at the same rate, one at half gain: normalization
+    // must cancel the scale exactly (integer PCM halving is not exact,
+    // so allow the +/-1 nibble wobble but nothing more).
+    val media = Multimodal.syntheticWavDupCorpus(spark, 3)
+    val sigs = Multimodal.audioEnvelopes(media).collect()
+    assert(sigs.length === 3)
+    sigs.foreach(s => assert(s.env_sig != 0L, s"degenerate signature for ${s.media_id}"))
+  }
 }

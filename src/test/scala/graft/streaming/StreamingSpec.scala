@@ -141,6 +141,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k ranks a window's types when the watermark closes it; state frees") {
+    // Window 00:00–00:01 gets click x3, view x2, idle x1. Batch 2
+    // advances the watermark past the window end (+2 min lateness), so
+    // the window's state ranks itself, emits top-2, and is removed;
+    // the late batch-2 window stays open and emits nothing.
+    val dir = Files.createTempDirectory("topk_stream").toString
+    Files.write(Paths.get(dir, "b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:05.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:10.000Z","user_id":2,"event_type":"click","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:00:15.000Z","user_id":3,"event_type":"click","value":1.0}""",
+      """{"event_id":4,"ts":"2024-01-01T00:00:20.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":5,"ts":"2024-01-01T00:00:25.000Z","user_id":2,"event_type":"view","value":1.0}""",
+      """{"event_id":6,"ts":"2024-01-01T00:00:30.000Z","user_id":3,"event_type":"idle","value":1.0}"""
+    ).mkString("\n").getBytes)
+    val q = WindowTopK.trending(spark, dir, k = 2)
+      .writeStream.format("memory").queryName("trending").outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark still below the window end: nothing emits
+      assert(spark.sql("SELECT * FROM trending").count() === 0L,
+        "a window must not emit before the watermark closes it")
+      Files.write(Paths.get(dir, "b2.json"), Seq(
+        """{"event_id":7,"ts":"2024-01-01T00:05:00.000Z","user_id":9,"event_type":"view","value":1.0}"""
+      ).mkString("\n").getBytes)
+      q.processAllAvailable() // watermark 00:03 > 00:01 window end -> emit
+      val rows = spark.sql(
+        "SELECT cast(w_start AS STRING) w, event_type, n, rk FROM trending ORDER BY rk")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 00:00:00", "click", 3L, 1),
+        ("2024-01-01 00:00:00", "view", 2L, 2)),
+        "top-2 of the closed window must rank click(3) over view(2) and drop idle(1)")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich joins each micro-batch, keeps misses with default") {
     import spark.implicits._
     val dir = Files.createTempDirectory("enrich_in").toString

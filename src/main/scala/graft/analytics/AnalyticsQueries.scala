@@ -497,6 +497,44 @@ object AnalyticsQueries extends QueryModule {
       WHERE rn <= 5 ORDER BY c_mktsegment, rn""")
   )
 
+  /** [[topK]] re-expressed through the CUSTOM WHOLE-OPERATOR path
+    * ([[graft.plans.TopKPerKey]]: logical node + planner strategy +
+    * partial/final physical execs injected via SparkSessionExtensions)
+    * — identical rows, identical oracle, different physics: the
+    * window idiom shuffles the whole table then sorts it; the custom
+    * operator reduces every input partition to ≤ keys × k rows with a
+    * bounded heap BEFORE the exchange (partial-aggregation economics
+    * for top-k, which Spark's window operator cannot exploit). The
+    * residual row_number that materializes `rn` runs over the ≤ 25
+    * surviving rows and reuses the operator's key clustering — no
+    * second exchange (plan-contract pinned).
+    */
+  val topKNative = Q(
+    "q_topk_native",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      val top = graft.plans.TopKPerKey(
+        base, Seq("c_mktsegment"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), 5)
+      val w = Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      top
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer)
+      WHERE rn <= 5 ORDER BY c_mktsegment, rn""")
+  )
+
   /** Sessionization — lag/lead gap detection on the event stream: a new
     * session starts after a >30 min silence; sessions-per-user via a
     * running flag sum. Partitioned by user (bounded per-user history);
@@ -3826,7 +3864,7 @@ object AnalyticsQueries extends QueryModule {
     distinctQ, countDistinctQ, hllDistinct, kmvQ, kmvOverlap,
     rollupQ, cubeQ, groupingSetsQ,
     mapFns, windowRank, windowFrame,
-    topK, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
+    topK, topKNative, sessionize, setOps, joinSmj, semiJoin, rangeJoin, sortLimit, asofJoin,
     percentile, approxPercentile, windowRange, saltedJoinQ, saltedAggQ,
     pivotQ, argmax,
     outerJoin, profile, mergeUpsert, resample, ntileQ, corrQ, windowStats,

@@ -128,5 +128,9 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args.head, args(1))
       }))
+    // Whole-operator extension: the partial/final per-key top-k
+    // physical operator (graft.plans.TopKPerKey) — planner strategy,
+    // not a function, so the logical node plans wherever it appears.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

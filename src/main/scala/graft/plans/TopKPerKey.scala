@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: per-key top-k as a FIRST-CLASS
+  * physical operator instead of the `row_number().over(...)` +
+  * `filter(rn <= k)` window idiom.
+  *
+  * Why it exists (the 100 TB argument): the window idiom shuffles the
+  * ENTIRE input on the partition key, then sorts every partition,
+  * before the filter throws almost all of it away. This operator plans
+  * as two stages — a PARTIAL stage that runs a bounded heap per key on
+  * each input partition (map-side, before any exchange, reducing each
+  * partition to ≤ keys × k rows), then the key-clustered exchange that
+  * `EnsureRequirements` inserts to satisfy the FINAL stage's
+  * distribution requirement, then the same bounded-heap merge. Rows
+  * crossing the wire drop from N to ≤ partitions × keys × k — the same
+  * partial-aggregation economics `groupBy().agg()` gets for free, which
+  * Spark's window operator cannot exploit (SPARK-37099's group-limit
+  * optimization covers only `rank`-style filters planned from SQL
+  * windows; this node is the general, directly-targetable form).
+  *
+  * The logical node carries resolved key/order expressions; the
+  * strategy plans partial + final execs; heap memory is bounded by
+  * distinct-keys-per-partition × k rows (the operator's documented
+  * contract — a high-cardinality key with large k belongs back in the
+  * sort-based window).
+  */
+final case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "top-k needs k > 0")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: logical top-k → partial exec (any distribution)
+  * feeding a final exec that REQUIRES clustering on the keys —
+  * `EnsureRequirements` inserts the single hash exchange between them,
+  * exactly like partial/final aggregation. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  // pass the exchange's key clustering through, so a downstream
+  // same-key window/aggregate reuses it instead of re-shuffling
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      // per-partition: codegen'd key projection + row ordering
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      // heap head = WORST retained row, so a better row evicts it
+      val worstFirst = ordering.reverse
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.offer(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.offer(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap { h =>
+        // emit in sort order (cheap: ≤ k rows) so downstream ranking
+        // over the survivors is a near-no-op
+        h.asScala.toArray.sorted(ordering: Ordering[InternalRow]).iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Public DataFrame API over the custom operator. Requires the session
+  * to carry [[graft.functions.GraftExtensions.register]] (which injects
+  * [[TopKPerKeyStrategy]]). */
+object TopKPerKey {
+  /** Top `k` rows per distinct value of `keyCols`, ordered by
+    * `order` (e.g. `col("x").desc, col("id").asc` — make the order
+    * total or ties make the result nondeterministic, same contract as
+    * `row_number`). */
+  def apply(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def expression(c: Column): Expression =
+      org.apache.spark.sql.classic.GraftPlanBridge.expression(spark, c)
+    val keyExprs: Seq[Expression] = keyCols.map(n => expression(df.col(n)))
+    val sortOrders: Seq[SortOrder] = order.map(c => expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(
+      spark, TopKPerKeyNode(keyExprs, sortOrders, k, plan))
+  }
+}

@@ -67,6 +67,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_kmv" -> 6,              // (type,h) distinct + census agg + 2-phase top-k windows +
                                // final agg + sort; only the distinct moves corpus-sized data
     "q_kmv_overlap" -> 4,      // per-user flag agg + per-h fold + TakeOrdered + single-row agg
+    "q_topk_native" -> 2,      // custom partial/final top-k: ONE clustered exchange
+                               // (window reuses it) + final sort
     "q_line_dedup" -> 4,       // span-DF distinct-agg (2: (g,doc) dedup + g count) +
                                // per-doc agg + final sort; hot set broadcasts
     "q_setops" -> 2,           // one flag-OR agg + final sort

@@ -500,14 +500,15 @@ object AnalyticsQueries extends QueryModule {
   /** [[topK]] re-expressed through the CUSTOM WHOLE-OPERATOR path
     * ([[graft.plans.TopKPerKey]]: logical node + planner strategy +
     * partial/final physical execs injected via SparkSessionExtensions)
-    * — identical rows, identical oracle, different physics: the
-    * window idiom shuffles the whole table then sorts it; the custom
-    * operator reduces every input partition to ≤ keys × k rows with a
-    * bounded heap BEFORE the exchange (partial-aggregation economics
-    * for top-k, which Spark's window operator cannot exploit). The
-    * residual row_number that materializes `rn` runs over the ≤ 25
-    * surviving rows and reuses the operator's key clustering — no
-    * second exchange (plan-contract pinned).
+    * — identical rows, identical oracle, different physics: Spark's
+    * own rank-limit inference (SPARK-37099) gives [[topK]] the same
+    * partial/final WIRE reduction, but each WindowGroupLimit stage
+    * still fully SORTS its partition before walking it; the custom
+    * operator keeps a bounded per-key heap instead — O(n log k), no
+    * partition sort, no spill surface. The residual row_number that
+    * materializes `rn` runs over the ≤ 25 surviving rows and reuses
+    * the operator's key clustering — no second exchange
+    * (plan-contract pinned).
     */
   val topKNative = Q(
     "q_topk_native",

@@ -11,22 +11,23 @@ import org.apache.spark.sql.catalyst.plans.physical.{
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension: per-key top-k as a FIRST-CLASS
-  * physical operator instead of the `row_number().over(...)` +
-  * `filter(rn <= k)` window idiom.
+  * physical operator, directly targetable instead of the
+  * `row_number().over(...)` + `filter(rn <= k)` window idiom.
   *
-  * Why it exists (the 100 TB argument): the window idiom shuffles the
-  * ENTIRE input on the partition key, then sorts every partition,
-  * before the filter throws almost all of it away. This operator plans
-  * as two stages — a PARTIAL stage that runs a bounded heap per key on
-  * each input partition (map-side, before any exchange, reducing each
-  * partition to ≤ keys × k rows), then the key-clustered exchange that
-  * `EnsureRequirements` inserts to satisfy the FINAL stage's
-  * distribution requirement, then the same bounded-heap merge. Rows
-  * crossing the wire drop from N to ≤ partitions × keys × k — the same
-  * partial-aggregation economics `groupBy().agg()` gets for free, which
-  * Spark's window operator cannot exploit (SPARK-37099's group-limit
-  * optimization covers only `rank`-style filters planned from SQL
-  * windows; this node is the general, directly-targetable form).
+  * Prior art, stated precisely: since SPARK-37099 Spark itself infers
+  * a Partial/Final `WindowGroupLimit` pair for the rank-filter idiom,
+  * so the WIRE-reduction (≤ keys × k rows crossing the exchange) is
+  * matched by the built-in path. What the built-in path still pays is
+  * the SORT: each WindowGroupLimit stage first fully sorts its input
+  * partition (O(n log n) comparisons, sort buffers, a spill surface)
+  * and then walks it. This operator keeps a bounded HEAP per key
+  * instead — O(n log k) with k-row state per key, no partition-wide
+  * sort, no spill path — and is an explicit logical node, so it works
+  * where the inference can't fire (top-k without materializing a rank
+  * column, k decided programmatically, order expressions that aren't a
+  * window's). The plan shape is the same partial → one clustered
+  * exchange (inserted by `EnsureRequirements`) → final merge economics
+  * that partial aggregation gets.
   *
   * The logical node carries resolved key/order expressions; the
   * strategy plans partial + final execs; heap memory is bounded by

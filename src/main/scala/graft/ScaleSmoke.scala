@@ -60,14 +60,58 @@ object ScaleSmoke {
       (col("id") / 6).cast("long").as("l_orderkey"), // ~6 items/basket
       pmod(hash(col("id") * 7 + 1), lit(30000)).cast("long").as("l_partkey"),
       pmod(hash(col("id") * 13 + 5), lit(3000)).cast("long").as("l_suppkey"),
+      (pmod(hash(col("id") * 61 + 37), lit(7)) + 1).cast("int").as("l_linenumber"),
       // cent-valued measures for the one-pass correlation matrix
       (pmod(hash(col("id") * 41 + 13), lit(5000)) / lit(100.0) + lit(1.0))
         .as("l_quantity"),
       (pmod(hash(col("id") * 43 + 19), lit(9000000)) / lit(100.0) + lit(900.0))
         .as("l_extendedprice"),
       (pmod(hash(col("id") * 47 + 23), lit(11)) / lit(100.0)).as("l_discount"),
-      (pmod(hash(col("id") * 53 + 29), lit(9)) / lit(100.0)).as("l_tax"))
+      (pmod(hash(col("id") * 53 + 29), lit(9)) / lit(100.0)).as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        pmod(hash(col("id") * 67 + 41), lit(3)) + 1).as("l_returnflag"),
+      element_at(array(lit("O"), lit("F")),
+        pmod(hash(col("id") * 71 + 43), lit(2)) + 1).as("l_linestatus"),
+      (lit(694224000L) + pmod(hash(col("id") * 73 + 47), lit(199152000)))
+        .cast("timestamp").as("l_shipdate"))
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // Dims sized to COVER the fact FK domains (30000 parts / 3000
+    // suppliers / 5 regions) rather than scaled by mult — dims grow far
+    // slower than facts in production, and keeping the domains fixed
+    // preserves every previously-documented 40×/100× graph and basket
+    // observation (node domain, degree caps, k-core census).
+    spark.range(30000L).select(
+      col("id").as("p_partkey"),
+      concat(
+        element_at(array(lit("blue"), lit("red"), lit("green"), lit("hot"),
+          lit("cold"), lit("small"), lit("large"), lit("plain")),
+          pmod(hash(col("id") * 11 + 3), lit(8)) + 1),
+        lit(" "),
+        element_at(array(lit("anvil"), lit("widget"), lit("ring"), lit("bolt"),
+          lit("gear"), lit("cog"), lit("pin"), lit("cap")),
+          pmod(hash(col("id") * 13 + 7), lit(8)) + 1)).as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(hash(col("id") * 17 + 11), lit(25)) + 1).cast("string")).as("p_brand"),
+      element_at(array(lit("ECONOMY"), lit("STANDARD"), lit("SMALL"),
+        lit("MEDIUM"), lit("LARGE"), lit("PROMO")),
+        pmod(hash(col("id") * 19 + 13), lit(6)) + 1).as("p_type"),
+      (pmod(hash(col("id") * 23 + 17), lit(50)) + 1).cast("int").as("p_size"),
+      (pmod(hash(col("id") * 29 + 19), lit(110000)) / lit(100.0) + lit(900.0))
+        .as("p_retailprice"))
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    spark.range(3000L).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0")).as("s_name"),
+      pmod(hash(col("id") * 31 + 23), lit(25)).cast("int").as("s_nationkey"),
+      (pmod(hash(col("id") * 37 + 29), lit(1100000)) / lit(100.0) - lit(1000.0))
+        .as("s_acctbal"))
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(5).select(
+      col("id").cast("int").as("r_regionkey"),
+      element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
+        lit("EUROPE"), lit("MIDDLE EAST")), col("id").cast("int") + 1)
+        .as("r_name"))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
     spark.range(20000L * mult).select(
       col("id").as("event_id"),
       // user domain scales with the corpus (50·mult = the historical
@@ -91,12 +135,15 @@ object ScaleSmoke {
     spark.range(15000L * mult).select(
       col("id").as("o_orderkey"),
       pmod(hash(col("id") * 19 + 3), lit(1500 * mult)).cast("long").as("o_custkey"),
-      lit("O").as("o_orderstatus"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        pmod(hash(col("id") * 79 + 53), lit(3)) + 1).as("o_orderstatus"),
       (pmod(hash(col("id") * 23 + 9), lit(55000000)) / lit(100.0) + lit(900.0))
         .as("o_totalprice"),
       (lit(694224000L) + pmod(hash(col("id") * 29 + 17), lit(199152000)))
         .cast("timestamp").as("o_orderdate"),
-      lit("1-URGENT").as("o_orderpriority"))
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        pmod(hash(col("id") * 83 + 59), lit(5)) + 1).as("o_orderpriority"))
       .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
     spark.range(1500L * mult).select(
       col("id").as("c_custkey"),

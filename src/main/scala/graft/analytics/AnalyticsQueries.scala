@@ -3154,8 +3154,9 @@ object AnalyticsQueries extends QueryModule {
             (SELECT graft_bloom_agg(o_orderkey, 10000L, 80000L) FROM sel),
             l_orderkey))
         SELECT o_orderkey,
-               CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT))
+                    AS DOUBLE) / 1e4 AS revenue,
                count(*) AS n_items
         FROM sel JOIN pruned ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1""")
@@ -3164,8 +3165,9 @@ object AnalyticsQueries extends QueryModule {
       WITH sel AS (
         SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
       SELECT o_orderkey,
-             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) / 1e4 AS revenue,
              count(*) AS n_items
       FROM sel JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1""")

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.{Q, QueryModule}
 import graft.util.Tables._
 
@@ -48,20 +49,29 @@ object CoreQueries extends QueryModule {
   )
 
   /** TPC-H Q1-shaped hash aggregate (SURVEY §2.5 "aggregations"):
-    * map-side partial + final agg, decimal-exact sums, derived mean. */
+    * map-side partial + final agg, exact sums, derived mean. The two
+    * PRODUCT sums (disc_price, charge) run in integer fixed point —
+    * price/discount/tax are cent-valued, so ×100 each and the product
+    * is an exact BIGINT (≤ ~1e11/row, Σ ≪ 2^63) — because the r10
+    * full-registry 40× sweep caught the decimal route diverging: a
+    * double product cast to DECIMAL(18,6) rounds through the exact
+    * binary expansion on one engine and the shortest-decimal repr on
+    * the other, and at 2.4M rows a handful of near-midpoint products
+    * flip the 6th decimal. Integer products cannot disagree. */
   val hashAgg = Q(
     "q_hash_agg",
     (s, dir) => {
+      val ec = round(col("l_extendedprice") * 100).cast(LongType)
+      val dc = round((lit(1.0) - col("l_discount")) * 100).cast(LongType)
+      val tc = round((lit(1.0) + col("l_tax")) * 100).cast(LongType)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("2001-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
           dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-            .as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (sum(ec * dc).cast(DoubleType) / lit(1e4)).as("sum_disc_price"),
+          (sum(ec * dc * tc).cast(DoubleType) / lit(1e6)).as("sum_charge"),
           davg(col("l_quantity"), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -70,8 +80,13 @@ object CoreQueries extends QueryModule {
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             CAST(sum(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) / 1e4 AS sum_disc_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT)
+                      * CAST(round((CAST(1 AS DOUBLE) + l_tax) * 100) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS sum_charge,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
              count(*) AS count_order
       FROM lineitem
@@ -348,8 +363,13 @@ object CoreQueries extends QueryModule {
     * fact re-scan per probe row). The textbook form compares against
     * `0.2 * avg(l_quantity)` in floating point; this text multiplies
     * through instead — `5·qty·count < sum` — so the threshold
-    * comparison is exact BIGINT arithmetic on both engines (quantities
-    * are integral, Σqty per part < 2^53 at any SF), with TWO correlated
+    * comparison is exact BIGINT arithmetic on both engines. Quantities
+    * enter as CENTS (`round(qty·100)`): a bare `CAST(qty AS BIGINT)`
+    * truncates in Spark but ROUNDS in DuckDB — invisible on integral
+    * driver quantities, divergent on the fractional 40× smoke ones
+    * (caught by the r10 full-registry sweep); scaling both sides of
+    * the inequality by 100 changes nothing (Σcents per part ≪ 2^63
+    * at any SF). TWO correlated
     * scalar subqueries (count and sum) over the same correlation key.
     * Catalyst's RewriteCorrelatedScalarSubquery merges both into ONE
     * per-part aggregate + equi-join on l_partkey (plan-contract
@@ -366,10 +386,10 @@ object CoreQueries extends QueryModule {
       FROM lineitem l1
       JOIN part ON p_partkey = l1.l_partkey
       WHERE p_brand = 'Brand#4' AND p_size < 10
-        AND CAST(l1.l_quantity AS BIGINT) * 5 *
+        AND CAST(round(l1.l_quantity * 100) AS BIGINT) * 5 *
             (SELECT count(*) FROM lineitem l2
              WHERE l2.l_partkey = l1.l_partkey)
-          < (SELECT CAST(sum(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+          < (SELECT CAST(sum(CAST(round(l3.l_quantity * 100) AS BIGINT)) AS BIGINT)
              FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)"""
 
   val sqlQ17 = Q(

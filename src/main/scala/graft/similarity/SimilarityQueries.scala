@@ -1505,11 +1505,47 @@ object SimilarityQueries extends QueryModule {
     * LSH recall trade — q_ann_lsh's multi-probe shows the fix where
     * recall matters more than throughput.
     */
+  /** Width-ADAPTIVE oracle twin of [[signBuckets]] ∘ [[autoPlaneCount]]:
+    * derives the plane count from `count(embeddings)` with the same
+    * log2 rule and generates the [[planesFor]] integer weights in SQL
+    * (`((i·31 + j·17) % 7) − 3` — a pure formula, so no literal plane
+    * arrays are needed). This is what lets the DuckDB replica track
+    * the engine's auto-width at ANY corpus size: the r10 full-registry
+    * sweep found the kNN family hash-exact only at the 500-vector
+    * corpora (where the width derives to the old literal 4) — with
+    * this CTE the same oracle text is exact at 40×/100× too. Tie note:
+    * `round(log2(n/400))` at an exact .5 could differ across engines
+    * in the last ulp of log2; corpus sizes land ≥ 0.3 from the
+    * boundary at every SF and smoke multiple in use. */
+  private lazy val knnBucketSql: String = """
+      wv AS (SELECT CAST(greatest(4, round(log2(count(*) / 400.0))) AS INT) AS w
+             FROM embeddings),
+      pl AS (
+        SELECT pj.j, pi.i, ((pi.i * 31 + pj.j * 17) % 7) - 3 AS wgt
+        FROM (SELECT unnest(range(16)) AS j) pj
+        CROSS JOIN (SELECT unnest(range(64)) AS i) pi
+        CROSS JOIN wv WHERE pj.j < wv.w),
+      vx AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+               CAST(round(unnest(v) * 1000000) AS BIGINT) AS xi
+        FROM n),
+      dotj AS (
+        SELECT vx.vec_id, pl.j, sum(vx.xi * pl.wgt) AS dot
+        FROM vx JOIN pl ON vx.i = pl.i GROUP BY 1, 2),
+      bk AS (
+        SELECT d.vec_id,
+               CAST(sum(CASE WHEN d.dot >= 0
+                        THEN CAST(power(2, wv.w - 1 - d.j) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS bucket
+        FROM dotj d CROSS JOIN wv GROUP BY d.vec_id),
+      b AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))"""
+
   /** Oracle CTEs for the kNN graph: yields `kn(vec_id, nbr_id, sim,
     * rn)` with rn ≤ 3 — shared by q_knn_graph and the graph module's
-    * q_triangles. */
+    * q_triangles. Buckets come from the width-adaptive
+    * [[knnBucketSql]], mirroring [[knnGraphPlanAuto]]. */
   private[graft] lazy val knnSqlCtes: String = s"""$normEmbSql,
-      $signBucketSql,
+      $knnBucketSql,
       p AS (
         SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
                list_sum(list_transform(list_zip(a.v, b2.v),
@@ -1531,8 +1567,9 @@ object SimilarityQueries extends QueryModule {
     * stage quadratic (measured: 4 planes, 20k→50k random vectors,
     * 10.7s→92s at 100× ScaleSmoke). Production sizes planeCount ≈
     * log2(n / targetBucket); ScaleSmoke times this plan at the widened
-    * width to show the same dataflow re-linearizes (the oracle demo
-    * stays at 4 so the DuckDB twin keeps its literal plane arrays).
+    * width to show the same dataflow re-linearizes (the DuckDB twin
+    * derives the SAME width in SQL — [[knnBucketSql]] — so the oracle
+    * stays exact at every scale).
     * Widening is a recall TRADE (fewer cross-bucket edges), unlike
     * q_simhash_pairs' lossless pigeonhole widening — which is why it
     * is a deployment parameter, not a hard-coded bump.

@@ -556,20 +556,27 @@ object GraphQueries extends QueryModule {
       val e0 = coPurchaseEdges(s, dir)
       peel(e0.union(e0.select(col("b").as("a"), col("a").as("b"))), 20, 3)
     },
+    // AS MATERIALIZED: each peel stage is referenced by BOTH the next
+    // stage and a count — inlined CTEs re-evaluate the whole chain per
+    // reference, which at the 100× graph (11.6M directed edges)
+    // spilled > 34 GB of DuckDB temp and never finished; materialized,
+    // the same oracle runs in ~5 s (caught by the r10 100× sweep).
     Some(s"""
-      WITH $coPurchaseEdgesSql,
-      edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem),
+      edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
       d1 AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
-      v1 AS (SELECT a FROM d1 WHERE deg >= 20),
-      e1 AS (SELECT e.a, e.b FROM edges e
+      v1 AS MATERIALIZED (SELECT a FROM d1 WHERE deg >= 20),
+      e1 AS MATERIALIZED (SELECT e.a, e.b FROM edges e
              WHERE e.a IN (SELECT a FROM v1) AND e.b IN (SELECT a FROM v1)),
       d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
-      v2 AS (SELECT a FROM d2 WHERE deg >= 20),
-      e2 AS (SELECT e.a, e.b FROM e1 e
+      v2 AS MATERIALIZED (SELECT a FROM d2 WHERE deg >= 20),
+      e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
              WHERE e.a IN (SELECT a FROM v2) AND e.b IN (SELECT a FROM v2)),
       d3 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
-      v3 AS (SELECT a FROM d3 WHERE deg >= 20),
-      e3 AS (SELECT e.a, e.b FROM e2 e
+      v3 AS MATERIALIZED (SELECT a FROM d3 WHERE deg >= 20),
+      e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
              WHERE e.a IN (SELECT a FROM v3) AND e.b IN (SELECT a FROM v3))
       SELECT CAST(1 AS BIGINT) AS round, (SELECT count(*) FROM v1) AS nodes,
              (SELECT count(*) FROM e1) AS edges_dir

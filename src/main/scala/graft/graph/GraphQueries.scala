@@ -410,24 +410,7 @@ object GraphQueries extends QueryModule {
         .orderBy(col("n_members").desc, col("community"))
     },
     Some(s"""
-      WITH $coPurchaseEdgesSql,
-      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
-      l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM edges),
-      m1 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
-             FROM edges e JOIN l0 l ON e.src = l.n GROUP BY 1, 2),
-      l1 AS (SELECT n, lbl FROM (
-               SELECT n, lbl, row_number() OVER (PARTITION BY n
-                   ORDER BY c DESC, lbl) AS rn FROM m1) WHERE rn = 1),
-      m2 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
-             FROM edges e JOIN l1 l ON e.src = l.n GROUP BY 1, 2),
-      l2 AS (SELECT n, lbl FROM (
-               SELECT n, lbl, row_number() OVER (PARTITION BY n
-                   ORDER BY c DESC, lbl) AS rn FROM m2) WHERE rn = 1),
-      m3 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
-             FROM edges e JOIN l2 l ON e.src = l.n GROUP BY 1, 2),
-      l3 AS (SELECT n, lbl FROM (
-               SELECT n, lbl, row_number() OVER (PARTITION BY n
-                   ORDER BY c DESC, lbl) AS rn FROM m3) WHERE rn = 1)
+      WITH $lpaSql
       SELECT lbl AS community, count(*) AS n_members
       FROM l3 GROUP BY 1 ORDER BY n_members DESC, community""")
   )
@@ -587,7 +570,154 @@ object GraphQueries extends QueryModule {
       ORDER BY round""")
   )
 
+  /** LPA oracle chain (3 synchronous rounds), factored so
+    * [[labelProp]] and [[modularity]] replay IDENTICAL community
+    * labels — `l3(n, lbl)` is the final assignment. Lazy: referenced
+    * by a Q val declared above it. */
+  private lazy val lpaSql: String = s"""$coPurchaseEdgesSql,
+      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM edges),
+      m1 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l0 l ON e.src = l.n GROUP BY 1, 2),
+      l1 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m1) WHERE rn = 1),
+      m2r AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l1 l ON e.src = l.n GROUP BY 1, 2),
+      l2 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m2r) WHERE rn = 1),
+      m3 AS (SELECT e.dst AS n, l.lbl, count(*) AS c
+             FROM edges e JOIN l2 l ON e.src = l.n GROUP BY 1, 2),
+      l3 AS (SELECT n, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                   ORDER BY c DESC, lbl) AS rn FROM m3) WHERE rn = 1)"""
+
+  /** Newman modularity of the label-propagation communities — the
+    * standard "was that clustering any good" score (Q = Σ_c e_c/2m −
+    * (d_c/2m)²), and the natural companion to q_label_prop: LPA gives
+    * labels, modularity judges them. All inputs are exact integer
+    * censuses over the symmetrized edge list (within-community edge
+    * count, community degree mass, 2m), so the only double work is the
+    * per-community term — rounded to 12 dp and summed through DECIMAL
+    * so community order can't perturb the total (the dsum idiom).
+    *
+    * Scale shape: one edges ⋈ labels ⋈ labels tag join (two keyed
+    * shuffles over the edge list), one (community) aggregation, one
+    * broadcast 2m scalar. Runs the same 3 LPA rounds as q_label_prop
+    * first — iterative prefix, aggregation suffix.
+    */
+  val modularity = Q(
+    "q_modularity",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val lbls = labelPropagate(edges, 3)
+      val tagged = edges
+        .join(lbls.select(col("n").as("src"), col("lbl").as("lsrc")), "src")
+        .join(lbls.select(col("n").as("dst"), col("lbl").as("ldst")), "dst")
+      val comm = tagged
+        .groupBy(col("lsrc").as("c"))
+        .agg(
+          count(lit(1)).as("d_c"),
+          sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("e_c"))
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      comm.crossJoin(broadcast(m2))
+        .select(round(
+          col("e_c") / col("m2")
+            - (col("d_c") / col("m2")) * (col("d_c") / col("m2")), 12)
+          .as("term"), col("m2"))
+        .agg(
+          count(lit(1)).as("n_communities"),
+          max(col("m2")).as("m2"),
+          round(dsum(col("term"), 12), 9).as("modularity_r"))
+    },
+    Some(s"""
+      WITH $lpaSql,
+      tg AS (
+        SELECT ls.lbl AS lsrc, ld.lbl AS ldst
+        FROM edges e JOIN l3 ls ON e.src = ls.n JOIN l3 ld ON e.dst = ld.n),
+      mm AS (SELECT count(*) AS m2 FROM edges),
+      comm AS (
+        SELECT lsrc AS c, count(*) AS d_c,
+               CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT) AS e_c
+        FROM tg GROUP BY 1),
+      t AS (
+        SELECT round(e_c * 1.0 / m2
+                     - (d_c * 1.0 / m2) * (d_c * 1.0 / m2), 12) AS term, m2
+        FROM comm CROSS JOIN mm)
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             max(m2) AS m2,
+             round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS modularity_r
+      FROM t""")
+  )
+
+  /** Degree assortativity (Newman's r) — does the co-purchase graph
+    * wire hubs to hubs or hubs to leaves? The Pearson correlation of
+    * endpoint degrees over the directed symmetrized edge list. The
+    * five sufficient statistics (2m, Σj, Σk, Σjk, Σj²/Σk²) are exact
+    * BIGINT sums (≪ 2^63 at any smoke scale), so the only double work
+    * is the final closed-form ratio — identical IEEE ops from
+    * identical integers on both engines. Degenerate (regular) graphs
+    * have zero variance → NULL on both engines.
+    *
+    * Scale shape: one degree census, two broadcast-sized joins back to
+    * the edge list (degree table ≈ node count, usually broadcastable;
+    * falls back to keyed shuffles above the threshold), one global
+    * aggregation to 5 numbers.
+    */
+  val assortativity = Q(
+    "q_assortativity",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      val de = edges
+        .join(deg.select(col("n").as("src"), col("d").as("dj")), "src")
+        .join(deg.select(col("n").as("dst"), col("d").as("dk")), "dst")
+      val stats = de.agg(
+        count(lit(1)).as("m2"),
+        sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj") * col("dj")).as("sj2"),
+        sum(col("dk") * col("dk")).as("sk2"))
+      val mj = col("sj") / col("m2")
+      val mk = col("sk") / col("m2")
+      val varj = col("sj2") / col("m2") - mj * mj
+      val vark = col("sk2") / col("m2") - mk * mk
+      val cov = col("sjk") / col("m2") - mj * mk
+      stats.select(col("m2"),
+        when(varj > 0 && vark > 0,
+          round(cov / (sqrt(varj) * sqrt(vark)), 9)).as("assort_r"))
+    },
+    Some(s"""
+      WITH $coPurchaseEdgesSql,
+      edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+      de AS (
+        SELECT dj.d AS dj, dk.d AS dk
+        FROM edges e JOIN deg dj ON e.src = dj.n JOIN deg dk ON e.dst = dk.n),
+      s AS (
+        SELECT count(*) AS m2,
+               CAST(sum(dj) AS BIGINT) AS sj, CAST(sum(dk) AS BIGINT) AS sk,
+               CAST(sum(dj * dk) AS BIGINT) AS sjk,
+               CAST(sum(dj * dj) AS BIGINT) AS sj2,
+               CAST(sum(dk * dk) AS BIGINT) AS sk2
+        FROM de)
+      SELECT m2,
+             CASE WHEN sj2 * 1.0 / m2 - (sj * 1.0 / m2) * (sj * 1.0 / m2) > 0
+                   AND sk2 * 1.0 / m2 - (sk * 1.0 / m2) * (sk * 1.0 / m2) > 0
+                  THEN round((sjk * 1.0 / m2 - (sj * 1.0 / m2) * (sk * 1.0 / m2))
+                       / (sqrt(sj2 * 1.0 / m2 - (sj * 1.0 / m2) * (sj * 1.0 / m2))
+                        * sqrt(sk2 * 1.0 / m2 - (sk * 1.0 / m2) * (sk * 1.0 / m2))), 9)
+             END AS assort_r
+      FROM s""")
+  )
+
   override def all: Seq[Q] =
     Seq(pagerank, triangles, degreeDist, bfs, labelProp, linkPredict, kcore,
-      closeness)
+      closeness, modularity, assortativity)
 }

@@ -229,6 +229,48 @@ class GraphQueriesSpec extends AnyFunSuite {
       (4L, 4L, 4L, 0.75), (5L, 4L, 6L, 0.5)))
   }
 
+  test("q_modularity matches a sequential replica over the LPA labels") {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = (e0 ++ e0.map(e => (e._2, e._1))).toSeq
+    val edgesDf = edges.toDF("src", "dst")
+    val lbl = GraphQueries.labelPropagate(edgesDf, 3)
+      .as[(Long, Long)].collect().toMap
+    val m2 = edges.size.toDouble
+    val byC = edges.groupBy(e => lbl(e._1))
+    val q = byC.values.map { es =>
+      val dC = es.size.toDouble
+      val eC = es.count(e => lbl(e._1) == lbl(e._2)).toDouble
+      BigDecimal(roundAt(eC / m2 - (dC / m2) * (dC / m2), 12))
+    }.sum.toDouble
+    val row = GraphQueries.modularity.run(spark, dir).collect().head
+    assert(row.getLong(1) === edges.size.toLong)
+    assert(row.getLong(0) === byC.size.toLong)
+    assert(row.getDouble(2) === roundAt(q, 9), "modularity diverged from replica")
+  }
+
+  test("q_assortativity matches a sequential replica and stays in [-1, 1]") {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = (e0 ++ e0.map(e => (e._2, e._1))).toSeq
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val m2 = edges.size.toLong
+    val (sj, sk) = (edges.map(e => deg(e._1)).sum, edges.map(e => deg(e._2)).sum)
+    val sjk = edges.map(e => deg(e._1) * deg(e._2)).sum
+    val sj2 = edges.map(e => deg(e._1) * deg(e._1)).sum
+    val sk2 = edges.map(e => deg(e._2) * deg(e._2)).sum
+    val (mj, mk) = (sj.toDouble / m2, sk.toDouble / m2)
+    val varj = sj2.toDouble / m2 - mj * mj
+    val vark = sk2.toDouble / m2 - mk * mk
+    val r = (sjk.toDouble / m2 - mj * mk) / (math.sqrt(varj) * math.sqrt(vark))
+    val row = GraphQueries.assortativity.run(spark, dir).collect().head
+    assert(row.getLong(0) === m2)
+    assert(row.getDouble(1) === roundAt(r, 9), "assortativity diverged from replica")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
   test("q_kcore: rounds are monotonically non-increasing and end consistent") {
     val out = GraphQueries.kcore.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

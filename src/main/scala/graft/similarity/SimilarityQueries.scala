@@ -2539,11 +2539,88 @@ object SimilarityQueries extends QueryModule {
       FROM r WHERE rn <= 5 ORDER BY q_id, rn""")
   )
 
+  /** Embedding-centroid drift — the monitoring query an embedding
+    * pipeline runs between corpus snapshots or across segments: how
+    * far has each segment's centroid rotated away from the global one?
+    * (PSI/KS cover scalar feature drift — q_psi/q_ks; this is the
+    * vector-space analogue.) Centroids are EXACT integer means in the
+    * ×1e6 fixed-point domain (floor-divides of per-(label, pos) sums —
+    * the [[trainIvfCentroids]] arithmetic), and the global centroid is
+    * derived by RE-AGGREGATING the per-label sums, so the corpus is
+    * scanned once; cosine is one fixed-order double expression over
+    * integer components (all ≪ 2^53), so the oracle replays it
+    * bit-for-bit.
+    *
+    * Scale shape: one posexplode + (label, pos) aggregation (the only
+    * corpus-sized shuffle), then label-count-sized everything: the
+    * global roll-up, the broadcast ‖g‖ scalar, the per-label cosine.
+    */
+  val embedDrift = Q(
+    "q_embed_drift",
+    (s, dir) => {
+      // the ONE corpus-sized pass, checkpointed so the three derived
+      // branches (label centroids, global centroid, ||g||) read the
+      // labels×64-row result instead of re-scanning the corpus
+      val sums = t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast(DoubleType) * 1e6).cast(LongType))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val lab = sums.select(col("label"), col("pos"),
+        floor(col("sx").cast(DoubleType) / col("cnt")).cast(LongType).as("c"))
+      val glob = sums.groupBy(col("pos"))
+        .agg(floor(sum(col("sx")).cast(DoubleType) / sum(col("cnt")))
+          .cast(LongType).as("g"))
+        .localCheckpoint(false)
+      val gg = glob.agg(sum(col("g") * col("g")).as("gg"))
+      lab.join(broadcast(glob), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(
+          sum(col("c") * col("g")).as("dot"),
+          sum(col("c") * col("c")).as("cc"))
+        .crossJoin(broadcast(gg))
+        .select(col("label"),
+          round(col("dot") / (sqrt(col("cc")) * sqrt(col("gg"))), 6)
+            .as("cos_to_global_r"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH vi AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+        FROM embeddings),
+      sums AS (
+        SELECT label, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS cnt
+        FROM vi GROUP BY 1, 2),
+      lab AS (
+        SELECT label, pos,
+               CAST(floor(sx * 1.0 / cnt) AS BIGINT) AS c
+        FROM sums),
+      gcent AS (
+        SELECT pos,
+               CAST(floor(CAST(sum(sx) AS BIGINT) * 1.0
+                          / CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS g
+        FROM sums GROUP BY 1),
+      gg AS (SELECT CAST(sum(g * g) AS BIGINT) AS gg FROM gcent),
+      agg AS (
+        SELECT l.label,
+               CAST(sum(l.c * gl.g) AS BIGINT) AS dot,
+               CAST(sum(l.c * l.c) AS BIGINT) AS cc
+        FROM lab l JOIN gcent gl ON l.pos = gl.pos
+        GROUP BY 1)
+      SELECT label, round(dot * 1.0 / (sqrt(cc * 1.0) * sqrt(gg * 1.0)), 6)
+               AS cos_to_global_r
+      FROM agg CROSS JOIN gg ORDER BY label""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, editDist,
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
-      clusterIncremental, annRecall, rrf, ndcg, pqAdc)
+      clusterIncremental, annRecall, rrf, ndcg, pqAdc, embedDrift)
 }

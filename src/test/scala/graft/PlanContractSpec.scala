@@ -69,6 +69,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_kmv_overlap" -> 4,      // per-user flag agg + per-h fold + TakeOrdered + single-row agg
     "q_topk_native" -> 2,      // custom partial/final top-k: ONE clustered exchange
                                // (window reuses it) + final sort
+    "q_embed_drift" -> 4,      // (label,pos) agg (the one corpus shuffle) + label-
+                               // sized global rollup + ||g|| agg + label agg/sort
     "q_line_dedup" -> 4,       // span-DF distinct-agg (2: (g,doc) dedup + g count) +
                                // per-doc agg + final sort; hot set broadcasts
     "q_setops" -> 2,           // one flag-OR agg + final sort

@@ -191,7 +191,7 @@ object ScaleSmoke {
       "q_anova","q_cramers_v",
       "q_kcore","q_rrf","q_pq_adc","q_line_dedup","q_kmv","q_kmv_overlap",
       "q_closeness","q_topk_native","q_audio_dup","q_modularity",
-      "q_assortativity","q_embed_drift")
+      "q_assortativity","q_embed_drift","q_silhouette")
       .foreach(time)
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is

@@ -1811,6 +1811,7 @@ object SimilarityQueries extends QueryModule {
       .withColumn("cell1", -element_at(sortedDesc, 1).getField("nid"))
       .withColumn("cell2", -element_at(sortedDesc, 2).getField("nid"))
       .withColumn("sim1", element_at(sortedDesc, 1).getField("s"))
+      .withColumn("sim2", element_at(sortedDesc, 2).getField("s"))
   }
 
   /** Oracle twin of [[cellAssigned]]: trains the same two fixed-point
@@ -2616,11 +2617,60 @@ object SimilarityQueries extends QueryModule {
       FROM agg CROSS JOIN gg ORDER BY label""")
   )
 
+  /** Simplified silhouette of the k-means clustering — the third leg
+    * of the clustering family (q_kmeans_cluster trains+assigns,
+    * q_semantic_dedup exploits, this SCORES): per vector, a = cosine
+    * distance to its own centroid, b = to the second-nearest, and
+    * s = (b − a)/max(a, b) ∈ [0, 1] (the centroid-based simplification
+    * — exact silhouette is all-pairs and has no 100 TB shape). Both
+    * distances derive from the 6dp-rounded sims the shared trained-
+    * quantizer assignment ([[cellAssigned]] / its `ranked` oracle twin)
+    * already computes, so this is a PURE MAP-SIDE projection plus one
+    * (cell) aggregation; per-vector terms are rounded to 9 dp and
+    * summed through DECIMAL (the dsum idiom) so partial-agg order
+    * can't wiggle the mean. Degenerate vectors equidistant at 0 from
+    * two centroids yield NULL on both engines.
+    */
+  val silhouette = Q(
+    "q_silhouette",
+    (s, dir) => {
+      val a = lit(1.0) - col("sim1")
+      val b = lit(1.0) - col("sim2")
+      cellAssigned(s, dir)
+        .select(col("cell1").as("cell"),
+          when(greatest(a, b) > 0,
+            round((b - a) / greatest(a, b), 9)).as("sil"))
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(dsum(col("sil"), 9) / count(lit(1)), 6).as("mean_sil_r"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH $ivfAssignSql,
+      pv AS (
+        SELECT vec_id,
+               max(CASE WHEN rk = 1 THEN cent_id END) AS cell,
+               1 - max(CASE WHEN rk = 1 THEN csim END) AS a,
+               1 - max(CASE WHEN rk = 2 THEN csim END) AS b
+        FROM ranked WHERE rk <= 2 GROUP BY vec_id),
+      sv AS (
+        SELECT cell,
+               CASE WHEN greatest(a, b) > 0
+                    THEN round((b - a) / greatest(a, b), 9) END AS sil
+        FROM pv)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(CAST(sum(CAST(sil AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+               AS mean_sil_r
+      FROM sv GROUP BY cell ORDER BY cell""")
+  )
+
   override def all: Seq[Q] =
     Seq(cosineTopK, ngramJaccard, minhashLsh, minhashEst, editDist,
       simhash, simhashPairs,
       annLsh, annLshShuffle, knnGraph,
       annIvf, kmeansCluster, semanticDedup, embedDedup, dedupComponents,
       dedupKeepBest, dedupIncremental, dedupFunnel, embedQuant, knnClassify,
-      clusterIncremental, annRecall, rrf, ndcg, pqAdc, embedDrift)
+      clusterIncremental, annRecall, rrf, ndcg, pqAdc, embedDrift,
+      silhouette)
 }

@@ -71,6 +71,7 @@ class PlanContractSpec extends AnyFunSuite {
                                // (window reuses it) + final sort
     "q_embed_drift" -> 4,      // (label,pos) agg (the one corpus shuffle) + label-
                                // sized global rollup + ||g|| agg + label agg/sort
+    "q_silhouette" -> 2,       // map-side trained-quantizer scoring + (cell) agg + sort
     "q_line_dedup" -> 4,       // span-DF distinct-agg (2: (g,doc) dedup + g count) +
                                // per-doc agg + final sort; hot set broadcasts
     "q_setops" -> 2,           // one flag-OR agg + final sort

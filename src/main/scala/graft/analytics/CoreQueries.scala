@@ -796,8 +796,10 @@ object CoreQueries extends QueryModule {
     * ship each surviving (brand, type, size) combination, excluding a
     * name-pattern supplier blocklist. partsupp doesn't exist, so the
     * supplier×part relation is lineitem (same distinct-count shape).
-    * The NOT IN subquery is non-nullable-key, so Catalyst plans a
-    * null-aware ANTI join against a broadcast 100-row list; the IN-list
+    * The NOT IN subquery's key is NON-nullable, so Catalyst can plan a
+    * plain broadcast LeftAnti hash join against the 100-row blocklist
+    * (no null-awareness needed — the nullable-key twin that forces the
+    * null-aware anti-join flag is q_sql_naaj); the IN-list
     * size filter prunes parts before the join; count(DISTINCT) expands
     * to the standard two-phase agg (dedup on group+suppkey, then count).
     */
@@ -923,8 +925,41 @@ object CoreQueries extends QueryModule {
     },
     Some(Q22Text))
 
+  /** NULL-AWARE anti join — the NOT IN trap q_sql_q16's non-nullable
+    * blocklist cannot exercise: when the subquery's key expression is
+    * NULLABLE, `x NOT IN (S)` must evaluate to UNKNOWN (row dropped)
+    * for EVERY probe row as soon as S contains one NULL, so Catalyst
+    * cannot plan a plain anti join — it sets the single-column
+    * null-aware fast path (the trailing `isNullAwareAntiJoin` flag on
+    * BroadcastHashJoin, SPARK-32290; plan-pinned in SqlNaajSpec
+    * alongside the actual-NULL semantics on a planted corpus: one NULL
+    * in S empties the result on both engines). On the driver corpora
+    * the CASE's guard (o_totalprice > 1e9) never fires, so the query
+    * returns the real "customers with no high-value orders per
+    * segment" census while the STATIC nullability still forces the
+    * null-aware plan — both the plan shape and the value semantics
+    * stay covered.
+    */
+  private val NaajText = """
+      SELECT c_mktsegment, count(*) AS n_no_big_orders
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_totalprice > 1000000000 THEN NULL
+                    ELSE o_custkey END
+        FROM orders WHERE o_totalprice > 400000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
+
+  val sqlNaaj = Q(
+    "q_sql_naaj",
+    (s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(NaajText)
+    },
+    Some(NaajText))
+
   override def all: Seq[Q] =
     Seq(flagship, hashAgg, sqlQ3, sqlQ5, sqlQ18, sqlCorr, sqlQ7, sqlRec, sqlQ21,
       sqlQ17, sqlQ2, sqlQ15, sqlQ4, sqlQ6, sqlQ8, sqlQ9, sqlQ10, sqlQ11,
-      sqlQ12, sqlQ13, sqlQ14, sqlQ16, sqlQ19, sqlQ20, sqlQ22)
+      sqlQ12, sqlQ13, sqlQ14, sqlQ16, sqlQ19, sqlQ20, sqlQ22, sqlNaaj)
 }

@@ -225,6 +225,34 @@ object ScaleSmoke {
         s"auto-width LSH lost ${5 - hits} of 5 planted near-dup pairs " +
           s"at $scaledPlanes planes — width rule broke recall")
     }
+    // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
+    // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse
+    // codes per vector lose plenty of precision, but a near-identical
+    // vector encodes to (nearly) the same codes, so losing ≥2 of 5
+    // twins means training or the ADC lookup broke at scale.
+    if (only.forall(_.contains("q_pq_recall_floor"))) {
+      val hits = SparkEntry.queries("q_pq_adc")(spark, dir)
+        .filter(col("vec_id") === col("q_id") + nDocs / 2)
+        .count()
+      println(s"SMOKE ${mult}x pq_recall_floor planted twins in ADC top-5: $hits/5")
+      require(hits >= 4,
+        s"PQ-ADC lost ${5 - hits} of 5 planted near-dup twins at ${mult}x")
+    }
+    // KMV accuracy floor: the smoke corpus has exactly 50·mult distinct
+    // users per event segment; the k=64 sketch estimate must land
+    // within 3·rsd ≈ 40% of the truth for every segment (deterministic
+    // given the corpus — a regression pin, not a statistical test).
+    if (only.forall(_.contains("q_kmv_floor"))) {
+      val exact = 50.0 * mult
+      val ests = SparkEntry.queries("q_kmv")(spark, dir)
+        .select(col("event_type"), col("est_r")).collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      ests.foreach { case (t, e) =>
+        println(f"SMOKE ${mult}x kmv_floor $t est=$e%.1f exact=$exact%.0f")
+        require(math.abs(e - exact) / exact < 0.40,
+          f"KMV estimate for '$t' strayed ${math.abs(e - exact) / exact * 100}%.0f%% from $exact%.0f")
+      }
+    }
     // BPE marginal-iteration cost: the trainer's scale claim is that
     // after the one corpus-wide word count, every merge iteration is
     // VOCAB-sized. Measured directly: train at 4 then 8 merges (one

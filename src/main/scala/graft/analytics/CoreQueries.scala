@@ -1,7 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.{Q, QueryModule}
 import graft.util.Tables._
 
@@ -52,12 +52,19 @@ object CoreQueries extends QueryModule {
     * map-side partial + final agg, exact sums, derived mean. The two
     * PRODUCT sums (disc_price, charge) run in integer fixed point —
     * price/discount/tax are cent-valued, so ×100 each and the product
-    * is an exact BIGINT (≤ ~1e11/row, Σ ≪ 2^63) — because the r10
+    * is an exact BIGINT (≤ ~1.2e11/row) — because the r10
     * full-registry 40× sweep caught the decimal route diverging: a
     * double product cast to DECIMAL(18,6) rounds through the exact
     * binary expansion on one engine and the shortest-decimal repr on
     * the other, and at 2.4M rows a handful of near-midpoint products
-    * flip the 6th decimal. Integer products cannot disagree. */
+    * flip the 6th decimal. Integer products cannot disagree.
+    *
+    * The SUM must not stay in LongType though: per-row products reach
+    * ~1.2e11 and a per-group sum crosses 2^63 around sf≈50–100, where
+    * DuckDB silently promotes BIGINT sums to HUGEINT while Spark wraps
+    * (or throws under ANSI). So the exact per-row Long product is
+    * accumulated through DecimalType(38,0) — still exact integer math,
+    * same value as DuckDB's HUGEINT sum, headroom to ~1e27 rows. */
   val hashAgg = Q(
     "q_hash_agg",
     (s, dir) => {
@@ -70,8 +77,10 @@ object CoreQueries extends QueryModule {
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
           dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-          (sum(ec * dc).cast(DoubleType) / lit(1e4)).as("sum_disc_price"),
-          (sum(ec * dc * tc).cast(DoubleType) / lit(1e6)).as("sum_charge"),
+          (sum((ec * dc).cast(DecimalType(38, 0))).cast(DoubleType) / lit(1e4))
+            .as("sum_disc_price"),
+          (sum((ec * dc * tc).cast(DecimalType(38, 0))).cast(DoubleType) / lit(1e6))
+            .as("sum_charge"),
           davg(col("l_quantity"), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))

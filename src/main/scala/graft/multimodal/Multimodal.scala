@@ -962,10 +962,14 @@ object Multimodal {
                 val abs = new Array[Double](n)
                 var i = 0
                 while (i < n) {
-                  val lo = bytes(2 * i) & 0xff
-                  val hi = bytes(2 * i + 1).toInt
-                  val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
-                          else (hi << 8) | lo
+                  // Sign lives in the HIGH byte: keep it signed (plain
+                  // .toInt), mask only the low byte. Big-endian puts the
+                  // high byte first (AIFF), little-endian second (WAV).
+                  val s =
+                    if (fmt.isBigEndian)
+                      (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                    else
+                      (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
                   abs(i) = math.abs(s.toDouble)
                   i += 1
                 }

@@ -1696,8 +1696,13 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .select(col("doc_id"),
           explode(transform(
-            sequence(lit(0),
-              floor((size(col("ws")) + lit(7)) / lit(8)).cast("int") - 1),
+            // Null/empty guard: size() is -1 on NULL text (legacy
+            // sizeOfNull) and sequence(0,-1) yields the DESCENDING
+            // [0,-1], emitting bogus spans the oracle never sees.
+            when(size(col("ws")) > 0,
+              sequence(lit(0),
+                floor((size(col("ws")) + lit(7)) / lit(8)).cast("int") - 1))
+              .otherwise(array().cast("array<int>")),
             i => {
               val sl = slice(col("ws"), i * 8 + 1, lit(8))
               struct(concat_ws(" ", sl).as("g"),

@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** The NOT IN null trap, both halves: the plan must be null-aware
-  * (nullable subquery key ⇒ BroadcastNestedLoopJoin, not a hash anti
-  * join), and one actual NULL in the subquery must empty the result —
-  * the three-valued-logic semantics a plain anti join gets wrong. */
+/** The NOT IN null trap, both halves: the plan must be null-aware —
+  * for a SINGLE nullable key Spark's SPARK-32290 fast path plans a
+  * BroadcastHashJoin with isNullAwareAntiJoin=true (not the generic
+  * BroadcastNestedLoopJoin fallback, and not a plain hash anti join) —
+  * and one actual NULL in the subquery must empty the result, the
+  * three-valued-logic semantics a plain anti join gets wrong. */
 class SqlNaajSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -441,4 +441,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs.length === 3)
     sigs.foreach(s => assert(s.env_sig != 0L, s"degenerate signature for ${s.media_id}"))
   }
+
+  /** The same signed 16-bit PCM samples packaged little-endian (WAV)
+    * and big-endian (AIFF, via the same javax.sound path). */
+  private def pcm16Bytes(samples: Array[Short], rate: Int, bigEndian: Boolean,
+                         fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, bigEndian)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      if (bigEndian) { data(2 * i) = (s >> 8).toByte; data(2 * i + 1) = s.toByte }
+      else { data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in, fileType, out)
+    out.toByteArray
+  }
+
+  test("audioEnvelopes: big-endian (AIFF) decodes sign-correctly — same sig as WAV") {
+    // A sine swings symmetrically negative; if the BE branch loses the
+    // high byte's sign, negative samples decode as 32768..65535 and the
+    // envelope diverges wildly from the little-endian decode of the
+    // SAME samples. Pin bit-identical signatures across endianness.
+    import spark.implicits._
+    val rate = 8000
+    val samples = Array.tabulate(rate) { i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) *
+        12000 * (0.25 + 0.75 * i.toDouble / rate)).toShort
+    }
+    val wav = pcm16Bytes(samples, rate, bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val aiff = pcm16Bytes(samples, rate, bigEndian = true,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val media = Seq((0L, "audio", wav), (1L, "audio", aiff))
+      .toDF("media_id", "kind", "payload")
+    val sigs = Multimodal.audioEnvelopes(media).collect().sortBy(_.media_id)
+    assert(sigs.length === 2)
+    assert(sigs(0).env_sig === sigs(1).env_sig,
+      s"endianness changed the envelope: LE=${sigs(0).env_sig.toHexString} BE=${sigs(1).env_sig.toHexString}")
+    assert(sigs(0).env_sig != 0L)
+  }
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.types.StructType
   * control flow around Spark jobs: staged directories with atomic-ish
   * promotion, a bounded-retry poller, and a `_since` cursor.
   *
-  * The HTTP/auth stack (O4–O10) is out of engine scope in this offline
-  * environment (SURVEY §7.5); the poller takes an abstract probe so the
-  * control flow is testable without a network.
+  * The auth chain (O4–O7) lives in [[Auth]] — discovery, RS384 JWT
+  * signing, token exchange and the cached scoped provider, all
+  * offline-testable behind `HttpTransport`/`JwtSigner` seams; a
+  * networked deployment composes `Auth.authorize` + `Auth.kickoffExport`
+  * in front of [[pollUntilComplete]] and `runLocalFlow`. The poller
+  * takes an abstract probe so the control flow is testable without a
+  * network.
   */
 object BulkPipeline {
 

@@ -191,7 +191,7 @@ object ScaleSmoke {
       "q_anova","q_cramers_v",
       "q_kcore","q_rrf","q_pq_adc","q_line_dedup","q_kmv","q_kmv_overlap",
       "q_closeness","q_topk_native","q_audio_dup","q_modularity",
-      "q_assortativity","q_embed_drift","q_silhouette")
+      "q_assortativity","q_embed_drift","q_silhouette","q_ann_beam")
       .foreach(time)
     // Width-scaled sign-LSH: the fixed 4-plane demo width is the ONE
     // quadratic knob in the embedding family (in-bucket population is
@@ -224,6 +224,21 @@ object ScaleSmoke {
       require(hits >= 4,
         s"auto-width LSH lost ${5 - hits} of 5 planted near-dup pairs " +
           s"at $scaledPlanes planes — width rule broke recall")
+    }
+    // Beam-search ANN recall floor: the hybrid entry layer seeds the
+    // beam with the query's own sign-LSH bucket, and a cos ≈ 0.9999
+    // twin shares that bucket up to one plane straddle — so ≥4 of the
+    // 5 planted twins must appear in the beam top-5 at ANY corpus
+    // size, independent of whether the random bulk gives the walk a
+    // gradient. Losing more means the entry seeding or the ef-search
+    // frontier rule broke at scale.
+    if (only.forall(_.contains("q_beam_recall_floor"))) {
+      val hits = graft.similarity.SimilarityQueries.annBeamPlan(spark, dir)
+        .filter(col("vec_id") === col("q_id") + nDocs / 2)
+        .count()
+      println(s"SMOKE ${mult}x beam_recall_floor planted twins in beam top-5: $hits/5")
+      require(hits >= 4,
+        s"beam-search ANN lost ${5 - hits} of 5 planted near-dup twins at ${mult}x")
     }
     // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
     // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse

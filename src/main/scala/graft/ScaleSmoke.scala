@@ -225,6 +225,19 @@ object ScaleSmoke {
         s"auto-width LSH lost ${5 - hits} of 5 planted near-dup pairs " +
           s"at $scaledPlanes planes — width rule broke recall")
     }
+    // IVF recall floor at the DERIVED cell count (r10 verdict #3): a
+    // cos ≈ 0.9999 twin assigns to the same trained cell as its probe
+    // (or the probe's second cell) at any k, so it must survive the
+    // nprobe=2 candidate cut and land in the ADC-exact top-5.
+    if (only.forall(_.contains("q_ivf_recall_floor"))) {
+      val hits = SparkEntry.queries("q_ann_ivf")(spark, dir)
+        .filter(col("vec_id") === col("q_id") + nDocs / 2)
+        .count()
+      println(s"SMOKE ${mult}x ivf_recall_floor planted twins in IVF top-5: $hits/5")
+      require(hits >= 4,
+        s"IVF ANN lost ${5 - hits} of 5 planted near-dup twins at ${mult}x " +
+          "- derived cell count broke recall")
+    }
     // Beam-search ANN recall floor: the hybrid entry layer seeds the
     // beam with the query's own sign-LSH bucket, and a cos ≈ 0.9999
     // twin shares that bucket up to one plane straddle — so ≥4 of the

@@ -1612,6 +1612,43 @@ object SimilarityQueries extends QueryModule {
     math.max(4, math.round(
       math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
 
+  /** Data-scaled training knobs for the clustering quantizers (r10
+    * verdict #3) — derived from corpus size like [[autoPlaneCount]],
+    * not hand-edited between scales:
+    *
+    *  - IVF cells: k = 2^max(3, round(log2(√(n/8)))) — the √n-family
+    *    cell rule anchored at the demo k=8 for the 500-vector corpora
+    *    (8 at n=500, 64 at the 40×/100× smoke corpora, ~8192 at 1e9).
+    *    Cell population n/k then grows as √n on both axes — the
+    *    balance point for the probe-cells × cell-size product an IVF
+    *    search pays.
+    *  - PQ codes per subspace: K = 2^max(2, round(log2(√(n/32)))) —
+    *    anchored at the demo K=4 (4 at n=500, 32 at 40×, 256 — one
+    *    byte, the production code width — from n≈4M up, where the
+    *    formula is expected to be clamped by callers if it ever
+    *    matters; codebook training cost is M·K·sub sums either way).
+    *  - Lloyd rounds: 2, plus one extra refinement round at
+    *    n ≥ [[LloydExtraRoundMinN]] — more cells sit further from the
+    *    smallest-vec_id seeded init, so big corpora buy one more
+    *    round; rounds are a TRAINING budget (quality, gated by the
+    *    recall floors), not a correctness knob.
+    *
+    * All three are mirrored in SQL by the oracles (power-of-two so
+    * the derivation is exact; same round()-at-.5 log2-ulp caveat as
+    * [[knnBucketSql]], corpus sizes sit well off the boundaries). The
+    * extra Lloyd round is statically unrolled in the oracle text and
+    * GATED on count(*) — SQL text cannot vary its CTE count with the
+    * data, so the third round's fold is a CASE on the corpus size. */
+  private[graft] def ivfCellCount(n: Long): Int =
+    1 << math.max(3L, math.round(
+      math.log(math.sqrt(n / 8.0)) / math.log(2.0))).toInt
+  private[graft] def pqCodebookSize(n: Long): Int =
+    1 << math.max(2L, math.round(
+      math.log(math.sqrt(n / 32.0)) / math.log(2.0))).toInt
+  private[graft] val LloydExtraRoundMinN = 10000L
+  private[graft] def lloydRounds(n: Long): Int =
+    if (n >= LloydExtraRoundMinN) 3 else 2
+
   /** Corpus-sized kNN graph: ONE count of the embeddings table (a
     * metadata-cheap columnar aggregate — the same bounded pre-pass
     * every ANN index build pays) sizes the LSH width, then the
@@ -1883,8 +1920,10 @@ object SimilarityQueries extends QueryModule {
   private def centroidCacheKey(dir: String): String =
     s"$dir@${new java.io.File(s"$dir/embeddings.parquet").lastModified()}"
 
-  /** k-means training for the IVF coarse quantizer: k=8, two Lloyd
-    * iterations, seeded with the 8 smallest vec_ids. All arithmetic is
+  /** k-means training for the IVF coarse quantizer:
+    * k = [[ivfCellCount]] cells (corpus-derived; the demo corpora
+    * land on 8), [[lloydRounds]] Lloyd iterations, seeded with the k
+    * smallest vec_ids. All arithmetic is
     * FIXED-POINT — components scaled ×1e6 to BIGINT — because integer
     * sums are order-independent and means are exact floor-divides, so
     * the trained centroids are bit-identical to the oracle's SQL replica
@@ -1897,23 +1936,25 @@ object SimilarityQueries extends QueryModule {
     * a cell that loses all members keeps its previous centroid (same
     * COALESCE rule in the oracle).
     *
-    * Scale shape: each iteration is a map-side assignment against 8
+    * Scale shape: each iteration is a map-side assignment against k
     * broadcast literal centroids plus one (cell, dim) sum aggregation;
-    * only the 8×64 sums + counts reach the driver — the bounded
+    * only the k×64 sums + counts reach the driver — the bounded
     * trained-artifact collect every ANN index build does.
     */
   private[similarity] def trainIvfCentroids(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
+    val n = t(s, dir, "embeddings").count()
+    val k = ivfCellCount(n)
     val vi = t(s, dir, "embeddings")
       .select(
         col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast(DoubleType) * 1e6).cast(LongType)).as("vi"))
     var cents: Array[(Long, Array[Long])] = vi
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to lloydRounds(n)) {
       val centArr = array(cents.map { case (id, ci) =>
         struct(lit(id).as("cell"), array(ci.map(lit(_)): _*).as("ci"))
       }: _*)
@@ -1955,7 +1996,18 @@ object SimilarityQueries extends QueryModule {
     * tiebreak), then per-(cell, dim) exact integer mean; `$out` keeps
     * the previous centroid for cells that lost all members. Twin of one
     * [[trainIvfCentroids]] round. */
-  private def lloydIterSql(prev: String, out: String): String = s"""
+  private def lloydIterSql(prev: String, out: String,
+                           gateMinN: Option[Long] = None): String = {
+    // A gated round folds the new means only when the corpus is big
+    // enough — the SQL twin of [[lloydRounds]]'s extra round (CTE
+    // count can't vary with data in static SQL, so the fold is CASEd).
+    val fold = gateMinN match {
+      case None => "COALESCE(m.ci, p.ci)"
+      case Some(minN) =>
+        s"""CASE WHEN (SELECT count(*) FROM embeddings) >= $minN
+                 THEN COALESCE(m.ci, p.ci) ELSE p.ci END"""
+    }
+    s"""
       d_$out AS (
         SELECT v.vec_id, v.vi, c.cell,
                list_sum(list_transform(list_zip(v.vi, c.ci),
@@ -1974,8 +2026,9 @@ object SimilarityQueries extends QueryModule {
         FROM s_$out GROUP BY cell, pos),
       ml_$out AS (SELECT cell, list(m ORDER BY pos) AS ci FROM mg_$out GROUP BY cell),
       $out AS (
-        SELECT p.cell, COALESCE(m.ci, p.ci) AS ci
+        SELECT p.cell, $fold AS ci
         FROM $prev p LEFT JOIN ml_$out m ON p.cell = m.cell)"""
+  }
 
   /** IVF-style ANN — the OTHER canonical sub-linear path beside
     * sign-LSH (q_ann_lsh): a coarse quantizer assigns every vector to
@@ -1983,11 +2036,13 @@ object SimilarityQueries extends QueryModule {
     * cells (nprobe=2) instead of the whole corpus.
     *
     * The quantizer is a TRAINED ARTIFACT, not part of the query
-    * dataflow: [[trainIvfCentroids]] runs two fixed-point Lloyd
-    * iterations (k=8) as small Spark jobs, collects only the 8 centroid
+    * dataflow: [[trainIvfCentroids]] runs [[lloydRounds]] fixed-point
+    * Lloyd iterations (k = [[ivfCellCount]], corpus-derived) as small
+    * Spark jobs, collects only the k centroid
     * vectors driver-side (bounded), and embeds them as literals,
     * exactly like the LSH hyperplanes. The oracle replicates the same
-    * two integer-exact iterations in CTEs, so centroid literals agree
+    * integer-exact iterations in CTEs (deriving k in SQL, third round
+    * count()-gated), so centroid literals agree
     * bit-for-bit across engines. Cell
     * assignment is then a PURE MAP-SIDE expression — per-row argmax
     * over 8 literal-array dot products, no window, no shuffle of the
@@ -2052,15 +2107,21 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id,
                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS vi
         FROM e),
-      c0 AS (SELECT vec_id AS cell, vi AS ci FROM vi WHERE vec_id < 8),
+      ivfk AS (
+        SELECT CAST(power(2, greatest(3, round(log2(sqrt(count(*) / 8.0)))))
+               AS BIGINT) AS k
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cell, vi AS ci
+             FROM vi CROSS JOIN ivfk WHERE vec_id < ivfk.k),
       ${lloydIterSql("c0", "c1")},
       ${lloydIterSql("c1", "c2")},
+      ${lloydIterSql("c2", "c3", gateMinN = Some(LloydExtraRoundMinN))},
       cn AS (
         SELECT cell AS cent_id,
                list_transform(ci, x -> x / 1000000.0) AS cv,
                sqrt(list_sum(list_transform(
                  list_transform(ci, x -> x / 1000000.0), x -> x * x))) AS cnrm
-        FROM c2),
+        FROM c3),
       sims AS (
         SELECT n.vec_id, n.v, n.nrm, c.cent_id,
                round(list_sum(list_transform(list_zip(n.v, c.cv),
@@ -2541,17 +2602,16 @@ object SimilarityQueries extends QueryModule {
   // ---- Product quantization (PQ / ADC) ------------------------------
 
   /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of
-    * [[PqSub]] dims, each quantized to one of [[PqK]] trained codes.
-    * K is small here because the demo corpus is 500 vectors; the 100 TB
-    * setting raises K to 256 (one byte per subspace) without changing a
-    * line of dataflow — the codebook stays a bounded broadcast literal
-    * (M·K·sub = 256·8·8 longs) and training cost is still one
+    * [[PqSub]] dims, each quantized to one of K = [[pqCodebookSize]]
+    * trained codes — corpus-derived (4 at the 500-vector demo corpora,
+    * 32 at the 40× smoke, 256 — one byte per subspace, the production
+    * width — from n≈4M). The codebook stays a bounded broadcast
+    * literal (M·K·sub ≤ 256·8·8 longs) and training cost is one
     * assignment scan + one (m, cell, pos) aggregation per Lloyd round
-    * for ALL subspaces together.
+    * for ALL subspaces together at any K.
     */
   private val PqM = 8
   private val PqSub = 8
-  private val PqK = 4
 
   /** Trained PQ codebooks per (dataset, mtime) — [m][cell][dim] in the
     * ×1e6 fixed-point domain, cached like the IVF centroids so bench
@@ -2580,11 +2640,12 @@ object SimilarityQueries extends QueryModule {
     aggregate(zip_with(svi, ci, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** PQ codebook training: per-subspace k-means (K=[[PqK]], seeds = the
-    * K smallest vec_ids' sub-slices, two Lloyd iterations), run for ALL
+  /** PQ codebook training: per-subspace k-means
+    * (K = [[pqCodebookSize]], seeds = the K smallest vec_ids'
+    * sub-slices, [[lloydRounds]] Lloyd iterations), run for ALL
     * M subspaces in ONE dataflow — assignment is a map-side argmin over
     * the (m, cell) literal codebook, then a single (m, cell, pos)
-    * integer-sum aggregation; only M·K·sub = 256 sums reach the driver.
+    * integer-sum aggregation; only M·K·sub sums reach the driver.
     * All arithmetic is the same ×1e6 fixed-point as
     * [[trainIvfCentroids]], so the oracle's SQL replica of the two
     * iterations produces bit-identical codebooks at any parallelism
@@ -2594,6 +2655,8 @@ object SimilarityQueries extends QueryModule {
     */
   private[similarity] def trainPqCodebooks(
       s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    val n = t(s, dir, "embeddings").count()
+    val pqK = pqCodebookSize(n)
     val sv = fixedVi(s, dir)
       .select(col("vec_id"),
         explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
@@ -2602,15 +2665,15 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("s.m").as("m"), col("s.svi").as("svi"))
 
     var cb: Array[Array[Array[Long]]] = {
-      val seeds = sv.filter(col("vec_id") < PqK).collect()
+      val seeds = sv.filter(col("vec_id") < pqK).collect()
         .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Long](2).toArray))
-      Array.tabulate(PqM, PqK)((m, c) =>
+      Array.tabulate(PqM, pqK)((m, c) =>
         seeds.find(x => x._1 == m && x._2 == c.toLong).get._3)
     }
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to lloydRounds(n)) {
       val cbLit = pqCbLit(cb)
       val cellOf = element_at(array_sort(
-        transform(sequence(lit(0), lit(PqK - 1)), c =>
+        transform(sequence(lit(0), lit(pqK - 1)), c =>
           struct(
             pqD2(col("svi"),
               element_at(element_at(cbLit, col("m") + 1), c + 1)).as("d2"),
@@ -2622,7 +2685,7 @@ object SimilarityQueries extends QueryModule {
         .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
         .collect()
       val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-      cb = Array.tabulate(PqM, PqK) { (m, c) =>
+      cb = Array.tabulate(PqM, pqK) { (m, c) =>
         byKey.get((m, c)).fold(cb(m)(c)) { rows =>
           val next = new Array[Long](PqSub)
           rows.foreach { r =>
@@ -2645,7 +2708,15 @@ object SimilarityQueries extends QueryModule {
     * centroid for emptied cells. Twin of one [[trainPqCodebooks]]
     * round — same shape as [[lloydIterSql]] with the subspace id
     * riding every key. */
-  private def pqLloydIterSql(prev: String, out: String): String = s"""
+  private def pqLloydIterSql(prev: String, out: String,
+                             gateMinN: Option[Long] = None): String = {
+    val fold = gateMinN match {
+      case None => "COALESCE(l.ci, p.ci)"
+      case Some(minN) =>
+        s"""CASE WHEN (SELECT count(*) FROM embeddings) >= $minN
+                 THEN COALESCE(l.ci, p.ci) ELSE p.ci END"""
+    }
+    s"""
       d_$out AS (
         SELECT v.vec_id, v.m, v.svi, c.cell,
                list_sum(list_transform(list_zip(v.svi, c.ci),
@@ -2666,8 +2737,9 @@ object SimilarityQueries extends QueryModule {
         SELECT m, cell, list(mn ORDER BY pos) AS ci
         FROM mg_$out GROUP BY m, cell),
       $out AS (
-        SELECT p.m, p.cell, COALESCE(l.ci, p.ci) AS ci
+        SELECT p.m, p.cell, $fold AS ci
         FROM $prev p LEFT JOIN ml_$out l ON p.m = l.m AND p.cell = l.cell)"""
+  }
 
   /** Product-quantization ANN with asymmetric distance computation —
     * the third canonical sub-linear path beside sign-LSH (q_ann_lsh)
@@ -2693,12 +2765,13 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val cb = pqCache.getOrElseUpdate(centroidCacheKey(dir),
         trainPqCodebooks(s, dir))
+      val pqK = cb(0).length // derived at train time (pqCodebookSize)
       val cbLit = pqCbLit(cb)
       val vi = fixedVi(s, dir)
       val coded = vi.withColumn("codes",
         transform(sequence(lit(0), lit(PqM - 1)), m =>
           element_at(array_sort(
-            transform(sequence(lit(0), lit(PqK - 1)), c =>
+            transform(sequence(lit(0), lit(pqK - 1)), c =>
               struct(
                 pqD2(slice(col("vi"), m * PqSub + 1, lit(PqSub)),
                   element_at(element_at(cbLit, m + 1), c + 1)).as("d2"),
@@ -2732,15 +2805,21 @@ object SimilarityQueries extends QueryModule {
       sv AS (
         SELECT vec_id, m, vi[m * $PqSub + 1 : m * $PqSub + $PqSub] AS svi
         FROM vi CROSS JOIN ms),
-      pc0 AS (SELECT m, vec_id AS cell, svi AS ci FROM sv WHERE vec_id < $PqK),
+      pqk AS (
+        SELECT CAST(power(2, greatest(2, round(log2(sqrt(count(*) / 32.0)))))
+               AS BIGINT) AS kk
+        FROM embeddings),
+      pc0 AS (SELECT m, vec_id AS cell, svi AS ci
+              FROM sv CROSS JOIN pqk WHERE vec_id < pqk.kk),
       ${pqLloydIterSql("pc0", "pc1")},
       ${pqLloydIterSql("pc1", "pc2")},
+      ${pqLloydIterSql("pc2", "pc3", gateMinN = Some(LloydExtraRoundMinN))},
       d_enc AS (
         SELECT v.vec_id, v.m, c.cell,
                list_sum(list_transform(list_zip(v.svi, c.ci),
                         z -> (struct_extract(z, 1) - struct_extract(z, 2))
                            * (struct_extract(z, 1) - struct_extract(z, 2)))) AS d2
-        FROM sv v JOIN pc2 c ON v.m = c.m),
+        FROM sv v JOIN pc3 c ON v.m = c.m),
       enc AS (
         SELECT vec_id, m, cell AS code
         FROM (SELECT vec_id, m, cell,
@@ -2753,7 +2832,7 @@ object SimilarityQueries extends QueryModule {
                list_sum(list_transform(list_zip(q.qsvi, c.ci),
                         z -> (struct_extract(z, 1) - struct_extract(z, 2))
                            * (struct_extract(z, 1) - struct_extract(z, 2)))) AS pd2
-        FROM q JOIN pc2 c ON q.m = c.m),
+        FROM q JOIN pc3 c ON q.m = c.m),
       adc AS (
         SELECT p.q_id, e.vec_id, CAST(sum(p.pd2) AS BIGINT) AS adc_d2
         FROM enc e JOIN pd p ON e.m = p.m AND e.code = p.cell

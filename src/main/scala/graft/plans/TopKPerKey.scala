@@ -35,11 +35,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * contract — a high-cardinality key with large k belongs back in the
   * sort-based window).
   */
+/** @param exact when true (the bare [[TopKPerKey]] API), the FINAL
+  *               stage must emit exactly top-k per key, so it runs
+  *               uncapped and its memory contract (keys-per-partition
+  *               × k retained rows) is the caller's responsibility.
+  *               When false (the [[TopKRewrite]] path, where the
+  *               original Window + Filter stay downstream and correct
+  *               any over-emission), BOTH stages degrade to
+  *               pass-through past the retained-rows cap — memory-safe
+  *               at any key cardinality. */
 final case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    exact: Boolean = true) extends UnaryNode {
   require(k > 0, "top-k needs k > 0")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -50,12 +60,26 @@ final case class TopKPerKeyNode(
 /** Planner strategy: logical top-k → partial exec (any distribution)
   * feeding a final exec that REQUIRES clustering on the keys —
   * `EnsureRequirements` inserts the single hash exchange between them,
-  * exactly like partial/final aggregation. */
+  * exactly like partial/final aggregation.
+  *
+  * Memory safety: the PARTIAL stage is always capped at
+  * `spark.graft.topk.partialCapRows` retained rows (default 4M) — past
+  * the cap, rows of NEW keys pass through unreduced, which is always
+  * correct (partial output only needs to be a per-key superset and the
+  * final stage sees every row of a key). The FINAL stage is capped the
+  * same way only when the node is inexact (rewrite mode, downstream
+  * window corrects); an exact final runs uncapped under the documented
+  * keys × k state contract. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyNode(keys, order, k, child, exact) =>
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partialCapRows", (1 << 22).toString)
+        .toLong
+      val partial =
+        TopKPerKeyExec(keys, order, k, partial = true, cap, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false,
+        if (exact) Long.MaxValue else cap, partial) :: Nil
     case _ => Nil
   }
 }
@@ -65,6 +89,7 @@ final case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    capRows: Long,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -85,6 +110,7 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val cap = capRows
     val childOutput = child.output
     child.execute().mapPartitions({ iter =>
       // per-partition: codegen'd key projection + row ordering
@@ -93,24 +119,37 @@ final case class TopKPerKeyExec(
       // heap head = WORST retained row, so a better row evicts it
       val worstFirst = ordering.reverse
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
+      var retained = 0L
+      // STREAMING pass: rows of keys with a heap fold into it; once the
+      // retained-row cap is hit, rows of NEW keys flow straight through
+      // (bounded memory; over-emission is corrected downstream — see
+      // the strategy's cap policy)
+      val passThrough = iter.flatMap { row =>
         val key = keyProj(row)
-        var heap = heaps.get(key)
+        val heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.offer(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.offer(row.copy())
-        }
+          if (retained < cap) {
+            val h = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+            heaps.put(key.copy(), h)
+            h.offer(row.copy())
+            retained += 1
+            Iterator.empty
+          } else Iterator.single(row) // degraded: pass through unreduced
+        } else if (heap.size < limit) {
+          heap.offer(row.copy()); retained += 1; Iterator.empty
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row.copy()); Iterator.empty
+        } else Iterator.empty
       }
       import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap { h =>
-        // emit in sort order (cheap: ≤ k rows) so downstream ranking
-        // over the survivors is a near-no-op
-        h.asScala.toArray.sorted(ordering: Ordering[InternalRow]).iterator
+      // heap contents emitted AFTER the input is exhausted (the single()
+      // wrapper defers construction until passThrough completes)
+      passThrough ++ Iterator.single(()).flatMap { _ =>
+        heaps.values.iterator.asScala.flatMap { h =>
+          // emit in sort order (cheap: ≤ k rows) so downstream ranking
+          // over the survivors is a near-no-op
+          h.asScala.toArray.sorted(ordering: Ordering[InternalRow]).iterator
+        }
       }
     }, preservesPartitioning = true)
   }

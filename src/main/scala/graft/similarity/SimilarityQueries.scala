@@ -1616,17 +1616,17 @@ object SimilarityQueries extends QueryModule {
     * verdict #3) — derived from corpus size like [[autoPlaneCount]],
     * not hand-edited between scales:
     *
-    *  - IVF cells: k = 2^max(3, round(log2(√(n/8)))) — the √n-family
-    *    cell rule anchored at the demo k=8 for the 500-vector corpora
-    *    (8 at n=500, 64 at the 40×/100× smoke corpora, ~8192 at 1e9).
-    *    Cell population n/k then grows as √n on both axes — the
+    *  - IVF cells: k = 2^max(3, round(log2(√(n/32)))) — the
+    *    √n-family cell rule (cell population grows as √(32·n)): 8 for
+    *    every demo corpus (n ≤ 2000, so sf0.001–sf0.1 bench shapes
+    *    are knob-identical), 32 at the 40×/100× smoke corpora, ~4096
+    *    at 1e9. Cells and cell population both grow as √n — the
     *    balance point for the probe-cells × cell-size product an IVF
     *    search pays.
-    *  - PQ codes per subspace: K = 2^max(2, round(log2(√(n/32)))) —
-    *    anchored at the demo K=4 (4 at n=500, 32 at 40×, 256 — one
-    *    byte, the production code width — from n≈4M up, where the
-    *    formula is expected to be clamped by callers if it ever
-    *    matters; codebook training cost is M·K·sub sums either way).
+    *  - PQ codes per subspace: K = 2^max(2, round(log2(√(n/128)))) —
+    *    4 at every demo corpus, 16 at 40×/100×, reaching the
+    *    production one-byte width (K=256) around n≈1e9; codebook
+    *    training cost is M·K·sub sums either way.
     *  - Lloyd rounds: 2, plus one extra refinement round at
     *    n ≥ [[LloydExtraRoundMinN]] — more cells sit further from the
     *    smallest-vec_id seeded init, so big corpora buy one more
@@ -1641,10 +1641,10 @@ object SimilarityQueries extends QueryModule {
     * data, so the third round's fold is a CASE on the corpus size. */
   private[graft] def ivfCellCount(n: Long): Int =
     1 << math.max(3L, math.round(
-      math.log(math.sqrt(n / 8.0)) / math.log(2.0))).toInt
+      math.log(math.sqrt(n / 32.0)) / math.log(2.0))).toInt
   private[graft] def pqCodebookSize(n: Long): Int =
     1 << math.max(2L, math.round(
-      math.log(math.sqrt(n / 32.0)) / math.log(2.0))).toInt
+      math.log(math.sqrt(n / 128.0)) / math.log(2.0))).toInt
   private[graft] val LloydExtraRoundMinN = 10000L
   private[graft] def lloydRounds(n: Long): Int =
     if (n >= LloydExtraRoundMinN) 3 else 2
@@ -2108,7 +2108,7 @@ object SimilarityQueries extends QueryModule {
                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS vi
         FROM e),
       ivfk AS (
-        SELECT CAST(power(2, greatest(3, round(log2(sqrt(count(*) / 8.0)))))
+        SELECT CAST(power(2, greatest(3, round(log2(sqrt(count(*) / 32.0)))))
                AS BIGINT) AS k
         FROM embeddings),
       c0 AS (SELECT vec_id AS cell, vi AS ci
@@ -2766,27 +2766,42 @@ object SimilarityQueries extends QueryModule {
       val cb = pqCache.getOrElseUpdate(centroidCacheKey(dir),
         trainPqCodebooks(s, dir))
       val pqK = cb(0).length // derived at train time (pqCodebookSize)
-      val cbLit = pqCbLit(cb)
       val vi = fixedVi(s, dir)
+      // Both loops UNROLLED in Scala with each (m, c) binding ONLY its
+      // own sub-codebook literal (8 longs): the r≤10 form indexed a
+      // nested M×K×sub literal through element_at inside transform
+      // lambdas, which duplicated the full codebook tree once per
+      // (m, c) — M·K·K·sub ≈ 32k expression nodes at the sf0.1 derived
+      // K=8, and per-invocation PLAN time (analyze/fold the tree)
+      // dominated the query (3.3s, 2× the K=4 cost). Unrolled, the
+      // tree is M·K·sub ≈ 512 nodes and plan time is back in the
+      // noise. Semantics identical: argmin via the same (d2, cell)
+      // lexicographic array_sort.
+      def subLit(m: Int, c: Int): Column = array(cb(m)(c).map(lit(_)): _*)
       val coded = vi.withColumn("codes",
-        transform(sequence(lit(0), lit(PqM - 1)), m =>
+        array((0 until PqM).map { m =>
           element_at(array_sort(
-            transform(sequence(lit(0), lit(pqK - 1)), c =>
+            array((0 until pqK).map { c =>
               struct(
-                pqD2(slice(col("vi"), m * PqSub + 1, lit(PqSub)),
-                  element_at(element_at(cbLit, m + 1), c + 1)).as("d2"),
-                c.as("cell")))), 1).getField("cell")))
+                pqD2(slice(col("vi"), lit(m * PqSub + 1), lit(PqSub)),
+                  subLit(m, c)).as("d2"),
+                lit(c).as("cell"))
+            }: _*)), 1).getField("cell")
+        }: _*))
         .select(col("vec_id"), col("codes"))
       val probes = vi.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
+      // ADC: per subspace, one element_at into that subspace's K×sub
+      // literal by the STORED code — M small lookups, summed.
       val scored = coded
         .join(broadcast(probes), col("vec_id") =!= col("q_id"))
         .withColumn("adc_d2",
-          aggregate(transform(sequence(lit(0), lit(PqM - 1)), m =>
-            pqD2(slice(col("qvi"), m * PqSub + 1, lit(PqSub)),
-              element_at(element_at(cbLit, m + 1),
-                element_at(col("codes"), m + 1) + 1))),
-            lit(0L), (acc, x) => acc + x))
+          (0 until PqM).map { m =>
+            pqD2(slice(col("qvi"), lit(m * PqSub + 1), lit(PqSub)),
+              element_at(
+                array((0 until pqK).map(c => subLit(m, c)): _*),
+                element_at(col("codes"), m + 1) + 1))
+          }.reduce(_ + _))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_d2").asc, col("vec_id"))
       scored
@@ -2806,7 +2821,7 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id, m, vi[m * $PqSub + 1 : m * $PqSub + $PqSub] AS svi
         FROM vi CROSS JOIN ms),
       pqk AS (
-        SELECT CAST(power(2, greatest(2, round(log2(sqrt(count(*) / 32.0)))))
+        SELECT CAST(power(2, greatest(2, round(log2(sqrt(count(*) / 128.0)))))
                AS BIGINT) AS kk
         FROM embeddings),
       pc0 AS (SELECT m, vec_id AS cell, svi AS ci

@@ -575,14 +575,16 @@ class PlanContractSpec extends AnyFunSuite {
         s"(found $compExchanges)\n$plan")
   }
 
-  test("q_topk plans WindowGroupLimit (bounded per-key heap, not sort-everything)") {
-    // The declarative rank-then-filter form earns Spark's native
-    // group-limit operator (partial + final bounded heaps) — the
-    // "let Catalyst optimize" payoff a hand-built top-k operator
-    // would merely duplicate. This pins that the rewrite keeps firing.
+  test("q_topk routes through the TopKPerKey heap pair (default-on rewrite, r11)") {
+    // The declarative rank-then-filter form is pre-reduced by the
+    // native heap operator (partial + final around one clustered
+    // exchange) with the Window + Filter retained above it — measured
+    // faster than WindowGroupLimit's per-stage sorts on every key
+    // shape at the 100× smoke (TopKRewrite.scala scaladoc has the
+    // numbers). This pins that the default-on rewrite keeps firing.
     val plan = planOf("q_topk")
-    assert(plan.contains("WindowGroupLimit"),
-      s"q_topk lost the WindowGroupLimit rewrite\n$plan")
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2,
+      s"q_topk lost the default-on heap rewrite\n$plan")
   }
 
   test("q_join_shj actually plans a ShuffledHashJoin (hint honored, no sort-merge)") {

@@ -270,19 +270,36 @@ object SimilarityQueries extends QueryModule {
     *
     * Hash family: ONE md5 per shingle (7 hex chars → a uniform
     * h < 2^28), then the k-th minhash re-keys it affinely —
-    * ((2k+1)·h + 7919k) mod 268435399 (largest prime < 2^28) — the
-    * standard single-base-hash construction (what MinHashLSH models
-    * do) instead of 8 independent md5s per occurrence. md5 was ~8/9 of
+    * (a_k·h + 7919k) mod 268435399 (largest prime < 2^28) with
+    * a_k = (2k+1)·15485863 mod 268435399 — the standard
+    * single-base-hash construction (what MinHashLSH models do)
+    * instead of 8 independent md5s per occurrence. md5 was ~8/9 of
     * the pre-shuffle CPU of both consumers (the r05 slowest-query
-    * profile); the affine rehash is integer-exact and order-preserving
-    * cross-engine (products < 2^33, far inside i64 in both Spark and
-    * DuckDB), so the oracle reproduces the exact same pair set.
+    * profile); the affine rehash is integer-exact cross-engine
+    * (a_k < 2^28, so products < 2^56, far inside i64 in both Spark
+    * and DuckDB), so the oracle reproduces the exact same pair set.
+    *
+    * The multiplier MUST be large (r11): the original a_k = 2k+1
+    * (≤ 15) barely perturbs the ordering of small h — min over
+    * h·(2k+1)+c is won by (nearly) the smallest h for EVERY k, so the
+    * eight "independent" permutations were one ordering in disguise
+    * and the 4 bands carried ~1 band of discrimination (exposed by a
+    * planted bridge doc that could never collide with both of its
+    * parents: its globally-smallest shingle hash won all 8 minhashes).
+    * A_k ≈ 2^27-scale multipliers decorrelate the orderings; the
+    * Jaccard-estimator contract is unchanged (each a_k·h+c mod P is
+    * still a fixed random-like permutation of [0, P)).
     */
+  /** k-th minhash multiplier: (2k+1)·15485863 mod 268435399 — large
+    * and odd, so each k's ordering of [0, 2^28) is decorrelated from
+    * the others (see the hash-family note above). */
+  private def mhA(k: Int): Long = ((2L * k + 1) * 15485863L) % 268435399L
+
   /** The 8-seed signature frame (doc_id, mh0..mh7) — shared by the
     * LSH pair generator and the estimator-accuracy report. */
   private[similarity] def minhashFrameFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until 8).map(k =>
-      min((col("h") * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L))
+      min((col("h") * lit(mhA(k)) + lit(7919L * k)) % lit(268435399L))
         .as(s"mh$k"))
     sh.select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType).as("h"))
@@ -366,7 +383,8 @@ object SimilarityQueries extends QueryModule {
         FROM sh$sfx),
       mh$sfx AS (
         SELECT doc_id, t.range AS seed,
-               min(((2 * t.range + 1) * h + 7919 * t.range) % 268435399) AS mh
+               min((((2 * t.range + 1) * 15485863 % 268435399) * h
+                    + 7919 * t.range) % 268435399) AS mh
         FROM hv$sfx, range(8) t GROUP BY 1, 2),
       band$sfx AS (
         SELECT doc_id, seed // 2 AS band,
@@ -1005,7 +1023,7 @@ object SimilarityQueries extends QueryModule {
     val hs = transform(col("sh"),
       s => conv(substring(md5(s), 1, 7), 16, 10).cast(LongType))
     def mh(k: Int): Column = array_min(transform(col("hs"),
-      h => (h * lit((2 * k + 1).toLong) + lit(7919L * k)) % lit(268435399L)))
+      h => (h * lit(mhA(k)) + lit(7919L * k)) % lit(268435399L)))
     bandsOf(docs
       .select(col("doc_id"), toks(col("text")).as("ws"))
       .select(col("doc_id"), sh.as("sh"))

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Target-size small-file compaction for ANY partitioned parquet
+  * dataset — the generalization of the signature index's generational
+  * compaction (SimilarityQueries.compactIndex) into the housekeeping
+  * operator every long-lived table needs (r10 verdict #7): streaming
+  * sinks, micro-batch appends and incremental promotes all accrete
+  * files far below the scan-efficient size, and at 100 TB the file
+  * COUNT (driver listing time, task-per-file scheduling, open/seek
+  * overhead) becomes the bottleneck before the bytes do.
+  *
+  * Shape: one pass over the dataset's LEAF directories (hive-style
+  * `k=v` partition dirs, or the root for an unpartitioned table).
+  * A leaf is compacted only when its file count exceeds
+  * ceil(bytes / targetBytes) — already-compact leaves are untouched
+  * (no rewrite amplification on repeated runs; the second run is a
+  * no-op, pinned in WriteHygieneSpec). Each compacted leaf is
+  * rewritten to exactly that many files in a staging dir and swapped
+  * in with [[BulkPipeline.promoteDir]]'s crash-safe aside-rename, so a
+  * reader never sees a half-compacted leaf and a crash loses nothing
+  * (the aside copy is restored on the next promote).
+  *
+  * Leaf-at-a-time isolation is deliberate: partition VALUES live in
+  * the directory names, so rewriting a leaf's files standalone
+  * preserves the table layout exactly (leaf files never contain
+  * partition columns), and the blast radius of any failure is one
+  * partition. Row content is identical by construction — the rewrite
+  * is read-coalesce-write with no expression in between; only file
+  * boundaries (and row order across files, which parquet scans never
+  * promise) change.
+  *
+  * Scale notes: at production scale the per-leaf rewrites are
+  * embarrassingly parallel driver-side jobs (here sequential — the
+  * corpora are small and the loop is clearer); `coalesce(n)` avoids a
+  * shuffle entirely — each output file concatenates whole input
+  * files, so compaction I/O is one read + one write of the leaf.
+  */
+object Compaction {
+
+  final case class LeafReport(path: String, filesBefore: Int,
+                              filesAfter: Int, bytes: Long)
+  final case class Report(leaves: Seq[LeafReport]) {
+    def compacted: Seq[LeafReport] = leaves.filter(l => l.filesAfter < l.filesBefore)
+    def filesBefore: Int = leaves.map(_.filesBefore).sum
+    def filesAfter: Int = leaves.map(_.filesAfter).sum
+  }
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** All leaf directories holding data files (root itself for an
+    * unpartitioned table), skipping staging/aside dirs from an
+    * interrupted promote. */
+  private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
+    val st = fs.listStatus(root)
+    val dirs = st.filter(s => s.isDirectory &&
+      !s.getPath.getName.endsWith(".__staging__") &&
+      !s.getPath.getName.endsWith(".__old__"))
+    val hasData = st.exists(s => s.isFile && isDataFile(s.getPath))
+    val below = dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
+    if (hasData) root +: below else below
+  }
+
+  /** Compact every leaf of the parquet dataset at `root` toward
+    * `targetBytes` per file. Returns a per-leaf report (also for
+    * leaves left untouched, with filesAfter == filesBefore). */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024): Report = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reports = leafDirs(fs, rootPath).map { leaf =>
+      val files = fs.listStatus(leaf).filter(s => s.isFile && isDataFile(s.getPath))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.length <= want)
+        LeafReport(leaf.toString, files.length, files.length, bytes)
+      else {
+        val staging = new Path(leaf.toString + ".__staging__")
+        fs.delete(staging, true)
+        // Size the READ splits to the target too: small files pack
+        // into maxPartitionBytes-sized splits, so with the default
+        // 128 MB a sub-128MB leaf reads as ONE split and coalesce
+        // could never reach `want` output files. Splits ≈ want keeps
+        // the rewrite zero-shuffle AND target-sized.
+        val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+        try
+          spark.read.parquet(leaf.toString)
+            .coalesce(want)
+            .write.mode("overwrite").parquet(staging.toString)
+        finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+        BulkPipeline.promoteDir(spark, staging.toString, leaf.toString)
+        val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
+        LeafReport(leaf.toString, files.length, after, bytes)
+      }
+    }
+    Report(reports)
+  }
+}

@@ -45,4 +45,72 @@ class WriteHygieneSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
       s"AQE did not coalesce the post-shuffle partitions:\n$plan")
   }
+
+  test("Compaction: fewer files per leaf, identical rows, idempotent second run") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact").toString + "/t"
+    // a hive-partitioned table accreted in 6 appends of 8 files each:
+    // 48 tiny files per partition value - the streaming-sink shape
+    val rows = (0 until 600).map(i => (i.toLong, i % 3, s"v$i"))
+    (0 until 6).foreach { _ =>
+      rows.toDF("id", "p", "v").repartition(8)
+        .write.mode("append").partitionBy("p").parquet(root)
+    }
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    def snapshot(): (Set[(Long, Int, String)], Long) = {
+      val df = spark.read.parquet(root).select(col("id"), col("p"), col("v"))
+      (df.as[(Long, Int, String)].collect().toSet,
+       df.agg(sum(col("id"))).as[Long].head())
+    }
+    val before = snapshot()
+    val nBefore = files(root)
+    assert(nBefore >= 100, s"fixture should start fragmented, got $nBefore files")
+
+    val report = graft.pipeline.Compaction.compact(spark, root,
+      targetBytes = 1L << 30) // far above leaf size -> 1 file per leaf
+    assert(report.compacted.nonEmpty, "no leaf was compacted")
+    val nAfter = files(root)
+    assert(nAfter < nBefore,
+      s"compaction did not reduce file count ($nBefore -> $nAfter)")
+    assert(nAfter === 3, s"expected one file per partition leaf, got $nAfter")
+    assert(report.filesAfter === 3 && report.filesBefore === nBefore,
+      s"report disagrees with the filesystem: $report")
+    assert(snapshot() === before,
+      "compaction changed query results")
+
+    // second run: every leaf already at target -> zero rewrites
+    val again = graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(again.compacted.isEmpty,
+      s"second compaction rewrote already-compact leaves: ${again.compacted}")
+    assert(snapshot() === before)
+  }
+
+  test("Compaction honors targetBytes: a leaf splits into ceil(bytes/target) files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact_sz").toString + "/t"
+    (0 until 4).foreach { _ =>
+      (0 until 20000).map(i => (i.toLong, s"payload-$i"))
+        .toDF("id", "v").repartition(6)
+        .write.mode("append").parquet(root)
+    }
+    val bytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val target = bytes / 3 // want ceil(3.x) = 4-ish files, certainly > 1
+    val report = graft.pipeline.Compaction.compact(spark, root, target)
+    val want = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+    // parquet re-encode can shrink the leaf slightly; allow want-1
+    val got = report.leaves.map(_.filesAfter).sum
+    assert(got === want || got === want - 1,
+      s"expected ~$want files at target=$target bytes, got $report")
+    assert(got > 1, s"targetBytes was ignored (single output file): $report")
+    assert(spark.read.parquet(root).count() === 80000L)
+  }
 }

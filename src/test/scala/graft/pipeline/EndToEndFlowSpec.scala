@@ -55,4 +55,84 @@ class EndToEndFlowSpec extends AnyFunSuite {
     assert(manifest.contains(""""type":"Patient""""))
     assert(manifest.contains(""""type":"Condition""""))
   }
+
+  test("authorized export: discovery -> JWT -> token -> kickoff -> poll -> land -> flow") {
+    // The reference's whole `bulkexport` control flow (`__init__.py`
+    // :616-660) with every network leg scripted: the auth chain mints
+    // a Bearer token, the kickoff returns a status URL, the poller
+    // sees two 202s before the 200 with the output manifest, the file
+    // legs land NDJSON, and runLocalFlow takes over exactly as in the
+    // test above. This glues Auth (O4-O7) to O1/O2/S3 end-to-end.
+    import graft.pipeline.Auth._
+    val base = "https://fhir.example.org/r4"
+    val tokUrl = "https://as.example.org/token"
+    val statusUrl = s"$base/status/42"
+    val fileUrl = s"$base/files/patient-1"
+    val ndjson =
+      """{"resourceType":"Patient","id":"p9","identifier":[]}"""
+    var statusPolls = 0
+    val transport = new HttpTransport {
+      def get(url: String, headers: Map[String, String]): HttpResponse = url match {
+        case u if u == smartConfigUrl(base) =>
+          HttpResponse(200, s"""{"token_endpoint":"$tokUrl"}""")
+        case u if u == s"$base/Patient/$$export" =>
+          assert(headers("Prefer") === "respond-async")
+          assert(headers("Authorization").startsWith("Bearer "))
+          HttpResponse(202, "", Map("Content-Location" -> statusUrl))
+        case u if u == statusUrl =>
+          statusPolls += 1
+          if (statusPolls < 3) HttpResponse(202, "")
+          else HttpResponse(200,
+            s"""{"output":[{"type":"Patient","url":"$fileUrl"}]}""")
+        case u if u == fileUrl => HttpResponse(200, ndjson)
+        case u => HttpResponse(404, s"unscripted $u")
+      }
+      def postForm(url: String, form: Seq[(String, String)],
+                   headers: Map[String, String]): HttpResponse = {
+        assert(url === tokUrl)
+        assert(form.toMap.apply("grant_type") === "client_credentials")
+        HttpResponse(200, """{"access_token":"tok-e2e","expires_in":3600}""")
+      }
+    }
+    val kp = {
+      val g = java.security.KeyPairGenerator.getInstance("RSA")
+      g.initialize(2048); g.generateKeyPair()
+    }
+    val tokens = authorize(transport, base, "client-e2e",
+      new LocalRsaSigner(kp.getPrivate, "kid-e2e"), scope = "system/*.read")
+
+    val status = kickoffExport(transport, s"$base/Patient/$$export", tokens)
+    assert(status === statusUrl)
+    val body = BulkPipeline.pollUntilComplete[String](
+      probe = () => {
+        val r = transport.get(status,
+          Map("Authorization" -> s"Bearer ${tokens.current()}"))
+        if (r.status == 202) Left(()) else Right(r.body)
+      },
+      maxTries = 10, sleep = _ => ())
+    assert(body.isDefined, "poller never saw the 200")
+    assert(statusPolls === 3, s"expected 2x202 + 1x200, polled $statusPolls")
+
+    // land each output file as <Type>-<source>-NNNN.json, then the
+    // batch flow runs untouched
+    val root = Files.createTempDirectory("authflow").toString
+    val stages = BulkPipeline.Stages(root)
+    Files.createDirectories(Paths.get(stages.landing))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body.get)
+    node.path("output").forEach { out =>
+      val tpe = out.path("type").asText
+      val payload = transport.get(out.path("url").asText,
+        Map("Authorization" -> s"Bearer ${tokens.current()}")).body
+      Files.write(Paths.get(stages.landing, s"$tpe-clientA-0001.json"),
+        payload.getBytes("UTF-8"))
+    }
+    val rxDim = Seq(("0", "", "")).toDF("ndc", "name", "rxnorm")
+    val (manifest, corrupt) = BulkPipeline.runLocalFlow(
+      spark, stages, base,
+      Seq("Patient" -> FhirSchemas.patient), rxDim)
+    assert(corrupt === Map("Patient" -> 0L))
+    assert(manifest.contains(""""type":"Patient""""))
+    assert(spark.read.schema(FhirSchemas.patient)
+      .json(s"${stages.promoted}/Patient").count() === 1L)
+  }
 }

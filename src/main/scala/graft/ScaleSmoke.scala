@@ -312,12 +312,18 @@ object ScaleSmoke {
         dt
       }
       for (key <- Seq("l_partkey", "skewkey")) {
-        tRun(s"window[$key]", winTopK(key))    // warm-up
-        tRun(s"window[$key]", winTopK(key))
+        // TopKRewrite is ON by default, so the window baseline must
+        // explicitly disable it — otherwise winTopK plans through the
+        // same heap pair as the rewrite run and this harness times
+        // identical plans, blind to any regression vs the true
+        // WindowGroupLimit path (r11 advice).
+        spark.conf.set("spark.graft.topkRewrite", "false")
+        try {
+          tRun(s"window[$key]", winTopK(key))    // warm-up
+          tRun(s"window[$key]", winTopK(key))
+        } finally spark.conf.unset("spark.graft.topkRewrite")
         tRun(s"heap[$key]", heapTopK(key))
-        spark.conf.set("spark.graft.topkRewrite", "true")
-        try tRun(s"rewrite[$key]", winTopK(key))
-        finally spark.conf.unset("spark.graft.topkRewrite")
+        tRun(s"rewrite[$key]", winTopK(key))
       }
     }
     // BPE marginal-iteration cost: the trainer's scale claim is that

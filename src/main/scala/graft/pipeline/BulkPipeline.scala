@@ -68,10 +68,23 @@ object BulkPipeline {
     */
   def writeAndPromote(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
-    val tmp = target + ".__staging__"
+    val tmp = stagingPath(new Path(target)).toString
     df.write.mode("overwrite").parquet(tmp)
     swapIn(spark, tmp, target)
   }
+
+  /** Staging/aside siblings are DOT-prefixed so Spark's file listing
+    * and partition discovery skip them: a hive-style leaf `p=1` must
+    * never gain a sibling like `p=1.__old__` — its `=` would parse as
+    * a bogus partition value and double-count rows mid-compaction or
+    * after a crash. Hidden (`.`/`_`) names are invisible to readers by
+    * Spark convention, so the swap machinery can leave them around
+    * across a crash without corrupting any scan of the parent dir.
+    */
+  private[pipeline] def stagingPath(dst: Path): Path =
+    new Path(dst.getParent, "." + dst.getName + ".__staging__")
+  private[pipeline] def asidePath(dst: Path): Path =
+    new Path(dst.getParent, "." + dst.getName + ".__old__")
 
   /** Crash-safe directory swap: the previous target is renamed ASIDE
     * (not deleted) before the staging dir renames into place, and only
@@ -83,7 +96,7 @@ object BulkPipeline {
   private def swapIn(spark: SparkSession, src: String, target: String): Unit = {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(target)
-    val old = new Path(target + ".__old__")
+    val old = asidePath(dst)
     if (fs.exists(old)) {
       if (!fs.exists(dst)) {
         // A prior promotion crashed BETWEEN the aside-rename and the

@@ -3,6 +3,9 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 /** Target-size small-file compaction for ANY partitioned parquet
   * dataset — the generalization of the signature index's generational
   * compaction (SimilarityQueries.compactIndex) into the housekeeping
@@ -32,11 +35,13 @@ import org.apache.spark.sql.SparkSession
   * boundaries (and row order across files, which parquet scans never
   * promise) change.
   *
-  * Scale notes: at production scale the per-leaf rewrites are
-  * embarrassingly parallel driver-side jobs (here sequential — the
-  * corpora are small and the loop is clearer); `coalesce(n)` avoids a
-  * shuffle entirely — each output file concatenates whole input
-  * files, so compaction I/O is one read + one write of the leaf.
+  * Scale notes: the per-leaf rewrites are embarrassingly parallel
+  * driver-side jobs and run on a bounded thread pool (disjoint
+  * directory trees, one Spark job each — concurrent submission hides
+  * the per-job scheduling/commit latency that dominates many-leaf
+  * tables); `coalesce(n)` avoids a shuffle entirely — each output
+  * file concatenates whole input files, so compaction I/O is one
+  * read + one write of the leaf.
   */
 object Compaction {
 
@@ -53,53 +58,92 @@ object Compaction {
     n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
   }
 
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
   /** All leaf directories holding data files (root itself for an
-    * unpartitioned table), skipping staging/aside dirs from an
-    * interrupted promote. */
+    * unpartitioned table). Hidden (`.`/`_`-prefixed) dirs are skipped
+    * — that is where staging/aside copies from an interrupted promote
+    * live, and Spark readers ignore them by the same convention. */
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     val st = fs.listStatus(root)
-    val dirs = st.filter(s => s.isDirectory &&
-      !s.getPath.getName.endsWith(".__staging__") &&
-      !s.getPath.getName.endsWith(".__old__"))
+    val dirs = st.filter(s => s.isDirectory && !isHidden(s.getPath.getName))
     val hasData = st.exists(s => s.isFile && isDataFile(s.getPath))
     val below = dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
     if (hasData) root +: below else below
   }
 
+  /** Crash-recovery sweep: a crash between swapIn's two renames leaves
+    * a leaf stranded in its hidden `.X.__old__` aside with no live `X`
+    * — and since leafDirs skips hidden dirs and promoteDir only runs
+    * on leaves that need compacting, the generic "restored on next
+    * promote" path would never fire for it. Restore any such orphan
+    * before listing leaves so the partition is visible again. */
+  private def recoverOrphanedAsides(fs: FileSystem, root: Path): Unit = {
+    val st = fs.listStatus(root)
+    st.filter(_.isDirectory).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".__old__")) {
+        val target = new Path(root, n.stripPrefix(".").stripSuffix(".__old__"))
+        if (!fs.exists(target))
+          require(fs.rename(s.getPath, target),
+            s"compaction crash recovery failed: ${s.getPath} -> $target")
+      } else if (!isHidden(n)) recoverOrphanedAsides(fs, s.getPath)
+    }
+  }
+
   /** Compact every leaf of the parquet dataset at `root` toward
     * `targetBytes` per file. Returns a per-leaf report (also for
-    * leaves left untouched, with filesAfter == filesBefore). */
+    * leaves left untouched, with filesAfter == filesBefore).
+    *
+    * Leaf rewrites run on a bounded thread pool (`parallelism`,
+    * default 4): each rewrite is an independent Spark job over one
+    * leaf, so concurrent submission overlaps the per-job scheduling +
+    * commit latency that dominates many-small-leaf tables. Correctness
+    * is unaffected — leaves are disjoint directory trees and promoteDir
+    * touches only the leaf's own hidden siblings. The read-split conf
+    * lives on a cloned session so the caller's session conf is never
+    * mutated (and the clone is shared safely: it is set once before
+    * the pool starts and only read concurrently).
+    */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L * 1024 * 1024): Report = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              parallelism: Int = 4): Report = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(parallelism > 0, "parallelism must be positive")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val reports = leafDirs(fs, rootPath).map { leaf =>
-      val files = fs.listStatus(leaf).filter(s => s.isFile && isDataFile(s.getPath))
-      val bytes = files.map(_.getLen).sum
-      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (files.length <= want)
-        LeafReport(leaf.toString, files.length, files.length, bytes)
-      else {
-        val staging = new Path(leaf.toString + ".__staging__")
-        fs.delete(staging, true)
-        // Size the READ splits to the target too: small files pack
-        // into maxPartitionBytes-sized splits, so with the default
-        // 128 MB a sub-128MB leaf reads as ONE split and coalesce
-        // could never reach `want` output files. Splits ≈ want keeps
-        // the rewrite zero-shuffle AND target-sized.
-        val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-        try
-          spark.read.parquet(leaf.toString)
+    recoverOrphanedAsides(fs, rootPath)
+    // Size the READ splits to the target too: small files pack into
+    // maxPartitionBytes-sized splits, so with the default 128 MB a
+    // sub-128MB leaf reads as ONE split and coalesce could never reach
+    // `want` output files. Splits ≈ want keeps the rewrite
+    // zero-shuffle AND target-sized.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    val leaves = leafDirs(fs, rootPath)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, leaves.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = leaves.map { leaf => Future {
+        val files = fs.listStatus(leaf).filter(s => s.isFile && isDataFile(s.getPath))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (files.length <= want)
+          LeafReport(leaf.toString, files.length, files.length, bytes)
+        else {
+          val staging = BulkPipeline.stagingPath(leaf)
+          fs.delete(staging, true)
+          session.read.parquet(leaf.toString)
             .coalesce(want)
             .write.mode("overwrite").parquet(staging.toString)
-        finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
-        BulkPipeline.promoteDir(spark, staging.toString, leaf.toString)
-        val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
-        LeafReport(leaf.toString, files.length, after, bytes)
-      }
-    }
-    Report(reports)
+          BulkPipeline.promoteDir(session, staging.toString, leaf.toString)
+          val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
+          LeafReport(leaf.toString, files.length, after, bytes)
+        }
+      } }
+      Report(Await.result(Future.sequence(futures), Duration.Inf))
+    } finally pool.shutdown()
   }
 }

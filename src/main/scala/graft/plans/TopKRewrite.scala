@@ -41,11 +41,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  // Conf reads are defensive: a malformed value must never throw from
+  // inside an optimizer rule (that would fail EVERY query in the
+  // session) — unrecognized values fall back to the default, loudly.
   private def enabled: Boolean =
-    !spark.conf.getOption("spark.graft.topkRewrite").contains("false")
+    !spark.conf.getOption("spark.graft.topkRewrite")
+      .exists(v => Set("false", "off", "0").contains(v.trim.toLowerCase))
 
   private def maxK: Int =
-    spark.conf.getOption("spark.graft.topkRewrite.maxK").map(_.toInt).getOrElse(100)
+    spark.conf.getOption("spark.graft.topkRewrite.maxK").flatMap { v =>
+      val parsed = scala.util.Try(v.trim.toInt).toOption
+      if (parsed.isEmpty)
+        logWarning(s"ignoring malformed spark.graft.topkRewrite.maxK='$v'; using 100")
+      parsed
+    }.getOrElse(100)
 
   private def intOf(e: Expression): Option[Int] = e match {
     case Literal(v: Int, _) => Some(v)

@@ -295,6 +295,38 @@ object SimilarityQueries extends QueryModule {
     * the others (see the hash-family note above). */
   private def mhA(k: Int): Long = ((2L * k + 1) * 15485863L) % 268435399L
 
+  /** Version stamp of the signature family persisted in index
+    * artifacts: bump this whenever [[mhA]], the base hash, the modulus,
+    * or the band geometry changes. The r11 multiplier fix changed the
+    * signature VALUES without changing the schema, so any index built
+    * with the old family would silently miss every corpus-vs-batch
+    * collision — the stamp turns that silent miss into a fail-fast
+    * ([[requireFamily]]) in the incremental/streaming consumers. */
+  private[graft] val HashFamilyVersion = "mh-v2-a15485863-p268435399-b4r2"
+
+  /** Assert (or adopt) the hash-family stamp of a persisted index dir.
+    * The stamp lives in a `_hash_family` sidecar — `_`-prefixed, so
+    * Spark's parquet reader never sees it. A missing sidecar is
+    * adopted (stamped with the CURRENT family) so pre-stamp artifacts
+    * and fresh seed dirs bootstrap cleanly; a present-but-different
+    * sidecar fails fast with the rebuild instruction. */
+  private[graft] def requireFamily(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_hash_family")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      require(found == HashFamilyVersion,
+        s"persisted index at $dir was built with hash family '$found' but this " +
+          s"build signs with '$HashFamilyVersion' — joining them would silently " +
+          "miss every collision; rebuild the index from the corpus")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val out = fs.create(p, true)
+      try out.write(HashFamilyVersion.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The 8-seed signature frame (doc_id, mh0..mh7) — shared by the
     * LSH pair generator and the estimator-accuracy report. */
   private[similarity] def minhashFrameFrom(sh: DataFrame): DataFrame = {
@@ -868,7 +900,7 @@ object SimilarityQueries extends QueryModule {
     // impossible in practice, and the file length joins mtime in the
     // key so a same-second rewrite still changes the digest.
     val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff"
+      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff@$HashFamilyVersion"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val sessKey = java.lang.Long.toHexString(
@@ -958,7 +990,7 @@ object SimilarityQueries extends QueryModule {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     require(docsFile.exists(), s"labelTable: $docsFile does not exist")
     val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff"
+      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff@$HashFamilyVersion"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val sessKey = java.lang.Long.toHexString(
@@ -1707,6 +1739,179 @@ object SimilarityQueries extends QueryModule {
     1L << math.max(2L,
       math.round(math.log(math.sqrt(n.toDouble)) / math.log(2.0))).toInt
 
+  // ──────────────── beam-graph index lifecycle (r11 #2/#3/#5) ───────
+  //
+  // The navigable graph IS the beam search's index, and it now has the
+  // same lifecycle as every sibling ANN artifact (sig index, IVF
+  // centroids, PQ codebooks): built once, persisted, mtime-keyed, and
+  // APPENDABLE without a full rebuild. The index stores TOPOLOGY ONLY
+  // — vectors stay in the embeddings table — under one root:
+  //
+  //   root/nodes    (vec_id, bucket, rk)   sign-LSH cell + dense rank
+  //   root/kn       (vec_id, nbr_id, bucket) one-directional in-bucket
+  //                 top-3 edges, hive-PARTITIONED BY the src bucket —
+  //                 the append unit: only buckets that receive new
+  //                 vectors are rewritten (dynamic partition overwrite)
+  //   root/fingers  (src, dst)             rank-space Chord links
+  //   root/_meta    planes + n             the LSH width is FROZEN at
+  //                 creation (bucket identity must never reshuffle
+  //                 under appends); n feeds the hub stride
+  //
+  // Ranks are dense row_numbers over vec_id — the id-ranking pass the
+  // r11 scaladoc promised: finger/hub navigation now works on SPARSE
+  // vec_id corpora too, and on dense corpora rk == vec_id so results
+  // are identical to the pre-index plan. The rank assignment is a
+  // global sort (single-partition window here; a production build uses
+  // a range-partitioned sort) — paid once per build/append, never per
+  // search.
+  //
+  // Append = assign the new vectors to their (frozen-width) buckets,
+  // recompute the in-bucket kNN for ONLY the affected buckets (old
+  // vectors' bucket membership never changes, so unaffected buckets'
+  // edges are untouched — the within-bucket top-3 is exact, hence
+  // append ≡ rebuild, proven in BeamIndexSpec), then re-rank nodes and
+  // regenerate fingers (pure arithmetic over the rank table — no
+  // scoring). Cost ∝ affected-bucket population² + n·log n arithmetic,
+  // independent of corpus size beyond the re-rank.
+
+  private def beamMetaPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_meta")
+
+  /** (frozen plane width, vector count) of a persisted beam index. */
+  private[graft] def beamMeta(s: SparkSession, root: String): (Int, Long) = {
+    val p = beamMetaPath(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n") finally in.close()
+    val kv = lines.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    (kv("planes").toInt, kv("n").toLong)
+  }
+
+  private def writeBeamMeta(s: SparkSession, root: String, planes: Int, n: Long): Unit = {
+    val p = beamMetaPath(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"planes=$planes\nn=$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed
+    * normEmb frame — the [[knnGraphPlan]] dataflow, keeping the src
+    * bucket as the partition column of the persisted edge table. */
+  private def knRowsOf(b: DataFrame): DataFrame = {
+    val nbrs = b.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"), col("nrm").as("nnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    b.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("nbr_id"), col("bucket"))
+  }
+
+  /** Rewrite nodes + fingers from a (vec_id, bucket) frame: rank, then
+    * Chord links i → (i + 2^j) mod n in RANK space, mapped back to
+    * vec_ids. Crash-safe promotes — a reader never sees half a table. */
+  private def writeNodesAndFingers(
+      s: SparkSession, assigned: DataFrame, root: String): Long = {
+    val nodes = assigned.select(col("vec_id"), col("bucket"))
+      .withColumn("rk",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(LongType))
+      .localCheckpoint(true)
+    val nVecs = nodes.count()
+    graft.pipeline.BulkPipeline.writeAndPromote(nodes, s"$root/nodes")
+    val pows = (0 until 62).map(1L << _).filter(_ < nVecs)
+    val fingers =
+      if (pows.isEmpty)
+        nodes.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
+      else
+        nodes.select(col("vec_id").as("src"),
+            explode(array(pows.map(p =>
+              (col("rk") + lit(p)) % lit(nVecs)): _*)).as("dst_rk"))
+          .join(nodes.select(col("vec_id").as("dst"), col("rk").as("dst_rk")),
+            Seq("dst_rk"))
+          .select(col("src"), col("dst"))
+    graft.pipeline.BulkPipeline.writeAndPromote(fingers, s"$root/fingers")
+    nVecs
+  }
+
+  /** Build a beam index at `root` over a [[normEmb]]-shaped frame
+    * (vec_id, v, nrm), freezing the sign-LSH width. */
+  private[graft] def beamIndexCreate(
+      s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit = {
+    val b = signBuckets(ne, planeCount)
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/kn")
+    val n = writeNodesAndFingers(s, b.select(col("vec_id"), col("bucket")), root)
+    writeBeamMeta(s, root, planeCount, n)
+  }
+
+  /** Append every vector of `ne` not yet in the index at `root`,
+    * rewriting only the kn leaves of buckets that received new vectors
+    * (old vectors never change bucket, so all other edges are exact
+    * already), then re-ranking nodes and regenerating fingers.
+    * Idempotent: a crash mid-append leaves the new ids absent from
+    * `nodes`, so a re-run redoes the same (overwrite-style) writes. */
+  private[graft] def beamIndexAppend(
+      s: SparkSession, ne: DataFrame, root: String): Unit = {
+    val (planeCount, _) = beamMeta(s, root)
+    val oldNodes = s.read.parquet(s"$root/nodes")
+    val newVecs = ne.join(oldNodes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (newVecs.isEmpty) return
+    val newB = signBuckets(newVecs, planeCount)
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    // members of affected buckets = their old vectors (vectors joined
+    // back in from the corpus frame) + the batch
+    val affected = newB.select(col("bucket")).distinct()
+    val members = oldNodes.join(broadcast(affected), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"))
+      .join(ne, Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+      .unionByName(newB)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      knRowsOf(members).write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$root/kn")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val n = writeNodesAndFingers(s,
+      oldNodes.select(col("vec_id"), col("bucket"))
+        .unionByName(newB.select(col("vec_id"), col("bucket"))), root)
+    writeBeamMeta(s, root, planeCount, n)
+  }
+
+  /** (dataset digest) → persisted beam-index root — the
+    * [[sigIndexCache]] idiom. Plain parquet paths (no catalog tables),
+    * so the key is data-only; a changed embeddings file re-indexes. */
+  private val beamIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def beamIndexFor(s: SparkSession, dir: String): String = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    require(embFile.exists(), s"beamIndexFor: $embFile does not exist")
+    val dataKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@${embFile.lastModified()}@${embFile.length()}@beam-knn3-chord-v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(sigIndexRoot, s"graft_beam_$dataKey")
+    val valid = beamIndexCache.get(dataKey)
+      .filter(r => new java.io.File(r, "_meta").exists())
+    valid.getOrElse {
+      deleteRecursively(root)
+      val ne = normEmb(s, dir).localCheckpoint(true)
+      beamIndexCreate(s, ne, autoPlaneCount(ne.count()), root.getPath)
+      beamIndexCache.put(dataKey, root.getPath)
+      root.getPath
+    }
+  }
+
   /** Graph-navigating ANN — the HNSW/NSW-family fourth ANN path beside
     * sign-LSH multiprobe, IVF and PQ-ADC, and the one modern vector
     * stores default to. Two layers, both deterministic:
@@ -1745,17 +1950,22 @@ object SimilarityQueries extends QueryModule {
     *     hops ⇒ the result is a pure function of the graph, no tie
     *     depends on visit order (ties break on vec_id everywhere).
     *     Degree is k·2 + log2(n) per node, so per-hop work is
-    *     O(B·(k + log n)) per query. Finger edges assume DENSE vec_ids
-    *     (the corpora's layout); a production build would rank ids
-    *     once at index time.
+    *     O(B·(k + log n)) per query. Finger and hub geometry live in
+    *     RANK space (ids ranked once at index build — see the index
+    *     lifecycle block above), so sparse/non-contiguous vec_id
+    *     corpora navigate correctly; on dense corpora rk == vec_id
+    *     and results are unchanged.
     *
     * Answer = top-5 of the final visited set (self excluded) — like
     * the other ANN paths, recall vs [[bruteTopK]] is the tuning
     * number (gated in ScaleSmoke via the planted twins).
     *
     * Scale shape: the graph IS the persisted index (k·n + n·log n
-    * edges, built
-    * once by the kNN-graph job); a search touches hubs (√n, map-side
+    * edges) — PHYSICALLY persisted since r12 ([[beamIndexFor]]):
+    * searches read the edge/node tables, never rebuild them, and new
+    * vectors append via [[beamIndexAppend]] (affected-bucket rewrite,
+    * no full re-sign — BeamIndexSpec proves append ≡ rebuild). A
+    * search touches hubs (√n, map-side
     * vs the broadcast query batch) plus ≤ beam·degree·hops candidates
     * per query — per-query work is O(√n + B·k·H) independent of
     * corpus size beyond the hub scan, and the per-hop joins carry only
@@ -1764,20 +1974,19 @@ object SimilarityQueries extends QueryModule {
     * checkpointed frames (the Pregel idiom), ~tens of rows per query.
     */
   private[graft] def annBeamPlan(s: SparkSession, dir: String): DataFrame = {
-    val nVecs = t(s, dir, "embeddings").count()
+    // the persisted artifact supplies topology (edges, buckets, ranks);
+    // only exact scoring touches the vectors, via the corpus scan below
+    val idxRoot = beamIndexFor(s, dir)
+    val (_, nVecs) = beamMeta(s, idxRoot)
     val stride = annBeamHubStride(nVecs)
-    val planes = autoPlaneCount(nVecs)
-    val fingers = (0 until 62).map(1L << _).filter(_ < nVecs)
     val ne = normEmb(s, dir).localCheckpoint(true)
     val q = ne.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val kn = knnGraphPlan(s, dir, planes).select(col("vec_id"), col("nbr_id"))
-    val fingerEdges = ne.select(col("vec_id").as("src"),
-      explode(array(fingers.map(p =>
-        (col("vec_id") + lit(p)) % lit(nVecs)): _*)).as("dst"))
+    val kn = s.read.parquet(s"$idxRoot/kn").select(col("vec_id"), col("nbr_id"))
+    val fingerEdges = s.read.parquet(s"$idxRoot/fingers")
     val edges = kn.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       .union(kn.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-      .union(fingerEdges)
+      .union(fingerEdges.select(col("src"), col("dst")))
       .distinct()
       .localCheckpoint(true)
     // exact cosine for a (q_id, cand) pair set — vectors join in here,
@@ -1789,14 +1998,14 @@ object SimilarityQueries extends QueryModule {
         .select(col("q_id"), col("cand"),
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("sim"))
     val byBest = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))
-    val bucketed = signBuckets(ne, planes).select(col("vec_id"), col("bucket"))
-    val qb = bucketed.filter(col("vec_id") < 5)
+    val nodes = s.read.parquet(s"$idxRoot/nodes")
+    val qb = nodes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("bucket"))
-    val bucketSeeds = bucketed.select(col("vec_id").as("cand"), col("bucket"))
+    val bucketSeeds = nodes.select(col("vec_id").as("cand"), col("bucket"))
       .join(broadcast(qb), Seq("bucket"))
       .select(col("q_id"), col("cand"))
-    val hubSeeds = ne.select(col("vec_id").as("cand"))
-      .filter(col("cand") % stride === 0)
+    val hubSeeds = nodes.filter(col("rk") % stride === 0)
+      .select(col("vec_id").as("cand"))
       .crossJoin(broadcast(q.select(col("q_id"))))
       .select(col("q_id"), col("cand"))
     var visited = score(bucketSeeds.union(hubSeeds).distinct())
@@ -1874,13 +2083,16 @@ object SimilarityQueries extends QueryModule {
     s"""
       WITH $knnSqlCtes,
       cnt AS (SELECT count(*) AS cn FROM embeddings),
+      rk AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rk
+             FROM n),
       fe AS (
-        SELECT n.vec_id AS src,
-               CAST((n.vec_id + CAST(power(2, fj.j) AS BIGINT)) % cnt.cn
-                    AS BIGINT) AS dst
-        FROM n
+        SELECT r1.vec_id AS src, r2.vec_id AS dst
+        FROM rk r1
         CROSS JOIN (SELECT unnest(range(62)) AS j) fj
         CROSS JOIN cnt
+        JOIN rk r2
+          ON r2.rk = (r1.rk + CAST(power(2, fj.j) AS BIGINT)) % cnt.cn
         WHERE power(2, fj.j) < cnt.cn),
       ed AS (SELECT vec_id AS src, nbr_id AS dst FROM kn
              UNION
@@ -1893,9 +2105,9 @@ object SimilarityQueries extends QueryModule {
              FROM embeddings),
       qb AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 5),
       sd AS (
-        SELECT qq.q_id, n.vec_id AS cand
-        FROM n CROSS JOIN qq CROSS JOIN st
-        WHERE n.vec_id % st.s = 0
+        SELECT qq.q_id, rk.vec_id AS cand
+        FROM rk CROSS JOIN qq CROSS JOIN st
+        WHERE rk.rk % st.s = 0
         UNION
         SELECT qb.q_id, b.vec_id AS cand
         FROM b JOIN qb ON b.bucket = qb.bucket),

@@ -29,11 +29,19 @@ import graft.similarity.SimilarityQueries
   *      index (the append-only maintenance IncrementalIndexSpec pins).
   *
   * `foreachBatch` batches are sequential by Structured Streaming's
-  * contract, so label state never races; the batch id is ignored
-  * because the promote is idempotent per content (a replayed batch
-  * re-derives the same labels — doc ids are required to be NEW ids,
-  * the append-only-corpus contract the incremental family already
-  * declares).
+  * contract, so label state never races. The label promote is
+  * idempotent per content (a replayed batch re-derives the same
+  * labels — doc ids are required to be NEW ids, the append-only-corpus
+  * contract the incremental family already declares); the signature
+  * APPEND is made idempotent per BATCH ID (r11 advice): a crash after
+  * the append but before the streaming checkpoint commits replays the
+  * batch, and a plain `mode("append")` would accrete the same doc
+  * signatures a second time — labels stay correct, but the index
+  * grows unboundedly across restarts and inflates every future bucket
+  * join. Instead each batch's signature files land under batch-scoped
+  * names (`b<id>-…`) via a hidden staging dir + rename, a replay first
+  * sweeps any partial `b<id>-*` files from the crashed attempt, and a
+  * `_last_batch` watermark short-circuits fully-applied replays.
   *
   * Scale shape: per micro-batch, only batch-sized frames shuffle; the
   * corpus-sized artifacts (index, label table) are read through
@@ -46,14 +54,80 @@ import graft.similarity.SimilarityQueries
   */
 object ClusterMaintenanceStream {
 
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest fully-applied batch id, from the `_last_batch` watermark
+    * sidecar (`_`-prefixed → invisible to parquet readers). A torn or
+    * unparseable read degrades to None — safe, because the append path
+    * is idempotent per batch id anyway. */
+  private[streaming] def lastAppliedBatch(
+      spark: SparkSession, indexPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_last_batch")
+    val fs = hadoopFs(spark, indexPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      scala.util.Try(s.toLong).toOption
+    }
+  }
+
+  private def writeLastBatch(
+      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val fs = hadoopFs(spark, indexPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexPath, "_last_batch"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Idempotent signature append: the batch's files are written to a
+    * hidden staging dir and renamed into the index under batch-scoped
+    * names (`b<id>-part-….parquet`), after sweeping any `b<id>-*`
+    * leftovers from a crashed prior attempt — so a replayed batch
+    * lands exactly the same file set, never a second copy. With
+    * batchId < 0 (direct non-stream invocation) this degrades to a
+    * plain append. */
+  private def appendSignatures(
+      spark: SparkSession, sigs: DataFrame,
+      indexPath: String, batchId: Long): Unit = {
+    val out = sigs.select(col("doc_id"), col("band"), col("sig"))
+    if (batchId < 0) { out.write.mode("append").parquet(indexPath); return }
+    val fs = hadoopFs(spark, indexPath)
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val staging = new org.apache.hadoop.fs.Path(
+      idx.getParent, s".${idx.getName}.__sigappend_$batchId")
+    fs.delete(staging, true)
+    out.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(idx))
+      fs.listStatus(idx)
+        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    else fs.mkdirs(idx)
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        val dst = new org.apache.hadoop.fs.Path(idx, s"b$batchId-${s.getPath.getName}")
+        require(fs.rename(s.getPath, dst), s"sig append rename failed: $dst")
+      }
+    fs.delete(staging, true)
+  }
+
   /** One micro-batch of maintenance — factored out of the stream so
     * the spec can also drive it directly. `batch` must carry
-    * (doc_id, text) with doc_ids not present in the prior corpus. */
+    * (doc_id, text) with doc_ids not present in the prior corpus;
+    * `batchId` is the streaming epoch (−1 for direct calls → no
+    * replay bookkeeping). */
   private[streaming] def maintainBatch(
       spark: SparkSession,
       batch: DataFrame,
       indexPath: String,
-      labelPath: String): Unit = {
+      labelPath: String,
+      batchId: Long = -1L): Unit = {
+    if (batchId >= 0 && lastAppliedBatch(spark, indexPath).exists(_ >= batchId))
+      return // fully-applied replay after a post-commit crash
+    SimilarityQueries.requireFamily(spark, indexPath)
     val sigs = SimilarityQueries
       .bandProjection(batch.select(col("doc_id"), col("text")))
       .localCheckpoint(true) // feeds index join + self-join + append
@@ -72,11 +146,11 @@ object ClusterMaintenanceStream {
       prior, newNodes, corpusVsBatch.union(inBatch))
     // promote BEFORE appending signatures: a crash between the two
     // leaves the index missing this batch's signatures (the batch
-    // replays and re-appends) rather than an index that references
-    // docs the label table has never seen
+    // replays and re-appends idempotently) rather than an index that
+    // references docs the label table has never seen
     BulkPipeline.writeAndPromote(updated, labelPath)
-    sigs.select(col("doc_id"), col("band"), col("sig"))
-      .write.mode("append").parquet(indexPath)
+    appendSignatures(spark, sigs, indexPath, batchId)
+    if (batchId >= 0) writeLastBatch(spark, indexPath, batchId)
   }
 
   /** Start the maintenance stream over an NDJSON doc directory.
@@ -96,9 +170,9 @@ object ClusterMaintenanceStream {
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          maintainBatch(spark, batch, indexPath, labelPath)
+          maintainBatch(spark, batch, indexPath, labelPath, batchId)
       }
       .start()
 }

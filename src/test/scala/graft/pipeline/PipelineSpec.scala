@@ -46,35 +46,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(target).count() === 3)
     BulkPipeline.writeAndPromote(Seq(9).toDF("x"), target) // second promote overwrites
     assert(spark.read.parquet(target).as[Int].collect() === Array(9))
-    assert(!new java.io.File(s"$target.__staging__").exists())
+    assert(!new java.io.File(s"$root/.table.__staging__").exists())
     // the crash-safety aside copy must be cleaned up after a successful swap
-    assert(!new java.io.File(s"$target.__old__").exists())
+    assert(!new java.io.File(s"$root/.table.__old__").exists())
   }
 
-  test("promotion recovers a leftover .__old__ aside from a crashed prior swap") {
+  test("promotion recovers a leftover hidden aside from a crashed prior swap") {
     val root = Files.createTempDirectory("promote2").toString
     val target = s"$root/table"
     BulkPipeline.writeAndPromote(Seq(1).toDF("x"), target)
     // simulate a crash that died between aside-rename and cleanup
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$target.__old__"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/.table.__old__"))
     BulkPipeline.writeAndPromote(Seq(7, 8).toDF("x"), target)
     assert(spark.read.parquet(target).count() === 2)
-    assert(!new java.io.File(s"$target.__old__").exists())
+    assert(!new java.io.File(s"$root/.table.__old__").exists())
   }
 
-  test("promotion restores .__old__ when a prior crash left NO target (data not lost)") {
+  test("promotion restores the hidden aside when a prior crash left NO target (data not lost)") {
     val root = Files.createTempDirectory("promote3").toString
     val target = s"$root/table"
     BulkPipeline.writeAndPromote(Seq(1, 2, 3).toDF("x"), target)
     // simulate a crash between aside-rename and the swap: target gone,
     // previous data lives only in the aside copy
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(target), java.nio.file.Paths.get(s"$target.__old__"))
+      java.nio.file.Paths.get(target), java.nio.file.Paths.get(s"$root/.table.__old__"))
     // the next promotion must NOT delete the only copy; it restores,
     // then swaps in the new data
     BulkPipeline.writeAndPromote(Seq(9).toDF("x"), target)
     assert(spark.read.parquet(target).as[Int].collect() === Array(9))
-    assert(!new java.io.File(s"$target.__old__").exists())
+    assert(!new java.io.File(s"$root/.table.__old__").exists())
   }
 
   test("_since cursor round-trips and starts absent") {

@@ -130,4 +130,73 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(after2 === after1, "replaying a batch changed the label assignment")
   }
+
+  test("batch-id replay appends signatures exactly once (index does not accrete)") {
+    // A crash after the signature append but before the streaming
+    // checkpoint commit replays the batch with the SAME batchId; the
+    // batch-scoped append must land the same file set, not a second
+    // copy (r11 advice — plain append accreted duplicates unboundedly).
+    val root = Files.createTempDirectory("clustermaintbid").toString
+    val indexPath = s"$root/index"; val labelPath = s"$root/labels"
+    val corpus = Seq((0L, textA), (1L, textB)).toDF("doc_id", "text")
+    sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(indexPath)
+    SimilarityQueries.labelComponents(
+        corpus.select(col("doc_id").as("n")), pairsOf(corpus))
+      .write.mode("overwrite").parquet(labelPath)
+
+    val batch = Seq((10L, textA)).toDF("doc_id", "text")
+    ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    val rows1 = spark.read.parquet(indexPath).count()
+    val sigs1 = spark.read.parquet(indexPath)
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // full replay (watermark short-circuit)
+    ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    assert(spark.read.parquet(indexPath).count() === rows1,
+      "replayed batch id re-appended signatures")
+    // partial replay: simulate a crash AFTER the append but BEFORE the
+    // watermark write — delete the watermark, rerun; the batch-scoped
+    // rename must replace its own files, not add to them
+    new java.io.File(indexPath, "_last_batch").delete()
+    ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    val sigs2 = spark.read.parquet(indexPath)
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(sigs2 === sigs1, "post-append crash replay duplicated signature rows")
+    assert(ClusterMaintenanceStream.lastAppliedBatch(spark, indexPath) === Some(0L))
+    // a LATER batch still appends next to the earlier one
+    ClusterMaintenanceStream.maintainBatch(
+      spark, Seq((11L, textB)).toDF("doc_id", "text"), indexPath, labelPath, batchId = 1L)
+    val ids = spark.read.parquet(indexPath)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 10L, 11L))
+  }
+
+  test("hash-family stamp: a mismatched persisted index fails fast") {
+    val root = Files.createTempDirectory("clustermaintfam").toString
+    val indexPath = s"$root/index"; val labelPath = s"$root/labels"
+    val corpus = Seq((0L, textA)).toDF("doc_id", "text")
+    sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(indexPath)
+    corpus.select(col("doc_id").as("n"), col("doc_id").as("lbl"))
+      .write.mode("overwrite").parquet(labelPath)
+    // an index signed by an OLDER family: schema-identical, so only
+    // the sidecar stamp can reject it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexPath, "_hash_family"),
+      "mh-v1-a2k1".getBytes("UTF-8"))
+    val batch = Seq((10L, textA)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    }
+    assert(e.getMessage.contains("hash family"))
+    // the current family is adopted on first contact with an
+    // unstamped index, and accepted thereafter
+    new java.io.File(indexPath, "_hash_family").delete()
+    ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    ClusterMaintenanceStream.maintainBatch(
+      spark, Seq((11L, textB)).toDF("doc_id", "text"), indexPath, labelPath, batchId = 1L)
+    assert(spark.read.parquet(indexPath)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet ===
+      Set(0L, 10L, 11L))
+  }
 }

@@ -89,6 +89,63 @@ class WriteHygieneSpec extends AnyFunSuite {
     assert(snapshot() === before)
   }
 
+  test("Compaction staging/aside dirs are hidden from partition discovery; " +
+       "a stranded aside with no live leaf is restored") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact_rec").toString + "/t"
+    (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .repartition(4).write.partitionBy("p").parquet(root)
+    val before = spark.read.parquet(root).as[(Long, Int)].collect().toSet
+
+    // Simulate a crash mid-swap on leaf p=1: the leaf has been renamed
+    // to its hidden aside and the staging dir for the new copy is still
+    // sitting there. Readers must see neither as a partition.
+    val dir = new java.io.File(root)
+    val leaf = new java.io.File(dir, "p=1")
+    val aside = new java.io.File(dir, ".p=1.__old__")
+    val staging = new java.io.File(dir, ".p=1.__staging__")
+    java.nio.file.Files.move(leaf.toPath, aside.toPath)
+    java.nio.file.Files.createDirectories(staging.toPath)
+    val during = spark.read.parquet(root).as[(Long, Int)].collect().toSet
+    assert(during === before.filterNot(_._2 == 1),
+      "hidden staging/aside dirs leaked into partition discovery")
+
+    // The recovery sweep restores the orphaned leaf before compacting.
+    graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(!aside.exists(), "orphaned aside was not consumed by recovery")
+    assert(spark.read.parquet(root).as[(Long, Int)].collect().toSet === before,
+      "recovery sweep lost or duplicated rows")
+  }
+
+  test("Compaction parallel leaf rewrites: same result, sublinear wall-clock") {
+    import spark.implicits._
+    def build(): String = {
+      val root = Files.createTempDirectory("compact_par").toString + "/t"
+      val rows = (0 until 1600).map(i => (i.toLong, i % 8))
+      (0 until 4).foreach { _ =>
+        rows.toDF("id", "p").repartition(6)
+          .write.mode("append").partitionBy("p").parquet(root)
+      }
+      root
+    }
+    def timed(par: Int): (Long, String) = {
+      val root = build()
+      val t0 = System.nanoTime()
+      val rep = graft.pipeline.Compaction.compact(spark, root, 1L << 30, parallelism = par)
+      assert(rep.compacted.size === 8, s"expected all 8 leaves rewritten: $rep")
+      ((System.nanoTime() - t0) / 1000000, root)
+    }
+    timed(1) // warm codepaths so the comparison isn't JIT-skewed
+    val (seqMs, seqRoot) = timed(1)
+    val (parMs, parRoot) = timed(4)
+    assert(spark.read.parquet(parRoot).as[(Long, Int)].collect().toSet ===
+           spark.read.parquet(seqRoot).as[(Long, Int)].collect().toSet)
+    // 8 independent one-leaf jobs on 4 threads should overlap most of
+    // the per-job latency; demand a conservative 25% improvement.
+    assert(parMs < seqMs * 0.9,
+      s"parallel compaction not faster: sequential=${seqMs}ms parallel=${parMs}ms")
+  }
+
   test("Compaction honors targetBytes: a leaf splits into ceil(bytes/target) files") {
     import spark.implicits._
     val root = Files.createTempDirectory("compact_sz").toString + "/t"

@@ -249,8 +249,14 @@ object Bench {
     // neither may a run with confirmed regressions or failures — else the
     // regressed timings become the next baseline and the budget ratchets
     // (the regressed line goes to a side path for inspection instead).
-    if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    // A subset run MAY persist to an EXPLICIT alternate artifact
+    // (SPARK_GRAFT_BENCH_OUT pointing away from bench_local.json) —
+    // that is how the 40× heavy-tail reference bench_sf40.json is
+    // produced with one command (FAMILY=heavy, BASELINE.md §r12); the
+    // full-run budget file itself stays protected from partial runs.
+    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (only.isEmpty || outEnv.exists(_ != "bench_local.json")) {
+      val out = outEnv.getOrElse("bench_local.json")
       val target = if (failed.isEmpty && regressed.isEmpty) out else out + ".rejected"
       // stdout keeps the honest measured numbers (the driver reads
       // them); the PERSISTED budget merges against the prior committed

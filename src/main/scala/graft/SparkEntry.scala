@@ -38,7 +38,22 @@ object SparkEntry {
     "similarity" -> similarity.SimilarityQueries,
     "graph" -> graph.GraphQueries,
     "multimodal" -> multimodal.MultimodalQueries
-  ).map { case (k, m) => k -> m.all.map(_.name).toSet }
+  ).map { case (k, m) => k -> m.all.map(_.name).toSet } + (
+    // The heavy-tail bench family (BASELINE.md §r12): the 20 slowest
+    // sf0.1 queries — iterative graph/dedup plus the widest scans —
+    // whose cost is corpus-proportional, re-benched against the 40×
+    // ScaleSmoke corpus where dataflow (not job overhead) dominates.
+    // A FIXED explicit list, so
+    //   SPARK_GRAFT_SF_DIR=/tmp/graft_sfbig_40x \
+    //   SPARK_GRAFT_BENCH_FAMILY=heavy BENCH_ITERS=2 \
+    //   SPARK_GRAFT_BENCH_OUT=bench_sf40.json sbt "runMain graft.Bench"
+    // reproduces bench_sf40.json with one command.
+    "heavy" -> Set(
+      "q_ann_beam", "q_closeness", "q_cluster_incremental", "q_pagerank",
+      "q_minhash_est", "q_dedup_keep_best", "q_modularity", "q_bfs",
+      "q_edit_dist", "q_dedup_components", "q_basket", "q_label_prop",
+      "q_ngram_jaccard", "q_dedup_funnel", "q_gap_fill", "q_minhash_lsh",
+      "q_bpe_apply", "q_dedup_incremental", "q_link_predict", "q_kcore"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -57,10 +57,17 @@ object AnalyticsQueries extends QueryModule {
   /** approx_count_distinct — the HLL++ sketch form of the query above:
     * constant memory per group at ANY cardinality, which is what you
     * actually run at 100 TB (exact distinct state grows with the key
-    * set). No oracle: HLL estimates are engine-specific, so the driver
-    * records the weaker rows-only check; the estimate's accuracy bound
-    * (±2% here vs exact) is asserted in AnalyticsSpec, and this entry
-    * keeps the sketch path timed in the bench.
+    * set). HLL registers are engine-specific, so the ESTIMATE cannot
+    * be hash-compared — but its ERROR BOUND can (r11 verdict #4): the
+    * query emits the exact distinct count alongside a boolean holding
+    * |estimate − exact| / exact ≤ 3·rsd (three standard errors of the
+    * rsd=0.02 sketch), and the oracle computes the same exact count
+    * with the boolean pinned TRUE — so every driver run now verifies
+    * the estimator's accuracy contract, not just a row count. The
+    * exact aggregate rides in the same grouped pass (one extra
+    * distinct expand); at production scale you would drop it and keep
+    * only the sketch — the bound is the TEST, the sketch is the
+    * operator.
     */
   val hllDistinct = Q(
     "q_hll_distinct",
@@ -68,10 +75,22 @@ object AnalyticsQueries extends QueryModule {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_parts_approx"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("nd_parts"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          col("nd_parts"),
+          col("n"),
+          (abs(col("approx") - col("nd_parts")) <=
+            col("nd_parts") * lit(0.06)).as("hll_within_3rsd"))
         .orderBy(col("l_returnflag")),
-    None
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS nd_parts,
+             count(*) AS n,
+             true AS hll_within_3rsd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
   /** KMV hash in [0,1): 32-bit md5 prefix over 2^32. Exactly
@@ -1767,14 +1786,19 @@ object AnalyticsQueries extends QueryModule {
     * ≤ 1/10000) instead of buffering every group value the way the
     * exact order statistic must. Same query shape and output columns
     * as q_percentile, so swapping is a one-line change. Sketch
-    * estimates are engine-specific → rows-only check like
-    * q_hll_distinct (SURVEY §9) — and unlike HLL's order-invariant
-    * register-max merge, quantile-sketch merges are partial-order
-    * dependent, so estimates may wobble within the rank bound across
-    * runs (fine for the rows-only check and the ±1% spec assert; do
-    * not byte-compare its dump across runs). AnalyticsSpec pins ±1% agreement
-    * with the exact percentiles, and this entry keeps the sketch path
-    * timed in the bench.
+    * estimates are engine-specific (and quantile-sketch merges are
+    * partial-order dependent, so estimates may wobble within the rank
+    * bound across runs) — but the RANK-ERROR CONTRACT itself is
+    * checkable on every run (r11 verdict #4): a GK-style sketch at
+    * accuracy A returns an element whose rank is within n/A of the
+    * target, so the estimate must lie between the exact quantiles at
+    * q ± 2/A (the doubled margin absorbs the floor/ceil and
+    * interpolation wobble at the rank boundary). The query emits that
+    * boolean per quantile with the oracle pinning TRUE — upgrading the
+    * old rows-only check to a verified error bound. The exact
+    * bracketing quantiles ride in the same grouped pass; at production
+    * scale you would drop them and keep only the sketch — the bound is
+    * the TEST, the sketch is the operator.
     */
   val approxPercentile = Q(
     "q_approx_percentile",
@@ -1784,14 +1808,25 @@ object AnalyticsQueries extends QueryModule {
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
             .as("ps"),
+          expr("percentile(l_extendedprice, " +
+            "array(0.4998D, 0.5002D, 0.8998D, 0.9002D))").as("ex"),
           count(lit(1)).as("n"))
         .select(
           col("l_returnflag"),
-          element_at(col("ps"), 1).as("p50"),
-          element_at(col("ps"), 2).as("p90"),
-          col("n"))
+          col("n"),
+          (element_at(col("ps"), 1).between(
+            element_at(col("ex"), 1), element_at(col("ex"), 2)))
+            .as("p50_in_rank_bound"),
+          (element_at(col("ps"), 2).between(
+            element_at(col("ex"), 3), element_at(col("ex"), 4)))
+            .as("p90_in_rank_bound"))
         .orderBy(col("l_returnflag")),
-    None
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             true AS p50_in_rank_bound,
+             true AS p90_in_rank_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
   /** Offset + distribution window functions — lag/lead (the offset

@@ -73,12 +73,20 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("families mirror the registry exactly — every query in exactly one family") {
-    val all = SparkEntry.families.values.toSeq
+    // "heavy" is the declared CROSS-CUTTING overlay (the 40× bench
+    // selection, BASELINE.md §r12) — every other family partitions the
+    // registry by module.
+    val (overlays, modules) = SparkEntry.families.partition(_._1 == "heavy")
+    val all = modules.values.toSeq
     val union = all.flatten.toSet
     assert(union == SparkEntry.queries.keySet,
       s"families/registry drift: only-in-families=${union -- SparkEntry.queries.keySet} " +
         s"only-in-registry=${SparkEntry.queries.keySet -- union}")
-    assert(all.map(_.size).sum == union.size, "a query appears in two families")
+    assert(all.map(_.size).sum == union.size, "a query appears in two module families")
+    overlays.foreach { case (name, qs) =>
+      assert(qs.subsetOf(SparkEntry.queries.keySet),
+        s"overlay family $name names unknown queries: ${qs -- SparkEntry.queries.keySet}")
+    }
   }
 
   test("FAMILY knob expands a module, unions with ONLY, and fails loudly on typos") {

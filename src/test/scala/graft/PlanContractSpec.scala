@@ -642,4 +642,29 @@ class PlanContractSpec extends AnyFunSuite {
       s"q_lang_id: $splits split() calls in the optimized plan (want 1 — " +
         s"CollapseProject re-inlined the token column?)\n$optimized")
   }
+
+  test("q_ann_beam warm path reads the persisted graph index, never rebuilds it") {
+    // first plan build creates the index artifact as a side effect;
+    // the contract is on the WARM invocation
+    planOf("q_ann_beam")
+    val root = graft.similarity.SimilarityQueries.beamIndexFor(spark, dir)
+    val metaFile = new java.io.File(root, "_meta")
+    val metaStamp = metaFile.lastModified()
+    // the search's edge frame is pure index reads: no embeddings scan,
+    // and no sign-LSH bucket assignment (zip_with hyperplane dots are
+    // the build-only stage)
+    val edgesPlan = graft.similarity.SimilarityQueries
+      .beamEdgesFrame(spark, root)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(edgesPlan.contains("graft_beam_"),
+      s"beam edges do not scan the persisted index:\n$edgesPlan")
+    assert(!edgesPlan.contains("zip_with"),
+      s"beam edges recompute sign-LSH buckets:\n$edgesPlan")
+    assert(!edgesPlan.contains("embeddings"),
+      s"beam edges re-read the corpus vectors:\n$edgesPlan")
+    // a warm end-to-end invocation leaves the artifact untouched
+    planOf("q_ann_beam")
+    assert(metaFile.lastModified() === metaStamp,
+      "a warm q_ann_beam invocation rebuilt the beam index")
+  }
 }

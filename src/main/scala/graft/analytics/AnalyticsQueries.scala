@@ -63,32 +63,35 @@ object AnalyticsQueries extends QueryModule {
     * |estimate − exact| / exact ≤ 3·rsd (three standard errors of the
     * rsd=0.02 sketch), and the oracle computes the same exact count
     * with the boolean pinned TRUE — so every driver run now verifies
-    * the estimator's accuracy contract, not just a row count. The
-    * exact aggregate rides in the same grouped pass (one extra
-    * distinct expand); at production scale you would drop it and keep
-    * only the sketch — the bound is the TEST, the sketch is the
-    * operator.
+    * the estimator's accuracy contract, not just a row count. Cost
+    * stays one distinct aggregation, not an exact+sketch double pass:
+    * HLL register-max is DUPLICATE-INSENSITIVE, so the sketch runs
+    * over the pre-distincted (flag, partkey) pairs — the exact same
+    * estimate as over the raw rows — and the exact count is a plain
+    * count(*) on the same deduped frame (a mixed distinct/non-distinct
+    * aggregate would Expand every row instead, measured 4.5× slower).
+    * At production scale you would drop the exact column and keep only
+    * the sketch — the bound is the TEST, the sketch is the operator.
     */
   val hllDistinct = Q(
     "q_hll_distinct",
     (s, dir) =>
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"),
-          countDistinct(col("l_partkey")).as("nd_parts"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("nd_parts"))
         .select(
           col("l_returnflag"),
           col("nd_parts"),
-          col("n"),
           (abs(col("approx") - col("nd_parts")) <=
             col("nd_parts") * lit(0.06)).as("hll_within_3rsd"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS nd_parts,
-             count(*) AS n,
              true AS hll_within_3rsd
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
@@ -1790,37 +1793,52 @@ object AnalyticsQueries extends QueryModule {
     * partial-order dependent, so estimates may wobble within the rank
     * bound across runs) — but the RANK-ERROR CONTRACT itself is
     * checkable on every run (r11 verdict #4): a GK-style sketch at
-    * accuracy A returns an element whose rank is within n/A of the
-    * target, so the estimate must lie between the exact quantiles at
-    * q ± 2/A (the doubled margin absorbs the floor/ceil and
-    * interpolation wobble at the rank boundary). The query emits that
-    * boolean per quantile with the oracle pinning TRUE — upgrading the
-    * old rows-only check to a verified error bound. The exact
-    * bracketing quantiles ride in the same grouped pass; at production
-    * scale you would drop them and keep only the sketch — the bound is
-    * the TEST, the sketch is the operator.
+    * accuracy A returns an ELEMENT whose rank is within n/A of the
+    * target — so the check is to COUNT the estimate's actual rank and
+    * compare: count(x ≤ est) must reach ⌈(q − 1/A)·n⌉ − 1 and
+    * count(x < est) must not exceed ⌊(q + 1/A)·n⌋ + 1 (the ±1 absorbs
+    * the 0-vs-1-based / n-vs-n−1 target-rank convention, which
+    * otherwise fails the check by exactly one rank at sf0.01 — the
+    * sketch's own ε·n bound is what is being verified, not a rank
+    * convention). That second pass is
+    * a cheap conditional-count aggregation against the broadcast
+    * estimates (NOT an exact order statistic, which would buffer every
+    * group value and cost 5× — measured); the query emits the two rank
+    * verdicts with the oracle pinning TRUE, upgrading the old
+    * rows-only check to a verified error bound. The bound is the TEST,
+    * the sketch is the operator.
     */
   val approxPercentile = Q(
     "q_approx_percentile",
-    (s, dir) =>
+    (s, dir) => {
+      val est = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("e50"),
+          element_at(col("ps"), 2).as("e90"))
+      val eps = 1.0 / 10000
       t(s, dir, "lineitem")
+        .join(broadcast(est), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
-            .as("ps"),
-          expr("percentile(l_extendedprice, " +
-            "array(0.4998D, 0.5002D, 0.8998D, 0.9002D))").as("ex"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("e90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("l_extendedprice") < col("e90"), 1L).otherwise(0L)).as("lt90"))
         .select(
           col("l_returnflag"),
           col("n"),
-          (element_at(col("ps"), 1).between(
-            element_at(col("ex"), 1), element_at(col("ex"), 2)))
+          (col("le50") >= ceil(col("n") * lit(0.5 - eps)) - 1 &&
+            col("lt50") <= floor(col("n") * lit(0.5 + eps)) + 1)
             .as("p50_in_rank_bound"),
-          (element_at(col("ps"), 2).between(
-            element_at(col("ex"), 3), element_at(col("ex"), 4)))
+          (col("le90") >= ceil(col("n") * lit(0.9 - eps)) - 1 &&
+            col("lt90") <= floor(col("n") * lit(0.9 + eps)) + 1)
             .as("p90_in_rank_bound"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              count(*) AS n,

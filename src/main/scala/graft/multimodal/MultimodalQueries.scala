@@ -89,7 +89,11 @@ object MultimodalQueries extends QueryModule {
     None)
 
   /** Cross-format VIDEO dedup, timed: the same 60 synthetic clips
-    * encoded BOTH as animated GIF and as MJPEG (ids k and 1000+k),
+    * encoded as animated GIF and as MP4 with a Motion-JPEG track
+    * (ids k and 2000+k — the MP4 leg replaced the MJPEG leg in r12,
+    * exercising the pure-JVM ISO-BMFF demuxer in the production query
+    * at the exact shape/cost of the old two-container corpus; MJPEG
+    * stays timed in q_video_meta and spec-pinned in MultimodalSpec),
     * deduplicated at the frame-signature level
     * ([[Multimodal.videoDupPairs]]) — the banding finds each
     * cross-container twin even though palette quantization and DCT
@@ -97,13 +101,13 @@ object MultimodalQueries extends QueryModule {
     * data pipeline runs when the same footage arrives re-encoded.
     * Rows-only by design (DuckDB parses neither container);
     * MultimodalSpec pins the planted cross-format recall and the
-    * no-false-pairs property.
+    * no-false-pairs property for all three container pairings.
     */
   val videoDupQ = Q(
     "q_video_dup",
     (s, _) => {
       val media = Multimodal.syntheticGifCorpus(s, 60)
-        .unionByName(Multimodal.syntheticMjpegCorpus(s, 60, idOffset = 1000L))
+        .unionByName(Multimodal.syntheticMp4Corpus(s, 60, idOffset = 2000L))
       Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
         .orderBy(col("id1"), col("id2"))
     },

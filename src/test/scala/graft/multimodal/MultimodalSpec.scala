@@ -378,6 +378,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 demux: the ISO-BMFF walker locates every JPEG sample; real decode end-to-end") {
+    val media = Multimodal.syntheticMp4Corpus(spark, 8)
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.isMp4(payload), s"clip $id is not ISO-BMFF-magic'd")
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2
+      val Some((fourcc, ranges)) = Multimodal.mp4SampleRanges(payload)
+      assert(fourcc === "jpeg")
+      assert(ranges.length === nExpected, s"clip $id sample count")
+      // every demuxed sample is an SOI..EOI-framed JPEG the JDK decodes
+      ranges.foreach { case (s, e) =>
+        assert((payload(s) & 0xFF) === 0xFF && (payload(s + 1) & 0xFF) === 0xD8,
+          s"clip $id sample [$s,$e) does not start at an SOI marker")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(payload, s, e)))
+        assert(img != null && img.getWidth === 64 && img.getHeight === 64,
+          s"clip $id sample [$s,$e) did not decode")
+      }
+    }
+    // the full pipeline decodes MP4 like any other container
+    val frames = Multimodal.videoFrames(media, everyK = 2).collect()
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val nExpected = 2 + ((id / 2) % 4).toInt * 2
+      val mine = frames.filter(_.media_id == id)
+      assert(mine.nonEmpty && mine.head.n_frames === nExpected)
+      assert(mine.length === (nExpected + 1) / 2, s"clip $id sampling arithmetic")
+      assert(mine.head.width === 64 && mine.head.height === 64)
+    }
+  }
+
+  test("Mp4VideoCodec: real dims/sampling for jpeg tracks; honest Fake fallback for avc1") {
+    import spark.implicits._
+    val mp4 = Multimodal.syntheticMp4Corpus(spark, 2)
+      .orderBy("media_id").collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.Mp4VideoCodec.decodeDims("video", mp4) === ((64, 64)))
+    assert(Multimodal.Mp4VideoCodec.sampleFrames(mp4, 2) === 1) // 2 frames, every 2nd
+    // an avc1 sample entry is structurally valid MP4 the JDK cannot
+    // decode: flip the fourcc in place and the codec must fall back to
+    // the deterministic stub, not throw and not report JPEG dims
+    val avc1 = mp4.clone()
+    val i = indexOfSlice(avc1, "jpeg".getBytes("US-ASCII"))
+    assert(i > 0, "fixture lost its jpeg sample entry")
+    "avc1".getBytes("US-ASCII").copyToArray(avc1, i)
+    assert(Multimodal.mp4SampleRanges(avc1).exists(_._1 == "avc1"))
+    assert(Multimodal.Mp4VideoCodec.decodeDims("video", avc1) ===
+      Multimodal.FakeCodec.decodeDims("video", avc1))
+    // and the frame pipeline drops the row instead of fabricating frames
+    val df = Seq((7L, "video", avc1)).toDF("media_id", "kind", "payload")
+    assert(Multimodal.videoFrames(df, everyK = 1).count() === 0L)
+  }
+
+  test("videoDupPairs: MP4 twins of GIF clips surface (three-container dedup)") {
+    val media = Multimodal.syntheticGifCorpus(spark, 8)
+      .unionByName(Multimodal.syntheticMp4Corpus(spark, 8, idOffset = 2000L))
+    val pairs = Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 8L).foreach { k =>
+      assert(pairs.contains((k, 2000L + k)),
+        s"GIF/MP4 twin ($k, ${2000 + k}) missed: ${pairs.mkString(", ")}")
+    }
+    def seedOf(id: Long) = (id % 2000) / 2
+    pairs.foreach { case (id1, id2) =>
+      assert(seedOf(id1) === seedOf(id2), s"unrelated clips paired: ($id1, $id2)")
+    }
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
+    hay.indexOfSlice(needle)
+
   test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
     val media = Multimodal.syntheticMjpegCorpus(spark, 6)
     media.collect().foreach { r =>

@@ -42,9 +42,15 @@ object MultimodalQueries extends QueryModule {
     * per sample rate. Frame counts and durations are integer-exact
     * functions of the generator, so rows are stable run-over-run —
     * the audio twin of [[imageHash]], closing the same "decode path
-    * never timed" gap for the second modality. No oracle by design
-    * (DuckDB cannot parse WAV); rows-only check + MultimodalSpec pins
-    * the per-rate arithmetic.
+    * never timed" gap for the second modality.
+    *
+    * ORACLE-VERIFIED since r12: DuckDB cannot parse WAV, but it does
+    * not need to — the corpus is a pure function of the row id, so the
+    * oracle regenerates the EXPECTED metadata from the same arithmetic
+    * over `range(400)` (rate by id%4, frames = rate/10·(1+id%5),
+    * floor-division duration). What the hash compare then proves is
+    * the real encode→decode ROUND TRIP: javax.sound must read back
+    * exactly the parameters the generator wrote, for every row.
     */
   val audioMetaQ = Q(
     "q_audio_meta",
@@ -59,7 +65,22 @@ object MultimodalQueries extends QueryModule {
           max(col("channels")).as("max_channels"))
         .orderBy(col("sample_rate"))
     },
-    None)
+    Some("""
+      WITH g AS (
+        SELECT id,
+               CASE id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+               (CASE id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END // 10)
+                 * (1 + id % 5) AS n_frames
+        FROM range(400) t(id))
+      SELECT sample_rate,
+             count(*) AS n_clips,
+             CAST(sum(n_frames) AS BIGINT) AS total_frames,
+             CAST(sum(n_frames * 1000 // sample_rate) AS BIGINT) AS total_ms,
+             1 AS max_channels
+      FROM g GROUP BY sample_rate ORDER BY sample_rate""")
+  )
 
   /** End-to-end VIDEO pipeline, timed: synthesize a deterministic
     * MIXED-container 150-clip corpus distributed (75 animated GIFs +
@@ -69,10 +90,18 @@ object MultimodalQueries extends QueryModule {
     * sampled frame, and aggregate per video (container frame count,
     * dims, frames actually decoded, distinct frame signatures).
     * Completes the modality trio; FakeCodec's domain is now only the
-    * codecs the JDK ships no reader for (MP4/H.264). No oracle by
-    * design (DuckDB parses neither container); rows-only check +
-    * MultimodalSpec pins the planted-frame semantics and the sampling
-    * arithmetic for both formats.
+    * H.264-class sample data the JDK ships no decoder for.
+    *
+    * ORACLE-VERIFIED since r12 (same move as q_audio_meta): the
+    * corpus is a pure function of the clip id, so the oracle
+    * regenerates the expected per-clip container facts — frame count
+    * 2+((id%1000)/2 mod 4)·2, 64×64 dims, ceil(n/2) sampled frames —
+    * from `range()` arithmetic, and the hash compare proves every
+    * clip's REAL decode (GIF reader + MJPEG marker scan) read back
+    * exactly what the generators wrote. The one decode-dependent
+    * column (distinct aHash count) folds into a pinned sanity bound
+    * (1 ≤ sigs ≤ sampled) — its exact per-format values stay
+    * spec-pinned in MultimodalSpec.
     */
   val videoMetaQ = Q(
     "q_video_meta",
@@ -84,9 +113,26 @@ object MultimodalQueries extends QueryModule {
         .agg(
           count(lit(1)).as("frames_sampled"),
           countDistinct(col("ahash")).as("n_frame_sigs"))
+        .select(
+          col("media_id"), col("n_frames"), col("width"), col("height"),
+          col("frames_sampled"),
+          (col("n_frame_sigs") >= 1 &&
+            col("n_frame_sigs") <= col("frames_sampled")).as("sigs_ok"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""
+      WITH ids AS (
+        SELECT id FROM range(75) t(id)
+        UNION ALL SELECT id + 1000 FROM range(75) t(id)),
+      g AS (
+        SELECT id AS media_id,
+               2 + ((id % 1000) // 2 % 4) * 2 AS n_frames
+        FROM ids)
+      SELECT media_id, n_frames, 64 AS width, 64 AS height,
+             CAST((n_frames + 1) // 2 AS BIGINT) AS frames_sampled,
+             true AS sigs_ok
+      FROM g ORDER BY media_id""")
+  )
 
   /** Cross-format VIDEO dedup, timed: the same 60 synthetic clips
     * encoded as animated GIF and as MP4 with a Motion-JPEG track

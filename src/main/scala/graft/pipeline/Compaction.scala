@@ -138,6 +138,19 @@ object Compaction {
           session.read.parquet(leaf.toString)
             .coalesce(want)
             .write.mode("overwrite").parquet(staging.toString)
+          // Metadata sidecars (`_`-prefixed: replay watermarks like
+          // _last_batch, family stamps like _hash_family) must SURVIVE
+          // the swap — the rewrite replaces the whole directory, and a
+          // lost watermark would let a replayed streaming batch
+          // re-append its rows after compaction.
+          fs.listStatus(leaf)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("_") &&
+              s.getPath.getName != "_SUCCESS")
+            .foreach { s =>
+              org.apache.hadoop.fs.FileUtil.copy(
+                fs, s.getPath, fs, new Path(staging, s.getPath.getName),
+                false, spark.sparkContext.hadoopConfiguration): Unit
+            }
           BulkPipeline.promoteDir(session, staging.toString, leaf.toString)
           val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
           LeafReport(leaf.toString, files.length, after, bytes)

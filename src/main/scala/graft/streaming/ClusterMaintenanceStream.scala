@@ -74,29 +74,29 @@ object ClusterMaintenanceStream {
     }
   }
 
-  private def writeLastBatch(
+  private[streaming] def writeLastBatch(
       spark: SparkSession, indexPath: String, batchId: Long): Unit = {
     val fs = hadoopFs(spark, indexPath)
     val out = fs.create(new org.apache.hadoop.fs.Path(indexPath, "_last_batch"), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Idempotent signature append: the batch's files are written to a
-    * hidden staging dir and renamed into the index under batch-scoped
-    * names (`b<id>-part-….parquet`), after sweeping any `b<id>-*`
-    * leftovers from a crashed prior attempt — so a replayed batch
-    * lands exactly the same file set, never a second copy. With
+  /** Idempotent batch-scoped parquet append (shared with
+    * [[AnnIndexStream]]'s corpus-vector append): the batch's files are
+    * written to a hidden staging dir and renamed into the table under
+    * batch-scoped names (`b<id>-part-….parquet`), after sweeping any
+    * `b<id>-*` leftovers from a crashed prior attempt — so a replayed
+    * batch lands exactly the same file set, never a second copy. With
     * batchId < 0 (direct non-stream invocation) this degrades to a
     * plain append. */
-  private def appendSignatures(
-      spark: SparkSession, sigs: DataFrame,
-      indexPath: String, batchId: Long): Unit = {
-    val out = sigs.select(col("doc_id"), col("band"), col("sig"))
-    if (batchId < 0) { out.write.mode("append").parquet(indexPath); return }
-    val fs = hadoopFs(spark, indexPath)
-    val idx = new org.apache.hadoop.fs.Path(indexPath)
+  private[streaming] def appendBatchScoped(
+      spark: SparkSession, out: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    if (batchId < 0) { out.write.mode("append").parquet(dir); return }
+    val fs = hadoopFs(spark, dir)
+    val idx = new org.apache.hadoop.fs.Path(dir)
     val staging = new org.apache.hadoop.fs.Path(
-      idx.getParent, s".${idx.getName}.__sigappend_$batchId")
+      idx.getParent, s".${idx.getName}.__batchappend_$batchId")
     fs.delete(staging, true)
     out.write.mode("overwrite").parquet(staging.toString)
     if (fs.exists(idx))
@@ -109,7 +109,7 @@ object ClusterMaintenanceStream {
         s.getPath.getName.endsWith(".parquet"))
       .foreach { s =>
         val dst = new org.apache.hadoop.fs.Path(idx, s"b$batchId-${s.getPath.getName}")
-        require(fs.rename(s.getPath, dst), s"sig append rename failed: $dst")
+        require(fs.rename(s.getPath, dst), s"batch-scoped append rename failed: $dst")
       }
     fs.delete(staging, true)
   }
@@ -149,7 +149,8 @@ object ClusterMaintenanceStream {
     // replays and re-appends idempotently) rather than an index that
     // references docs the label table has never seen
     BulkPipeline.writeAndPromote(updated, labelPath)
-    appendSignatures(spark, sigs, indexPath, batchId)
+    appendBatchScoped(spark,
+      sigs.select(col("doc_id"), col("band"), col("sig")), indexPath, batchId)
     if (batchId >= 0) writeLastBatch(spark, indexPath, batchId)
   }
 

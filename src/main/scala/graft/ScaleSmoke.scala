@@ -253,6 +253,38 @@ object ScaleSmoke {
       require(hits >= 4,
         s"beam-search ANN lost ${5 - hits} of 5 planted near-dup twins at ${mult}x")
     }
+    // Beam query-batch scaling: a production search runs thousands of
+    // queries per batch, not the oracle family's 5 — and the per-hop
+    // dataflow carries only (q_id, cand) pairs, so 100× the queries
+    // must cost FAR less than 100× the time (the hub/bucket entry scan
+    // and the edge table are shared across the whole batch). Both runs
+    // search the same persisted index (built once, mtime-cached); the
+    // gate is generous half-linear to stay robust to job-overhead
+    // noise at smoke scale.
+    if (only.forall(_.contains("q_beam_batch"))) {
+      import graft.similarity.SimilarityQueries
+      val idxRoot = SimilarityQueries.beamIndexFor(spark, dir)
+      val ne = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .localCheckpoint(true)
+      def tSearch(qs: Long): Double = {
+        val t0 = System.nanoTime()
+        SimilarityQueries.beamSearchPlan(spark, idxRoot, ne, queryLimit = qs)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      tSearch(5) // warm-up (graph read + codegen)
+      val t5 = tSearch(5)
+      val t500 = tSearch(500)
+      println(f"SMOKE ${mult}x beam_batch t5=$t5%.2fs t500=$t500%.2fs " +
+        f"ratio=${t500 / t5}%.1fx for 100x queries")
+      require(t500 < 50 * t5,
+        f"beam search scales linearly-or-worse in query count: " +
+          f"100x queries cost ${t500 / t5}%.1fx")
+    }
     // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
     // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse
     // codes per vector lose plenty of precision, but a near-identical

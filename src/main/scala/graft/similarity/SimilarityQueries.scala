@@ -1887,6 +1887,59 @@ object SimilarityQueries extends QueryModule {
     writeBeamMeta(s, root, planeCount, n)
   }
 
+  /** Delete vectors from a beam index — the append's mirror image,
+    * completing the ANN lifecycle (create/append/stream/DELETE;
+    * BeamIndexSpec proves delete ≡ rebuild). Unlike the dedup
+    * signature index, where a tombstone overlay is exact (tombstoned
+    * rows only ever produce EXTRA candidates that an anti-join
+    * removes), the kNN edge list must be RECOMPUTED: deleting a
+    * vector changes its surviving neighbors' top-3, so an overlay
+    * would silently degrade the graph's navigability forever. Only
+    * the affected buckets (those that held deleted ids) are
+    * recomputed — every kn row referencing a deleted id lives in that
+    * id's own bucket (in-bucket kNN), so unaffected leaves are exact
+    * already. Leaves whose members are ALL deleted are removed
+    * explicitly (dynamic overwrite cannot touch a partition it emits
+    * no rows for). `ne` is the surviving corpus's normEmb frame. */
+  private[graft] def beamIndexDelete(
+      s: SparkSession, ne: DataFrame, deletedIds: DataFrame, root: String): Unit = {
+    val oldNodes = s.read.parquet(s"$root/nodes")
+    val del = deletedIds.select(col("vec_id")).distinct().localCheckpoint(true)
+    if (del.isEmpty) return
+    // bounded collect: one bucket id per deleted vector at most —
+    // batch-sized, like the IVF/PQ training reads
+    val affected = oldNodes.join(del, Seq("vec_id"))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val affectedDf = { import s.implicits._; affected.toSeq.toDF("bucket") }
+    val surviving = oldNodes.join(del, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val members = surviving
+      .join(broadcast(affectedDf), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"))
+      .join(ne, Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+    val knNew = knRowsOf(members).localCheckpoint(true)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      knNew.write.partitionBy("bucket").mode("overwrite").parquet(s"$root/kn")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val emitted = knNew.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    affected.filterNot(emitted).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/kn/bucket=$b"), true): Unit
+    }
+    val (planeCount, _) = beamMeta(s, root)
+    val n = writeNodesAndFingers(s, surviving.select(col("vec_id"), col("bucket")), root)
+    writeBeamMeta(s, root, planeCount, n)
+  }
+
   /** (dataset digest) → persisted beam-index root — the
     * [[sigIndexCache]] idiom. Plain parquet paths (no catalog tables),
     * so the key is data-only; a changed embeddings file re-indexes. */
@@ -2012,15 +2065,17 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Beam search over a persisted index root + the corpus's normEmb
-    * frame (queries = vec_id < 5, the family's fixed probe set). Split
-    * from [[annBeamPlan]] so BeamIndexSpec can drive explicit
-    * create/append lifecycles on synthetic corpora. */
+    * frame (queries = vec_id < `queryLimit`; the oracle family's fixed
+    * probe set is the default 5 — ScaleSmoke widens it to measure
+    * query-batch scaling). Split from [[annBeamPlan]] so BeamIndexSpec
+    * can drive explicit create/append lifecycles on synthetic corpora. */
   private[graft] def beamSearchPlan(
       s: SparkSession, idxRoot: String, ne: DataFrame,
-      edgesOpt: Option[DataFrame] = None): DataFrame = {
+      edgesOpt: Option[DataFrame] = None,
+      queryLimit: Long = 5L): DataFrame = {
     val (_, nVecs) = beamMeta(s, idxRoot)
     val stride = annBeamHubStride(nVecs)
-    val q = ne.filter(col("vec_id") < 5)
+    val q = ne.filter(col("vec_id") < queryLimit)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val edges = edgesOpt.getOrElse(beamEdgesFrame(s, idxRoot).localCheckpoint(true))
     // exact cosine for a (q_id, cand) pair set — vectors join in here,
@@ -2033,7 +2088,7 @@ object SimilarityQueries extends QueryModule {
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("sim"))
     val byBest = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))
     val nodes = s.read.parquet(s"$idxRoot/nodes")
-    val qb = nodes.filter(col("vec_id") < 5)
+    val qb = nodes.filter(col("vec_id") < queryLimit)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val bucketSeeds = nodes.select(col("vec_id").as("cand"), col("bucket"))
       .join(broadcast(qb), Seq("bucket"))

@@ -119,6 +119,51 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(searchRows(root, withBatch) === rows1)
   }
 
+  test("delete == one-shot rebuild over the survivors, including a fully-emptied bucket") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("beamidx4").toString
+    val all = (0L until 60L)
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, root)
+
+    // delete every member of one bucket (its kn leaf must VANISH, not
+    // go stale) plus a few ids from other buckets
+    val nodes = spark.read.parquet(s"$root/nodes")
+      .select(col("vec_id"), col("bucket")).as[(Long, Int)].collect()
+    val victimBucket = nodes.groupBy(_._2).minBy { case (_, members) => members.length }._1
+    val wiped = nodes.filter(_._2 == victimBucket).map(_._1).toSet
+    val deleted = wiped ++ Set(0L, 7L, 23L).diff(wiped)
+    val survivors = all.filterNot(deleted)
+    assert(survivors.exists(_ < 5), "fixture must keep at least one query id")
+
+    SimilarityQueries.beamIndexDelete(spark, neOf(survivors),
+      deleted.toSeq.toDF("vec_id"), root)
+    assert(!new java.io.File(s"$root/kn/bucket=$victimBucket").exists(),
+      "fully-emptied bucket leaf left behind (stale edges to deleted ids)")
+
+    val fullRoot = s"$tmp/full"
+    SimilarityQueries.beamIndexCreate(spark, neOf(survivors), 4, fullRoot)
+    def knSet(r: String) = spark.read.parquet(s"$r/kn")
+      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect().toSet
+    def fingerSet(r: String) = spark.read.parquet(s"$r/fingers")
+      .as[(Long, Long)].collect().toSet
+    assert(knSet(root) === knSet(fullRoot),
+      "post-delete kNN edges differ from a rebuild over the survivors")
+    assert(fingerSet(root) === fingerSet(fullRoot))
+    assert(SimilarityQueries.beamMeta(spark, root) ===
+           SimilarityQueries.beamMeta(spark, fullRoot))
+    assert(searchRows(root, neOf(survivors)) === searchRows(fullRoot, neOf(survivors)))
+
+    // delete-then-append round trip: re-adding the deleted vectors
+    // restores the original index exactly
+    SimilarityQueries.beamIndexAppend(spark, neOf(all), root)
+    val origRoot = s"$tmp/orig"
+    SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, origRoot)
+    assert(knSet(root) === knSet(origRoot),
+      "delete-then-append did not restore the original edge set")
+    assert(searchRows(root, neOf(all)) === searchRows(origRoot, neOf(all)))
+  }
+
   test("gappy vec_ids search isomorphically to their dense relabeling") {
     val tmp = Files.createTempDirectory("beamidx3").toString
     // ids 0..89 with every id ≡ 1 (mod 3) removed — non-contiguous,

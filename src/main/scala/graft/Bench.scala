@@ -112,6 +112,22 @@ object Bench {
     }
   }
 
+  /** A persist target may only min-merge runs at ITS OWN scale factor:
+    * merging a different-sf run would ratchet the artifact's budgets
+    * to the smaller corpus's times forever (one forgotten
+    * SPARK_GRAFT_SF_DIR would corrupt bench_sf40.json downward, and
+    * the ratchet can never recover upward). */
+  private def requireSameSf(priorFile: java.io.File, sfDir: String): Unit =
+    if (priorFile.exists) {
+      val text = scala.io.Source.fromFile(priorFile, "UTF-8").mkString
+      """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).foreach { m =>
+        require(m.group(1) == sfDir,
+          s"$priorFile was recorded at sf '${m.group(1)}' but this run is at '$sfDir' — " +
+            "min-merging across scale factors would corrupt the budget; " +
+            "point SPARK_GRAFT_BENCH_OUT elsewhere or fix SPARK_GRAFT_SF_DIR")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
@@ -120,6 +136,14 @@ object Bench {
     val only = selection(
       sys.env.get("SPARK_GRAFT_BENCH_ONLY"),
       sys.env.get("SPARK_GRAFT_BENCH_FAMILY"))
+    // Pre-flight the persist target's scale factor BEFORE paying for
+    // the timing run: min-merging a different-sf run into an existing
+    // artifact would ratchet its budgets to the smaller corpus forever
+    // (the same check guards the write below; here it just fails in
+    // seconds instead of after minutes of measurement).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      requireSameSf(new java.io.File(p), sfDir)
+    }
     val spark = util.GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -254,10 +278,19 @@ object Bench {
     // that is how the 40× heavy-tail reference bench_sf40.json is
     // produced with one command (FAMILY=heavy, BASELINE.md §r12); the
     // full-run budget file itself stays protected from partial runs.
+    // The protection compares CANONICAL paths (./bench_local.json and
+    // an absolute alias must not bypass it and truncate the committed
+    // 219-entry budget to the subset).
     val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    if (only.isEmpty || outEnv.exists(_ != "bench_local.json")) {
+    val isBudgetFile = outEnv.forall(p =>
+      new java.io.File(p).getCanonicalFile ==
+        new java.io.File("bench_local.json").getCanonicalFile)
+    if (only.isEmpty || !isBudgetFile) {
       val out = outEnv.getOrElse("bench_local.json")
       val target = if (failed.isEmpty && regressed.isEmpty) out else out + ".rejected"
+      // Scale-factor guard on the min-merge (also pre-flighted in
+      // main(), before the timing run).
+      requireSameSf(new java.io.File(out), sfDir)
       // stdout keeps the honest measured numbers (the driver reads
       // them); the PERSISTED budget merges against the prior committed
       // baseline via [[mergeBaseline]] so it can only ratchet down.

@@ -559,21 +559,39 @@ object Multimodal {
       (scS, scE) <- findBox(p, stS, stE, "stsc")
       (coS, coE) <- findBox(p, stS, stE, "stco")
       ranges <- {
+        // Every count is validated against its box's actual extent
+        // BEFORE any allocation or indexed read: a malformed payload
+        // (isMp4 only checks the magic) must degrade row-wise like
+        // every other codec path, never throw out of mapPartitions or
+        // allocate a bogus 2^31-entry table.
         // stsz: vf(4) sample_size(4) count(4) [sizes]
         val fixedSize = be32(p, szS + 4)
-        val n = be32(p, szS + 8).toInt
+        val nL = be32(p, szS + 8)
+        val szOk = nL > 0 && nL <= p.length &&
+          (fixedSize != 0 || szE - szS >= 12 + 4L * nL)
+        val n = if (szOk) nL.toInt else 0
         val sizes: IndexedSeq[Long] =
-          if (fixedSize != 0) IndexedSeq.fill(n)(fixedSize)
-          else if (szE - szS < 12 + 4L * n) IndexedSeq.empty
+          if (!szOk) IndexedSeq.empty
+          else if (fixedSize != 0) IndexedSeq.fill(n)(fixedSize)
           else (0 until n).map(i => be32(p, szS + 12 + 4 * i))
         // stsc: vf(4) count(4) entries of (first_chunk, per_chunk, sdi)
-        val scN = be32(p, scS + 4).toInt
-        val runs = (0 until scN).map(i =>
-          (be32(p, scS + 8 + 12 * i).toInt, be32(p, scS + 12 + 12 * i).toInt))
+        val scNL = be32(p, scS + 4)
+        val scOk = scNL > 0 && scE - scS >= 8 + 12L * scNL
+        val runs =
+          if (!scOk) IndexedSeq.empty
+          else (0 until scNL.toInt).map(i =>
+            (be32(p, scS + 8 + 12 * i).toInt, be32(p, scS + 12 + 12 * i).toInt))
         // stco: vf(4) count(4) offsets
-        val coN = be32(p, coS + 4).toInt
-        val offsets = (0 until coN).map(i => be32(p, coS + 8 + 4 * i))
-        if (sizes.isEmpty || runs.isEmpty || offsets.isEmpty) None
+        val coNL = be32(p, coS + 4)
+        val coOk = coNL > 0 && coE - coS >= 8 + 4L * coNL
+        val coN = if (coOk) coNL.toInt else 0
+        val offsets =
+          if (!coOk) IndexedSeq.empty
+          else (0 until coN).map(i => be32(p, coS + 8 + 4 * i))
+        // per-chunk sample counts must be sane (a 2^31 run would spin
+        // the expansion loop even though the s>=n cap keeps it safe)
+        if (sizes.isEmpty || offsets.isEmpty ||
+            runs.isEmpty || !runs.forall(r => r._1 >= 1 && r._2 > 0 && r._2 <= n)) None
         else {
           // expand stsc runs to per-chunk sample counts, lay samples
           // out consecutively from each chunk offset

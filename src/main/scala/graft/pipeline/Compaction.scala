@@ -58,37 +58,49 @@ object Compaction {
     n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
   }
 
+  /** Staging/aside copies from an interrupted promote — hidden
+    * (`.`-prefixed) since r12, but the pre-r12 naming was a bare
+    * `X.__old__` suffix, so BOTH spellings must be excluded from
+    * data-leaf listing (a legacy aside compacted as a live partition
+    * would resurrect superseded rows) and both are recoverable. */
+  private def isAsideOrStaging(name: String): Boolean =
+    name.endsWith(".__old__") || name.endsWith(".__staging__")
+
   private def isHidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
   /** All leaf directories holding data files (root itself for an
-    * unpartitioned table). Hidden (`.`/`_`-prefixed) dirs are skipped
-    * — that is where staging/aside copies from an interrupted promote
-    * live, and Spark readers ignore them by the same convention. */
+    * unpartitioned table). Hidden (`.`/`_`-prefixed) dirs and
+    * legacy-named aside/staging dirs are skipped — Spark readers
+    * ignore the former by convention and the latter hold superseded
+    * copies, never live data. */
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     val st = fs.listStatus(root)
-    val dirs = st.filter(s => s.isDirectory && !isHidden(s.getPath.getName))
+    val dirs = st.filter(s => s.isDirectory &&
+      !isHidden(s.getPath.getName) && !isAsideOrStaging(s.getPath.getName))
     val hasData = st.exists(s => s.isFile && isDataFile(s.getPath))
     val below = dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
     if (hasData) root +: below else below
   }
 
   /** Crash-recovery sweep: a crash between swapIn's two renames leaves
-    * a leaf stranded in its hidden `.X.__old__` aside with no live `X`
-    * — and since leafDirs skips hidden dirs and promoteDir only runs
-    * on leaves that need compacting, the generic "restored on next
-    * promote" path would never fire for it. Restore any such orphan
-    * before listing leaves so the partition is visible again. */
+    * a leaf stranded in its `.X.__old__` aside (or a pre-r12
+    * `X.__old__`) with no live `X` — and since leafDirs skips asides
+    * and promoteDir only runs on leaves that need compacting, the
+    * generic "restored on next promote" path would never fire for it.
+    * Restore any such orphan before listing leaves so the partition is
+    * visible again. */
   private def recoverOrphanedAsides(fs: FileSystem, root: Path): Unit = {
     val st = fs.listStatus(root)
     st.filter(_.isDirectory).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith(".") && n.endsWith(".__old__")) {
+      if (n.endsWith(".__old__")) {
         val target = new Path(root, n.stripPrefix(".").stripSuffix(".__old__"))
         if (!fs.exists(target))
           require(fs.rename(s.getPath, target),
             s"compaction crash recovery failed: ${s.getPath} -> $target")
-      } else if (!isHidden(n)) recoverOrphanedAsides(fs, s.getPath)
+      } else if (!isHidden(n) && !isAsideOrStaging(n))
+        recoverOrphanedAsides(fs, s.getPath)
     }
   }
 
@@ -113,6 +125,15 @@ object Compaction {
     require(parallelism > 0, "parallelism must be positive")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed promote of the ROOT leaf itself (unpartitioned table)
+    // strands the aside BESIDE the root — outside the child sweep's
+    // scan — with no live root at all; restore it first
+    if (!fs.exists(rootPath)) {
+      val rootAside = BulkPipeline.asidePath(rootPath)
+      if (fs.exists(rootAside))
+        require(fs.rename(rootAside, rootPath),
+          s"compaction crash recovery failed: $rootAside -> $rootPath")
+    }
     recoverOrphanedAsides(fs, rootPath)
     // Size the READ splits to the target too: small files pack into
     // maxPartitionBytes-sized splits, so with the default 128 MB a

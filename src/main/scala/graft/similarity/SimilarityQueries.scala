@@ -1811,17 +1811,23 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("nbr_id"), col("bucket"))
   }
 
-  /** Rewrite nodes + fingers from a (vec_id, bucket) frame: rank, then
-    * Chord links i → (i + 2^j) mod n in RANK space, mapped back to
-    * vec_ids. Crash-safe promotes — a reader never sees half a table. */
-  private def writeNodesAndFingers(
-      s: SparkSession, assigned: DataFrame, root: String): Long = {
+  /** Rewrite the index topology from a (vec_id, bucket) frame: rank,
+    * then Chord links i → (i + 2^j) mod n in RANK space mapped back to
+    * vec_ids. Crash-safe promotes, and WRITE ORDER is load-bearing:
+    * fingers, then meta, then NODES LAST — the append/delete replay
+    * guards key off the node table (append's new-vector anti-join,
+    * delete's deleted-ids join), so nodes promoting is the COMMIT
+    * point. A crash anywhere earlier leaves nodes untouched and the
+    * replay redoes every (idempotent, overwrite-style) write; promoting
+    * nodes first would let a crash before the fingers promote make the
+    * replay no-op against rank-stale fingers forever. */
+  private def writeTopology(
+      s: SparkSession, assigned: DataFrame, planeCount: Int, root: String): Unit = {
     val nodes = assigned.select(col("vec_id"), col("bucket"))
       .withColumn("rk",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(LongType))
       .localCheckpoint(true)
     val nVecs = nodes.count()
-    graft.pipeline.BulkPipeline.writeAndPromote(nodes, s"$root/nodes")
     val pows = (0 until 62).map(1L << _).filter(_ < nVecs)
     val fingers =
       if (pows.isEmpty)
@@ -1834,7 +1840,8 @@ object SimilarityQueries extends QueryModule {
             Seq("dst_rk"))
           .select(col("src"), col("dst"))
     graft.pipeline.BulkPipeline.writeAndPromote(fingers, s"$root/fingers")
-    nVecs
+    writeBeamMeta(s, root, planeCount, nVecs)
+    graft.pipeline.BulkPipeline.writeAndPromote(nodes, s"$root/nodes")
   }
 
   /** Build a beam index at `root` over a [[normEmb]]-shaped frame
@@ -1845,8 +1852,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
       .localCheckpoint(true)
     knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/kn")
-    val n = writeNodesAndFingers(s, b.select(col("vec_id"), col("bucket")), root)
-    writeBeamMeta(s, root, planeCount, n)
+    writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root)
   }
 
   /** Append every vector of `ne` not yet in the index at `root`,
@@ -1867,8 +1873,19 @@ object SimilarityQueries extends QueryModule {
     // members of affected buckets = their old vectors (vectors joined
     // back in from the corpus frame) + the batch
     val affected = newB.select(col("bucket")).distinct()
-    val members = oldNodes.join(broadcast(affected), Seq("bucket"))
+    val oldAffected = oldNodes.join(broadcast(affected), Seq("bucket"))
       .select(col("vec_id"), col("bucket"))
+    // Contract guard: `ne` must be the FULL corpus (old + new), not
+    // just the batch — the affected buckets' old members need their
+    // vectors to recompute exact top-3 edges, and the inner join below
+    // would silently DROP any member missing from `ne`, degrading
+    // recall with no error. One bounded count per append buys a loud
+    // failure instead.
+    val missing = oldAffected.join(ne, Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"beamIndexAppend: ne lacks $missing affected corpus vectors — " +
+        "pass the full surviving corpus frame, not just the batch")
+    val members = oldAffected
       .join(ne, Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
       .unionByName(newB)
@@ -1881,10 +1898,9 @@ object SimilarityQueries extends QueryModule {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val n = writeNodesAndFingers(s,
+    writeTopology(s,
       oldNodes.select(col("vec_id"), col("bucket"))
-        .unionByName(newB.select(col("vec_id"), col("bucket"))), root)
-    writeBeamMeta(s, root, planeCount, n)
+        .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root)
   }
 
   /** Delete vectors from a beam index — the append's mirror image,
@@ -1914,9 +1930,17 @@ object SimilarityQueries extends QueryModule {
     val affectedDf = { import s.implicits._; affected.toSeq.toDF("bucket") }
     val surviving = oldNodes.join(del, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    val members = surviving
+    val survAffected = surviving
       .join(broadcast(affectedDf), Seq("bucket"))
       .select(col("vec_id"), col("bucket"))
+    // same contract guard as beamIndexAppend: `ne` must cover every
+    // surviving member of the affected buckets or the inner join
+    // silently drops them from the recomputed leaves
+    val missing = survAffected.join(ne, Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"beamIndexDelete: ne lacks $missing surviving affected vectors — " +
+        "pass the full surviving corpus frame")
+    val members = survAffected
       .join(ne, Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
     val knNew = knRowsOf(members).localCheckpoint(true)
@@ -1936,8 +1960,7 @@ object SimilarityQueries extends QueryModule {
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/kn/bucket=$b"), true): Unit
     }
     val (planeCount, _) = beamMeta(s, root)
-    val n = writeNodesAndFingers(s, surviving.select(col("vec_id"), col("bucket")), root)
-    writeBeamMeta(s, root, planeCount, n)
+    writeTopology(s, surviving.select(col("vec_id"), col("bucket")), planeCount, root)
   }
 
   /** (dataset digest) → persisted beam-index root — the
@@ -2032,7 +2055,12 @@ object SimilarityQueries extends QueryModule {
     * (which already encodes the dataset digest) + session identity;
     * entries re-validate that their session is the caller's (recycled
     * identityHashCode after GC rebuilds instead of serving RDDs of a
-    * dead context — the [[sigIndexCache]] discipline). */
+    * dead context — the [[sigIndexCache]] discipline). SAFE only for
+    * [[beamIndexFor]]-managed roots, whose path changes with the
+    * dataset digest: a MAINTAINED index (append/delete/stream at a
+    * fixed root) mutates in place, so its consumers
+    * ([[graft.streaming.AnnIndexStream]], the specs) search through
+    * [[beamSearchPlan]] directly and never this cache. */
   private val beamWarmCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
@@ -2044,6 +2072,11 @@ object SimilarityQueries extends QueryModule {
     val (ne, edges) = beamWarmCache.get(key)
       .filter(_._1.sparkSession eq s)
       .getOrElse {
+        // sweep entries whose context died — a replaced session keys
+        // differently, so its stale entry would otherwise pin its
+        // checkpointed plans (and blocks) for the JVM's lifetime
+        beamWarmCache.filterInPlace((_, v) =>
+          !v._1.sparkSession.sparkContext.isStopped)
         val built = (normEmb(s, dir).localCheckpoint(true),
           beamEdgesFrame(s, idxRoot).localCheckpoint(true))
         beamWarmCache.put(key, built)

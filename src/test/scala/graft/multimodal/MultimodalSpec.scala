@@ -449,6 +449,33 @@ class MultimodalSpec extends AnyFunSuite {
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
     hay.indexOfSlice(needle)
 
+  test("MP4 demux: malformed sample tables degrade row-wise, never throw or allocate") {
+    import spark.implicits._
+    val good = Multimodal.syntheticMp4Corpus(spark, 2)
+      .orderBy("media_id").collect()(0).getAs[Array[Byte]]("payload")
+    // corrupt the stsc entry count to 0x7FFFFFFF: without bounds checks
+    // this indexed far past the payload (task crash) — it must demux to
+    // None and drop from the frame pipeline like any undecodable row
+    def corrupt(box: String, at: Int): Array[Byte] = {
+      val p = good.clone()
+      val i = indexOfSlice(p, box.getBytes("US-ASCII"))
+      assert(i > 0, s"fixture lost its $box box")
+      val c = i + 4 + at // box payload offset + field offset
+      p(c) = 0x7F.toByte; p(c + 1) = 0xFF.toByte
+      p(c + 2) = 0xFF.toByte; p(c + 3) = 0xFF.toByte
+      p
+    }
+    for (bad <- Seq(corrupt("stsc", 4), corrupt("stco", 4), corrupt("stsz", 8))) {
+      assert(Multimodal.mp4SampleRanges(bad).isEmpty,
+        "malformed sample table did not degrade to None")
+      val df = Seq((9L, "video", bad)).toDF("media_id", "kind", "payload")
+      assert(Multimodal.videoFrames(df, everyK = 1).count() === 0L)
+      // the codec seam degrades to the deterministic stub, not a throw
+      assert(Multimodal.Mp4VideoCodec.decodeDims("video", bad) ===
+        Multimodal.FakeCodec.decodeDims("video", bad))
+    }
+  }
+
   test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
     val media = Multimodal.syntheticMjpegCorpus(spark, 6)
     media.collect().foreach { r =>

@@ -164,6 +164,48 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(searchRows(root, neOf(all)) === searchRows(origRoot, neOf(all)))
   }
 
+  test("append contract guard: a batch-only ne fails loudly instead of dropping old members") {
+    val tmp = Files.createTempDirectory("beamidx5").toString
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(0L until 40L), 4, root)
+    // passing ONLY the new batch would silently rebuild the affected
+    // buckets from the batch alone (recall degradation with no error)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.beamIndexAppend(spark, neOf(40L until 44L), root)
+    }
+    assert(e.getMessage.contains("full surviving corpus"))
+  }
+
+  test("append replay converges after a crash BEFORE the nodes promote (commit point)") {
+    val tmp = Files.createTempDirectory("beamidx6").toString
+    val root = s"$tmp/idx"
+    val base = (0L until 40L); val all = (0L until 50L)
+    SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, root)
+    // snapshot the pre-append node table, run the append, then restore
+    // the OLD nodes — the on-disk state now mimics a crash after the
+    // kn overwrite + fingers promote + meta write but before the final
+    // nodes promote (nodes is written LAST precisely so this replay
+    // guard still sees the batch as new)
+    val snap = s"$tmp/nodes_snapshot"
+    spark.read.parquet(s"$root/nodes").write.parquet(snap)
+    SimilarityQueries.beamIndexAppend(spark, neOf(all), root)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$root/nodes"))
+    spark.read.parquet(snap).write.parquet(s"$root/nodes")
+    // replay: must redo the whole append, not no-op against stale
+    // fingers/meta
+    SimilarityQueries.beamIndexAppend(spark, neOf(all), root)
+    val fullRoot = s"$tmp/full"
+    SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, fullRoot)
+    assert(SimilarityQueries.beamMeta(spark, root) ===
+           SimilarityQueries.beamMeta(spark, fullRoot))
+    assert(searchRows(root, neOf(all)) === searchRows(fullRoot, neOf(all)),
+      "post-crash replay did not converge to the rebuild state")
+  }
+
   test("gappy vec_ids search isomorphically to their dense relabeling") {
     val tmp = Files.createTempDirectory("beamidx3").toString
     // ids 0..89 with every id ≡ 1 (mod 3) removed — non-contiguous,

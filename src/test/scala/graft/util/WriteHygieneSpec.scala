@@ -117,6 +117,47 @@ class WriteHygieneSpec extends AnyFunSuite {
       "recovery sweep lost or duplicated rows")
   }
 
+  test("Compaction recovers a crashed ROOT promote (unpartitioned table aside)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("compact_root").toString
+    val root = s"$base/t"
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(root)
+    val before = spark.read.parquet(root).as[(Long, String)].collect().toSet
+    // crash between the aside-rename and the staging swap: the aside
+    // sits BESIDE the root (outside any child sweep) and no root exists
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root), java.nio.file.Paths.get(s"$base/.t.__old__"))
+    graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(!new java.io.File(s"$base/.t.__old__").exists())
+    assert(spark.read.parquet(root).as[(Long, String)].collect().toSet === before,
+      "root-aside recovery lost rows")
+  }
+
+  test("Compaction: legacy (pre-hidden-naming) asides are recovered, never compacted as data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact_leg").toString + "/t"
+    (0 until 60).map(i => (i.toLong, i % 2)).toDF("id", "p")
+      .repartition(3).write.partitionBy("p").parquet(root)
+    val before = spark.read.parquet(root).as[(Long, Int)].collect().toSet
+    // pre-r12 naming: a visible `p=1.__old__` aside with NO live p=1
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, "p=1"),
+      java.nio.file.Paths.get(root, "p=1.__old__"))
+    val rep = graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(!new java.io.File(root, "p=1.__old__").exists(),
+      "legacy aside not consumed by recovery")
+    assert(spark.read.parquet(root).as[(Long, Int)].collect().toSet === before)
+    assert(rep.leaves.forall(l => !l.path.contains("__old__")),
+      s"legacy aside listed as a data leaf: $rep")
+    // and when the live leaf EXISTS, a stale legacy aside is neither
+    // restored over it nor compacted as data
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "p=0.__old__"))
+    val rep2 = graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(rep2.leaves.forall(l => !l.path.contains("__old__")))
+    assert(spark.read.parquet(root).as[(Long, Int)].collect().toSet === before)
+  }
+
   test("Compaction parallel leaf rewrites: same result, sublinear wall-clock") {
     import spark.implicits._
     def build(): String = {
@@ -141,7 +182,9 @@ class WriteHygieneSpec extends AnyFunSuite {
     assert(spark.read.parquet(parRoot).as[(Long, Int)].collect().toSet ===
            spark.read.parquet(seqRoot).as[(Long, Int)].collect().toSet)
     // 8 independent one-leaf jobs on 4 threads should overlap most of
-    // the per-job latency; demand a conservative 25% improvement.
+    // the per-job latency; the PINNED gate is a deliberately loose 10%
+    // so a loaded CI machine cannot flake it — typical local runs land
+    // far lower.
     assert(parMs < seqMs * 0.9,
       s"parallel compaction not faster: sequential=${seqMs}ms parallel=${parMs}ms")
   }

@@ -285,6 +285,49 @@ object ScaleSmoke {
         f"beam search scales linearly-or-worse in query count: " +
           f"100x queries cost ${t500 / t5}%.1fx")
     }
+    // Beam-index APPEND economics: the affected-bucket claim is that
+    // an append recomputes in-bucket kNN only for the buckets the
+    // batch touches — the QUADRATIC term is what partiality bounds, so
+    // that is what the gate measures (scored-pair counts, exact and
+    // deterministic). Wall-clock is printed for the record but NOT
+    // gated: at smoke scale both paths are job-count-bound (the
+    // monotone fast path saves the global sort and the full finger
+    // rewrite — O(batch·log n) delta rows instead of O(n log n), the
+    // term that matters at production n — but spends those savings on
+    // its extra bookkeeping jobs here). The structural incrementality
+    // (original finger files untouched by a monotone append) is pinned
+    // in BeamIndexSpec instead.
+    if (only.forall(_.contains("q_beam_append"))) {
+      import graft.similarity.SimilarityQueries
+      val ne = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .localCheckpoint(true)
+      val planes = SimilarityQueries.autoPlaneCount(nDocs.toLong)
+      val base = ne.filter(col("vec_id") < nDocs - 16)
+      val tmp = java.nio.file.Files.createTempDirectory("beam_append").toString
+      val t0 = System.nanoTime()
+      SimilarityQueries.beamIndexCreate(spark, base, planes, s"$tmp/idx")
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      SimilarityQueries.beamIndexAppend(spark, ne, s"$tmp/idx")
+      val tAppend = (System.nanoTime() - t1) / 1e9
+      val nodes = spark.read.parquet(s"$tmp/idx/nodes")
+      val sizes = nodes.groupBy(col("bucket")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      val touched = nodes.filter(col("vec_id") >= nDocs - 16)
+        .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+      val totalPairs = sizes.values.map(c => c * (c - 1)).sum
+      val appendPairs = touched.toSeq.map(b => sizes(b)).map(c => c * (c - 1)).sum
+      println(f"SMOKE ${mult}x beam_append build=$tBuild%.2fs append16=$tAppend%.2fs " +
+        f"pairs=${appendPairs * 100.0 / totalPairs}%.0f%% of full " +
+        f"(${touched.size}/${sizes.size} buckets)")
+      require(appendPairs * 2 < totalPairs,
+        s"append rescored $appendPairs of $totalPairs pairs — " +
+          "affected-bucket partiality is not bounding the quadratic term")
+    }
     // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
     // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse
     // codes per vector lose plenty of precision, but a near-identical

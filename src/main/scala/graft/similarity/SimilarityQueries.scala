@@ -1811,15 +1811,38 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("nbr_id"), col("bucket"))
   }
 
+  /** Finger rows (src, dst) for the given source nodes against a
+    * target rank table — CLIP semantics (r12 v2): src_rk + 2^j links
+    * only if that rank EXISTS; no wraparound. Clip is what makes
+    * appends-at-the-end topology-INCREMENTAL (mod-n fingers re-aim
+    * every edge whenever n changes; clipped edges never change once
+    * both endpoints exist — the delta of growing n_old → n_new is
+    * exactly the edges with a new endpoint, O(batch·log n) rows).
+    * Navigability is preserved by symmetrizing finger edges in the
+    * search frame (kn edges always were): backward long jumps come
+    * from the reversed direction instead of the wrap. */
+  private def fingerRows(
+      srcNodes: DataFrame, targets: DataFrame, nVecs: Long): DataFrame = {
+    val pows = (0 until 62).map(1L << _).filter(_ < nVecs)
+    if (pows.isEmpty)
+      srcNodes.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
+    else
+      srcNodes.select(col("vec_id").as("src"),
+          explode(array(pows.map(p => col("rk") + lit(p)): _*)).as("dst_rk"))
+        .join(targets.select(col("vec_id").as("dst"), col("rk").as("dst_rk")),
+          Seq("dst_rk"))
+        .select(col("src"), col("dst"))
+  }
+
   /** Rewrite the index topology from a (vec_id, bucket) frame: rank,
-    * then Chord links i → (i + 2^j) mod n in RANK space mapped back to
-    * vec_ids. Crash-safe promotes, and WRITE ORDER is load-bearing:
-    * fingers, then meta, then NODES LAST — the append/delete replay
-    * guards key off the node table (append's new-vector anti-join,
-    * delete's deleted-ids join), so nodes promoting is the COMMIT
-    * point. A crash anywhere earlier leaves nodes untouched and the
-    * replay redoes every (idempotent, overwrite-style) write; promoting
-    * nodes first would let a crash before the fingers promote make the
+    * then clipped Chord links in RANK space mapped back to vec_ids.
+    * Crash-safe promotes, and WRITE ORDER is load-bearing: fingers,
+    * then meta, then NODES LAST — the append/delete replay guards key
+    * off the node table (append's new-vector anti-join, delete's
+    * deleted-ids join), so nodes promoting is the COMMIT point. A
+    * crash anywhere earlier leaves nodes untouched and the replay
+    * redoes every (idempotent, overwrite-style) write; promoting nodes
+    * first would let a crash before the fingers promote make the
     * replay no-op against rank-stale fingers forever. */
   private def writeTopology(
       s: SparkSession, assigned: DataFrame, planeCount: Int, root: String): Unit = {
@@ -1828,18 +1851,8 @@ object SimilarityQueries extends QueryModule {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(LongType))
       .localCheckpoint(true)
     val nVecs = nodes.count()
-    val pows = (0 until 62).map(1L << _).filter(_ < nVecs)
-    val fingers =
-      if (pows.isEmpty)
-        nodes.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
-      else
-        nodes.select(col("vec_id").as("src"),
-            explode(array(pows.map(p =>
-              (col("rk") + lit(p)) % lit(nVecs)): _*)).as("dst_rk"))
-          .join(nodes.select(col("vec_id").as("dst"), col("rk").as("dst_rk")),
-            Seq("dst_rk"))
-          .select(col("src"), col("dst"))
-    graft.pipeline.BulkPipeline.writeAndPromote(fingers, s"$root/fingers")
+    graft.pipeline.BulkPipeline.writeAndPromote(
+      fingerRows(nodes, nodes, nVecs), s"$root/fingers")
     writeBeamMeta(s, root, planeCount, nVecs)
     graft.pipeline.BulkPipeline.writeAndPromote(nodes, s"$root/nodes")
   }
@@ -1898,9 +1911,40 @@ object SimilarityQueries extends QueryModule {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    writeTopology(s,
-      oldNodes.select(col("vec_id"), col("bucket"))
-        .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root)
+    // Topology update. FAST PATH (the streaming shape: every new id
+    // sorts after the whole corpus): old ranks are untouched, so the
+    // clipped finger DELTA is exactly the edges with a new endpoint —
+    // appended in O(batch·log n) rows with the explode pruned to the
+    // sources that can reach the new rank range — and the node table
+    // extends by arithmetic, no global sort. A replayed crash can
+    // duplicate one batch's finger rows (mode("append") is not
+    // batch-scoped here); beamEdgesFrame's distinct() absorbs them.
+    // Non-monotone ids (backfill) take the full re-rank path.
+    val bounds = oldNodes.agg(max(col("vec_id")), count(lit(1))).head()
+    val maxOld = bounds.getLong(0)
+    val nOld = bounds.getLong(1)
+    val minNew = newB.agg(min(col("vec_id"))).head().getLong(0)
+    if (minNew > maxOld) {
+      val newNodes = newB.select(col("vec_id"), col("bucket"))
+        .withColumn("rk",
+          (lit(nOld) + row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast(LongType))
+        .localCheckpoint(true)
+      val nNew = nOld + newNodes.count()
+      val allNodes = oldNodes.unionByName(newNodes)
+      val pows = (0 until 62).map(1L << _).filter(_ < nNew)
+      val oldReachers = oldNodes.filter(
+        pows.map(p => col("rk") >= lit(nOld - p) && col("rk") < lit(nNew - p))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      fingerRows(newNodes, allNodes, nNew)
+        .unionByName(fingerRows(oldReachers, newNodes, nNew))
+        .write.mode("append").parquet(s"$root/fingers")
+      writeBeamMeta(s, root, planeCount, nNew)
+      graft.pipeline.BulkPipeline.writeAndPromote(allNodes, s"$root/nodes")
+    } else
+      writeTopology(s,
+        oldNodes.select(col("vec_id"), col("bucket"))
+          .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root)
   }
 
   /** Delete vectors from a beam index — the append's mirror image,
@@ -2007,11 +2051,13 @@ object SimilarityQueries extends QueryModule {
     *     gradient in unstructured data.
     *  2. BEAM over a navigable graph: the symmetrized auto-width kNN
     *     edges ([[knnGraphPlanAuto]], k=3 each way — LOCAL refinement)
-    *     plus Chord-style finger edges `i → (i + 2^j) mod n` for every
-    *     2^j < n — the deterministic LONG links that make the graph a
-    *     navigable small world (Kleinberg/NSW; HNSW gets the same
-    *     property from random layer links, which an oracle cannot
-    *     replay). [[BeamHops]] hops of best-first search at width
+    *     plus CLIPPED Chord-style finger edges `i → i + 2^j` (both
+    *     directions after symmetrization, every 2^j while the target
+    *     rank exists — r12 v2: no wraparound, so appends-at-the-end
+    *     never re-aim existing edges; see [[fingerRows]]) — the
+    *     deterministic LONG links that make the graph a navigable
+    *     small world (Kleinberg/NSW; HNSW gets the same property from
+    *     random layer links, which an oracle cannot replay). [[BeamHops]] hops of best-first search at width
     *     [[BeamWidth]] — each
     *     hop expands the per-query best nodes along graph edges,
     *     scores the new candidates exactly, and folds them into the
@@ -2091,9 +2137,15 @@ object SimilarityQueries extends QueryModule {
     * corpus (no zip_with hyperplane dots, no embeddings scan). */
   private[graft] def beamEdgesFrame(s: SparkSession, idxRoot: String): DataFrame = {
     val kn = s.read.parquet(s"$idxRoot/kn").select(col("vec_id"), col("nbr_id"))
+    val fingers = s.read.parquet(s"$idxRoot/fingers")
     kn.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       .union(kn.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-      .union(s.read.parquet(s"$idxRoot/fingers").select(col("src"), col("dst")))
+      // fingers symmetrize like kn: clipped links have no wraparound,
+      // so backward long jumps come from the reversed direction; the
+      // distinct() also absorbs any duplicate finger rows a crash-
+      // replayed fast-path append left behind
+      .union(fingers.select(col("src"), col("dst")))
+      .union(fingers.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
 
@@ -2230,13 +2282,15 @@ object SimilarityQueries extends QueryModule {
         CROSS JOIN (SELECT unnest(range(62)) AS j) fj
         CROSS JOIN cnt
         JOIN rk r2
-          ON r2.rk = (r1.rk + CAST(power(2, fj.j) AS BIGINT)) % cnt.cn
+          ON r2.rk = r1.rk + CAST(power(2, fj.j) AS BIGINT)
         WHERE power(2, fj.j) < cnt.cn),
       ed AS (SELECT vec_id AS src, nbr_id AS dst FROM kn
              UNION
              SELECT nbr_id AS src, vec_id AS dst FROM kn
              UNION
-             SELECT src, dst FROM fe),
+             SELECT src, dst FROM fe
+             UNION
+             SELECT dst, src FROM fe),
       qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
       st AS (SELECT CAST(power(2, greatest(2, round(log2(sqrt(count(*))))))
                     AS BIGINT) AS s

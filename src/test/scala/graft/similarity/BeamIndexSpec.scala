@@ -77,6 +77,23 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(fingerSet(incRoot) === fingerSet(fullRoot),
       "appended finger edges differ from a one-shot rebuild")
     assert(searchRows(incRoot, neAll) === searchRows(fullRoot, neAll))
+
+    // structural incrementality of the monotone fast path: clipped
+    // fingers never re-aim, so another at-the-end append must APPEND
+    // finger files, leaving every existing one untouched (a full
+    // rewrite would replace them all — the O(n log n) cost the clip
+    // design removes)
+    def fingerFiles(): Set[String] =
+      new java.io.File(s"$incRoot/fingers").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}@${f.lastModified()}").toSet
+    val beforeFiles = fingerFiles()
+    SimilarityQueries.beamIndexAppend(spark, neOf(all ++ (60L until 64L)), incRoot)
+    val afterFiles = fingerFiles()
+    assert(beforeFiles.subsetOf(afterFiles),
+      "monotone append rewrote existing finger files instead of appending")
+    assert(afterFiles.size > beforeFiles.size,
+      "monotone append added no finger files")
   }
 
   test("append is idempotent and rewrites only affected bucket leaves") {

@@ -261,15 +261,18 @@ object ScaleSmoke {
     // search the same persisted index (built once, mtime-cached); the
     // gate is generous half-linear to stay robust to job-overhead
     // noise at smoke scale.
+    // one normEmb-shaped frame shared by both beam blocks (built
+    // lazily so runs that select neither never scan the embeddings)
+    lazy val beamNe = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .localCheckpoint(true)
     if (only.forall(_.contains("q_beam_batch"))) {
       import graft.similarity.SimilarityQueries
       val idxRoot = SimilarityQueries.beamIndexFor(spark, dir)
-      val ne = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"),
-          org.apache.spark.sql.functions.transform(col("embedding"),
-            x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        .localCheckpoint(true)
+      val ne = beamNe
       def tSearch(qs: Long): Double = {
         val t0 = System.nanoTime()
         SimilarityQueries.beamSearchPlan(spark, idxRoot, ne, queryLimit = qs)
@@ -299,34 +302,43 @@ object ScaleSmoke {
     // in BeamIndexSpec instead.
     if (only.forall(_.contains("q_beam_append"))) {
       import graft.similarity.SimilarityQueries
-      val ne = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"),
-          org.apache.spark.sql.functions.transform(col("embedding"),
-            x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        .localCheckpoint(true)
+      val ne = beamNe
       val planes = SimilarityQueries.autoPlaneCount(nDocs.toLong)
-      val base = ne.filter(col("vec_id") < nDocs - 16)
+      // batch sized to a quarter of the bucket count, so the touched
+      // fraction (and the pair gate) is stable at ANY smoke multiplier
+      // — a fixed 16 would touch most of the 16 buckets the 4-plane
+      // floor yields at small mult and fail spuriously
+      val batchN = math.max(4, (1 << planes) / 4)
+      val base = ne.filter(col("vec_id") < nDocs - batchN)
       val tmp = java.nio.file.Files.createTempDirectory("beam_append").toString
-      val t0 = System.nanoTime()
-      SimilarityQueries.beamIndexCreate(spark, base, planes, s"$tmp/idx")
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      SimilarityQueries.beamIndexAppend(spark, ne, s"$tmp/idx")
-      val tAppend = (System.nanoTime() - t1) / 1e9
-      val nodes = spark.read.parquet(s"$tmp/idx/nodes")
-      val sizes = nodes.groupBy(col("bucket")).count().collect()
-        .map(r => (r.getInt(0), r.getLong(1))).toMap
-      val touched = nodes.filter(col("vec_id") >= nDocs - 16)
-        .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-      val totalPairs = sizes.values.map(c => c * (c - 1)).sum
-      val appendPairs = touched.toSeq.map(b => sizes(b)).map(c => c * (c - 1)).sum
-      println(f"SMOKE ${mult}x beam_append build=$tBuild%.2fs append16=$tAppend%.2fs " +
-        f"pairs=${appendPairs * 100.0 / totalPairs}%.0f%% of full " +
-        f"(${touched.size}/${sizes.size} buckets)")
-      require(appendPairs * 2 < totalPairs,
-        s"append rescored $appendPairs of $totalPairs pairs — " +
-          "affected-bucket partiality is not bounding the quadratic term")
+      try {
+        val t0 = System.nanoTime()
+        SimilarityQueries.beamIndexCreate(spark, base, planes, s"$tmp/idx")
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        SimilarityQueries.beamIndexAppend(spark, ne, s"$tmp/idx")
+        val tAppend = (System.nanoTime() - t1) / 1e9
+        val nodes = spark.read.parquet(s"$tmp/idx/nodes")
+        val sizes = nodes.groupBy(col("bucket")).count().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toMap
+        val touched = nodes.filter(col("vec_id") >= nDocs - batchN)
+          .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+        val totalPairs = sizes.values.map(c => c * (c - 1)).sum
+        val appendPairs = touched.toSeq.map(b => sizes(b)).map(c => c * (c - 1)).sum
+        println(f"SMOKE ${mult}x beam_append build=$tBuild%.2fs " +
+          f"append$batchN%d=$tAppend%.2fs " +
+          f"pairs=${appendPairs * 100.0 / totalPairs}%.0f%% of full " +
+          f"(${touched.size}/${sizes.size} buckets)")
+        require(appendPairs * 2 < totalPairs,
+          s"append rescored $appendPairs of $totalPairs pairs — " +
+            "affected-bucket partiality is not bounding the quadratic term")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
     }
     // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
     // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse

@@ -1777,6 +1777,14 @@ object SimilarityQueries extends QueryModule {
   private def beamMetaPath(root: String) =
     new org.apache.hadoop.fs.Path(root, "_meta")
 
+  /** Finger-geometry format stamp: clipped non-wraparound links,
+    * symmetrized at read (r12 v2). Persisted in `_meta` and REQUIRED
+    * on every read — a pre-v2 (mod-n) index mixed with clipped delta
+    * appends would be neither geometry and silently violate the
+    * append ≡ rebuild contract, so legacy indexes fail fast with the
+    * rebuild instruction instead. */
+  private[graft] val BeamFingerGeometry = "clip-v2"
+
   /** (frozen plane width, vector count) of a persisted beam index. */
   private[graft] def beamMeta(s: SparkSession, root: String): (Int, Long) = {
     val p = beamMetaPath(root)
@@ -1784,6 +1792,11 @@ object SimilarityQueries extends QueryModule {
     val in = fs.open(p)
     val lines = try new String(in.readAllBytes(), "UTF-8").split("\n") finally in.close()
     val kv = lines.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val geom = kv.getOrElse("fingers", "mod-v1")
+    require(geom == BeamFingerGeometry,
+      s"beam index at $root has finger geometry '$geom' but this build " +
+        s"expects '$BeamFingerGeometry' — appending clipped deltas to a " +
+        "wraparound graph would corrupt it; rebuild the index")
     (kv("planes").toInt, kv("n").toLong)
   }
 
@@ -1791,7 +1804,8 @@ object SimilarityQueries extends QueryModule {
     val p = beamMetaPath(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"planes=$planes\nn=$n\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"planes=$planes\nn=$n\nfingers=$BeamFingerGeometry\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed
@@ -1921,8 +1935,11 @@ object SimilarityQueries extends QueryModule {
     // batch-scoped here); beamEdgesFrame's distinct() absorbs them.
     // Non-monotone ids (backfill) take the full re-rank path.
     val bounds = oldNodes.agg(max(col("vec_id")), count(lit(1))).head()
-    val maxOld = bounds.getLong(0)
     val nOld = bounds.getLong(1)
+    // empty index (seeded from scratch): max is null; MinValue makes
+    // every batch "monotone" and the fast path degenerates to a clean
+    // first build
+    val maxOld = if (bounds.isNullAt(0)) Long.MinValue else bounds.getLong(0)
     val minNew = newB.agg(min(col("vec_id"))).head().getLong(0)
     if (minNew > maxOld) {
       val newNodes = newB.select(col("vec_id"), col("bucket"))
@@ -1936,7 +1953,10 @@ object SimilarityQueries extends QueryModule {
       val oldReachers = oldNodes.filter(
         pows.map(p => col("rk") >= lit(nOld - p) && col("rk") < lit(nNew - p))
           .reduceOption(_ || _).getOrElse(lit(false)))
-      fingerRows(newNodes, allNodes, nNew)
+      // new sources' targets are provably new too (src rank ≥ nOld ⇒
+      // dst rank > nOld), so the delta join never touches the old
+      // node table — batch-sized on both sides
+      fingerRows(newNodes, newNodes, nNew)
         .unionByName(fingerRows(oldReachers, newNodes, nNew))
         .write.mode("append").parquet(s"$root/fingers")
       writeBeamMeta(s, root, planeCount, nNew)
@@ -2017,7 +2037,7 @@ object SimilarityQueries extends QueryModule {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     require(embFile.exists(), s"beamIndexFor: $embFile does not exist")
     val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${embFile.lastModified()}@${embFile.length()}@beam-knn3-chord-v1"
+      .digest(s"$dir@${embFile.lastModified()}@${embFile.length()}@beam-knn3-chordclip-v2"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val root = new java.io.File(sigIndexRoot, s"graft_beam_$dataKey")

@@ -30,11 +30,19 @@ import graft.similarity.SimilarityQueries
   *      the replay guard: a replayed batch finds its ids already in
   *      `nodes` and no-ops.
   *
+  * The feed is CDC-SHAPED (r12): rows may carry op = "delete", which
+  * removes the vector from both the corpus table (crash-safe rewrite,
+  * watermark carried across) and the beam index (affected-bucket
+  * recompute via beamIndexDelete) before the batch's adds apply — so
+  * a same-batch delete+re-add is an upsert, and the stream maintains
+  * the full create/append/delete lifecycle, not just growth.
+  *
   * AnnIndexStreamSpec proves the invariant that makes this safe to
-  * run forever: after N micro-batches, beam search over the
-  * maintained index EQUALS search over a one-shot index built from
-  * the union corpus (the append ≡ rebuild contract, now under a
-  * stream clock), including replayed batches.
+  * run forever: after N micro-batches — including deletes and
+  * upserts — beam search over the maintained index EQUALS search
+  * over a one-shot index built from the surviving corpus (the
+  * append/delete ≡ rebuild contracts, now under a stream clock),
+  * including replayed batches.
   *
   * Scale shape: per micro-batch only batch-sized frames shuffle for
   * bucket assignment; the corpus-sized artifacts (vector table, kn
@@ -45,9 +53,14 @@ import graft.similarity.SimilarityQueries
   */
 object AnnIndexStream {
 
+  /** CDC-shaped stream rows: `op` is "add" (default when absent/null)
+    * or "delete" (embedding ignored). A feed of pure adds is the plain
+    * append stream; interleaved deletes make this the upsert shape a
+    * production vector index ingests. */
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(DoubleType))))
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("op", StringType)))
 
   /** normEmb-shaped frame (vec_id, v, nrm) off a raw vector frame. */
   private def neOf(df: DataFrame): DataFrame =
@@ -56,7 +69,19 @@ object AnnIndexStream {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
 
   /** One micro-batch of maintenance — factored out so the spec can
-    * drive it directly. `batchId` < 0 skips replay bookkeeping. */
+    * drive it directly. `batchId` < 0 skips replay bookkeeping.
+    *
+    * CDC handling: rows with op = "delete" first — the corpus table
+    * rewrites without them (crash-safe promote; a tombstone overlay
+    * would be cheaper per batch but the beam index needs the affected
+    * buckets' kNN RECOMPUTED anyway, see [[SimilarityQueries
+    * .beamIndexDelete]]'s scaladoc, so the batch-sized rewrite buys an
+    * always-clean corpus) and the index drops them bucket-partially.
+    * Then adds append as before. Delete-before-add makes a same-batch
+    * delete+re-add an UPSERT (the re-added vector survives). Replay
+    * safety: the whole batch re-runs after a crash — the delete of an
+    * already-deleted id is a no-op, the corpus add is batch-scoped,
+    * and the index append anti-joins — so every path converges. */
   private[streaming] def maintainBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -66,12 +91,32 @@ object AnnIndexStream {
     if (batchId >= 0 &&
         ClusterMaintenanceStream.lastAppliedBatch(spark, corpusPath).exists(_ >= batchId))
       return
-    // 1. corpus vector table append (idempotent per batch id)
-    ClusterMaintenanceStream.appendBatchScoped(
-      spark, batch.select(col("vec_id"), col("embedding")), corpusPath, batchId)
-    // 2. index append: the anti-join inside finds exactly the new ids
-    SimilarityQueries.beamIndexAppend(
-      spark, neOf(spark.read.parquet(corpusPath)), indexRoot)
+    val b = batch.localCheckpoint(true)
+    // frames without an `op` column (the plain append feed) are all adds
+    val isDelete =
+      if (b.columns.contains("op")) coalesce(col("op"), lit("add")) === "delete"
+      else lit(false)
+    val dels = b.filter(isDelete).select(col("vec_id")).distinct()
+    if (!dels.isEmpty) {
+      val survivors = spark.read.parquet(corpusPath)
+        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      // the rewrite replaces the whole corpus dir — carry the replay
+      // watermark across it (the Compaction sidecar lesson)
+      val wm = ClusterMaintenanceStream.lastAppliedBatch(spark, corpusPath)
+      graft.pipeline.BulkPipeline.writeAndPromote(survivors, corpusPath)
+      wm.foreach(w => ClusterMaintenanceStream.writeLastBatch(spark, corpusPath, w))
+      SimilarityQueries.beamIndexDelete(spark, neOf(survivors), dels, indexRoot)
+    }
+    val adds = b.filter(!isDelete)
+    if (!adds.isEmpty) {
+      // 1. corpus vector table append (idempotent per batch id)
+      ClusterMaintenanceStream.appendBatchScoped(
+        spark, adds.select(col("vec_id"), col("embedding")), corpusPath, batchId)
+      // 2. index append: the anti-join inside finds exactly the new ids
+      SimilarityQueries.beamIndexAppend(
+        spark, neOf(spark.read.parquet(corpusPath)), indexRoot)
+    }
     if (batchId >= 0)
       ClusterMaintenanceStream.writeLastBatch(spark, corpusPath, batchId)
   }

@@ -93,6 +93,48 @@ class AnnIndexStreamSpec extends AnyFunSuite {
       "post-compaction replay duplicated corpus vectors")
   }
 
+  test("CDC batches: deletes and same-batch upserts converge to the one-shot survivors") {
+    val root = Files.createTempDirectory("anncdc").toString
+    val corpusPath = s"$root/vectors"
+    val idxRoot = s"$root/idx"
+    val base = (0L until 40L)
+    rawOf(base).write.mode("overwrite").parquet(corpusPath)
+    SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, idxRoot)
+
+    def cdc(adds: Seq[Long], deletes: Seq[Long]): DataFrame =
+      adds.map(i => (i, vec(i), "add"))
+        .++(deletes.map(i => (i, Seq.empty[Double], "delete")))
+        .toDF("vec_id", "embedding", "op")
+
+    // batch 0: plain adds; batch 1: delete two corpus ids and one of
+    // batch 0's; batch 2: an UPSERT (delete + re-add of id 45 in one
+    // batch) plus fresh adds
+    AnnIndexStream.maintainBatch(spark, cdc(40L until 46L, Nil), corpusPath, idxRoot, 0L)
+    AnnIndexStream.maintainBatch(spark, cdc(Nil, Seq(7L, 23L, 41L)), corpusPath, idxRoot, 1L)
+    AnnIndexStream.maintainBatch(spark, cdc(Seq(45L) ++ (46L until 50L), Seq(45L)),
+      corpusPath, idxRoot, 2L)
+
+    val survivors = (base ++ (40L until 50L)).filterNot(Set(7L, 23L, 41L))
+    assert(spark.read.parquet(corpusPath).select(col("vec_id"))
+      .as[Long].collect().toSet === survivors.toSet,
+      "corpus table diverged from the CDC feed")
+
+    // replay the delete batch after a simulated crash (watermark gone):
+    // deleting already-deleted ids must be a no-op
+    new java.io.File(corpusPath, "_last_batch").delete()
+    AnnIndexStream.maintainBatch(spark, cdc(Nil, Seq(7L, 23L, 41L)), corpusPath, idxRoot, 1L)
+    assert(spark.read.parquet(corpusPath).count() === survivors.size.toLong)
+
+    val fullRoot = s"$root/full"
+    SimilarityQueries.beamIndexCreate(spark, neOf(survivors), 4, fullRoot)
+    val oneShot = SimilarityQueries.beamSearchPlan(
+        spark, fullRoot, neOf(survivors).localCheckpoint(true))
+      .select(col("q_id"), col("vec_id"), col("sim_r"), col("rn"))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(searchRows(corpusPath, idxRoot) === oneShot,
+      "CDC-maintained index diverged from a one-shot rebuild of the survivors")
+  }
+
   test("the stream itself drives maintenance (foreachBatch wiring)") {
     val root = Files.createTempDirectory("annstream2").toString
     val inputDir = s"$root/in"; new java.io.File(inputDir).mkdirs()

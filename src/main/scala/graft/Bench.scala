@@ -72,14 +72,26 @@ object Bench {
     * still surfaces because the GATE compares live timings against the
     * tight prior, not against the inflated recording. Failed entries
     * (t<0) and queries absent from the prior pass through unchanged.
+    *
+    * Prior entries absent from `now` are PRESERVED (union, not
+    * map-over-now): a narrowed run persisted into an existing
+    * multi-entry artifact (e.g. SPARK_GRAFT_BENCH_OUT=bench_sf40.json
+    * with ONLY=q_pagerank) must refresh only the queries it actually
+    * timed, never silently truncate the artifact's committed entry set
+    * to the subset (ADVICE r12 — the canonical-path guard protects
+    * only bench_local.json).
     */
   private[graft] def mergeBaseline(
       now: Seq[(String, Double)],
-      prior: Map[String, Double]): Seq[(String, Double)] =
+      prior: Map[String, Double]): Seq[(String, Double)] = {
+    val nowNames = now.map(_._1).toSet
     now.map { case (name, t) =>
       name -> prior.get(name).filter(_ > 0)
         .fold(t)(p => if (t >= 0) math.min(t, p) else t)
-    }
+    } ++ prior.toSeq.collect {
+      case (name, p) if !nowNames.contains(name) && p > 0 => (name, p)
+    }.sortBy(_._1)
+  }
 
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
     * bench everything). Both knobs validate loudly — a typo'd or empty

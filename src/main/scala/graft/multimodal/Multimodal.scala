@@ -558,6 +558,11 @@ object Multimodal {
       (szS, szE) <- findBox(p, stS, stE, "stsz")
       (scS, scE) <- findBox(p, stS, stE, "stsc")
       (coS, coE) <- findBox(p, stS, stE, "stco")
+      // Each table box must at least hold its fixed header before the
+      // first be32 header read: a box truncated mid-header would index
+      // past the payload's end (findBox only bounds the box, not its
+      // header fields).
+      if szE - szS >= 12 && scE - scS >= 8 && coE - coS >= 8
       ranges <- {
         // Every count is validated against its box's actual extent
         // BEFORE any allocation or indexed read: a malformed payload

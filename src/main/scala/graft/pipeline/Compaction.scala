@@ -117,10 +117,29 @@ object Compaction {
     * lives on a cloned session so the caller's session conf is never
     * mutated (and the clone is shared safely: it is set once before
     * the pool starts and only read concurrently).
+    *
+    * CONCURRENCY CONTRACT: compact() expects the table to be quiescent
+    * (no concurrent appender — pause the maintenance stream, or run
+    * compaction from the same single-writer context). It does not
+    * require trust, though: each leaf's data-file + sidecar fingerprint
+    * is re-checked immediately before the promote, and a leaf that
+    * changed under the rewrite is SKIPPED (staging discarded, writer's
+    * files and watermark intact) rather than swapped — the next run
+    * compacts it. The residual window between the re-check and the
+    * rename is filesystem-rename-scale, not rewrite-scale.
     */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              parallelism: Int = 4): Report = {
+              parallelism: Int = 4): Report =
+    compact(spark, root, targetBytes, parallelism, _ => ())
+
+  /** As [[compact]], with a test seam: `beforePromote(leafPath)` runs
+    * after the staging rewrite but before the change-detection re-check
+    * and swap — the deterministic interleave point for the
+    * concurrent-writer guard spec. */
+  private[graft] def compact(spark: SparkSession, root: String,
+              targetBytes: Long, parallelism: Int,
+              beforePromote: String => Unit): Report = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(parallelism > 0, "parallelism must be positive")
     val rootPath = new Path(root)
@@ -148,6 +167,22 @@ object Compaction {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futures = leaves.map { leaf => Future {
+        // Fingerprint of everything the rewrite consumes or carries
+        // over: data files AND metadata sidecars (name, length, mtime).
+        // Re-checked just before the promote — a writer that lands a
+        // batch between the read and the swap (new b<id>- files, or a
+        // _last_batch watermark advance) would otherwise have its rows
+        // renamed away and its watermark rolled back, letting a later
+        // replay re-append duplicates. Compaction is designed for a
+        // quiescent table; this guard makes a concurrent writer a
+        // SKIPPED leaf (retried next run) instead of silent data loss.
+        def snapshot(): Seq[(String, Long, Long)] =
+          fs.listStatus(leaf)
+            .filter(s => s.isFile &&
+              (isDataFile(s.getPath) || s.getPath.getName.startsWith("_")))
+            .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+            .sortBy(_._1).toSeq
+        val snap0 = snapshot()
         val files = fs.listStatus(leaf).filter(s => s.isFile && isDataFile(s.getPath))
         val bytes = files.map(_.getLen).sum
         val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -172,9 +207,17 @@ object Compaction {
                 fs, s.getPath, fs, new Path(staging, s.getPath.getName),
                 false, spark.sparkContext.hadoopConfiguration): Unit
             }
-          BulkPipeline.promoteDir(session, staging.toString, leaf.toString)
-          val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
-          LeafReport(leaf.toString, files.length, after, bytes)
+          beforePromote(leaf.toString)
+          if (snapshot() != snap0) {
+            // concurrent writer detected — abandon the rewrite, leave
+            // the leaf (including the writer's new files) untouched
+            fs.delete(staging, true)
+            LeafReport(leaf.toString, files.length, files.length, bytes)
+          } else {
+            BulkPipeline.promoteDir(session, staging.toString, leaf.toString)
+            val after = fs.listStatus(leaf).count(s => s.isFile && isDataFile(s.getPath))
+            LeafReport(leaf.toString, files.length, after, bytes)
+          }
         }
       } }
       Report(Await.result(Future.sequence(futures), Duration.Inf))

@@ -304,27 +304,43 @@ object SimilarityQueries extends QueryModule {
     * ([[requireFamily]]) in the incremental/streaming consumers. */
   private[graft] val HashFamilyVersion = "mh-v2-a15485863-p268435399-b4r2"
 
-  /** Assert (or adopt) the hash-family stamp of a persisted index dir.
-    * The stamp lives in a `_hash_family` sidecar — `_`-prefixed, so
-    * Spark's parquet reader never sees it. A missing sidecar is
-    * adopted (stamped with the CURRENT family) so pre-stamp artifacts
-    * and fresh seed dirs bootstrap cleanly; a present-but-different
-    * sidecar fails fast with the rebuild instruction. */
+  /** Stamp an index dir with the CURRENT hash family — call this at
+    * index CREATION/SEED time only (the writer knows which family it
+    * signed with; a reader does not). The stamp lives in a
+    * `_hash_family` sidecar — `_`-prefixed, so Spark's parquet reader
+    * never sees it. */
+  private[graft] def stampFamily(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_hash_family")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(p, true)
+    try out.write(HashFamilyVersion.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Assert the hash-family stamp of a persisted index dir before
+    * CONSUMING it. A present-but-different sidecar fails fast with the
+    * rebuild instruction — and so does a MISSING one: adopting an
+    * unstamped index by writing the current stamp on read (the pre-r13
+    * behavior) would silently bless a pre-stamp artifact signed with
+    * the old minhash family, recreating exactly the silent
+    * corpus-vs-batch collision miss the stamp exists to catch. Only
+    * the writer may stamp ([[stampFamily]]); a legitimately-current
+    * unstamped index is migrated by explicitly re-stamping it. */
   private[graft] def requireFamily(s: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_hash_family")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val found = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      require(found == HashFamilyVersion,
-        s"persisted index at $dir was built with hash family '$found' but this " +
-          s"build signs with '$HashFamilyVersion' — joining them would silently " +
-          "miss every collision; rebuild the index from the corpus")
-    } else {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-      val out = fs.create(p, true)
-      try out.write(HashFamilyVersion.getBytes("UTF-8")) finally out.close()
-    }
+    require(fs.exists(p),
+      s"persisted index at $dir carries no _hash_family stamp, so its " +
+        "signature family is unknown — joining it with this build's " +
+        s"'$HashFamilyVersion' signatures could silently miss every " +
+        "collision. Rebuild the index, or if it is KNOWN to be signed " +
+        "with the current family, migrate it explicitly with stampFamily().")
+    val in = fs.open(p)
+    val found = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    require(found == HashFamilyVersion,
+      s"persisted index at $dir was built with hash family '$found' but this " +
+        s"build signs with '$HashFamilyVersion' — joining them would silently " +
+        "miss every collision; rebuild the index from the corpus")
   }
 
   /** The 8-seed signature frame (doc_id, mh0..mh7) — shared by the
@@ -1760,10 +1776,10 @@ object SimilarityQueries extends QueryModule {
   // Ranks are dense row_numbers over vec_id — the id-ranking pass the
   // r11 scaladoc promised: finger/hub navigation now works on SPARSE
   // vec_id corpora too, and on dense corpora rk == vec_id so results
-  // are identical to the pre-index plan. The rank assignment is a
-  // global sort (single-partition window here; a production build uses
-  // a range-partitioned sort) — paid once per build/append, never per
-  // search.
+  // are identical to the pre-index plan. The rank assignment is
+  // RANGE-PARTITIONED ([[denseRankByKey]], r12 verdict #1): no stage
+  // of the build or append funnels the node table through a single
+  // task — paid once per build/append, never per search.
   //
   // Append = assign the new vectors to their (frozen-width) buckets,
   // recompute the in-bucket kNN for ONLY the affected buckets (old
@@ -1773,6 +1789,40 @@ object SimilarityQueries extends QueryModule {
   // regenerate fingers (pure arithmetic over the rank table — no
   // scoring). Cost ∝ affected-bucket population² + n·log n arithmetic,
   // independent of corpus size beyond the re-rank.
+
+  /** Dense rank `base..base+n-1` by `key` WITHOUT a single-task global
+    * window (r12 verdict #1 — `row_number().over(Window.orderBy(...))`
+    * funnels the whole frame through one task; at corpus scale that
+    * stage is the build's straggler). The distributed shape: range-
+    * partition on the key, rank WITHIN each partition, and add
+    * per-partition offsets computed from the tiny (one row per
+    * partition) count frame. The range-partitioned frame is eagerly
+    * checkpointed so the offset pass and the final join see the SAME
+    * materialization — repartitionByRange samples its boundaries, so
+    * two independent evaluations could split rows differently and
+    * desync pid-keyed offsets. The offset cumsum's unpartitioned
+    * window is bounded by the partition COUNT (32 here, thousands on a
+    * cluster), never the row count. `key` must be unique (vec_ids
+    * are); ties would make the rank nondeterministic. */
+  private[graft] def denseRankByKey(
+      df: DataFrame, key: String, rkName: String, base: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val byRange = df.repartitionByRange(parts, col(key))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = byRange.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    byRange.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rkName,
+        (lit(base) + col("_off") +
+          row_number().over(Window.partitionBy(col("_pid")).orderBy(col(key))) - 1)
+          .cast(LongType))
+      .drop("_pid", "_off")
+  }
 
   private def beamMetaPath(root: String) =
     new org.apache.hadoop.fs.Path(root, "_meta")
@@ -1860,9 +1910,8 @@ object SimilarityQueries extends QueryModule {
     * replay no-op against rank-stale fingers forever. */
   private def writeTopology(
       s: SparkSession, assigned: DataFrame, planeCount: Int, root: String): Unit = {
-    val nodes = assigned.select(col("vec_id"), col("bucket"))
-      .withColumn("rk",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(LongType))
+    val nodes = denseRankByKey(
+        assigned.select(col("vec_id"), col("bucket")), "vec_id", "rk", base = 0L)
       .localCheckpoint(true)
     val nVecs = nodes.count()
     graft.pipeline.BulkPipeline.writeAndPromote(
@@ -1942,10 +1991,8 @@ object SimilarityQueries extends QueryModule {
     val maxOld = if (bounds.isNullAt(0)) Long.MinValue else bounds.getLong(0)
     val minNew = newB.agg(min(col("vec_id"))).head().getLong(0)
     if (minNew > maxOld) {
-      val newNodes = newB.select(col("vec_id"), col("bucket"))
-        .withColumn("rk",
-          (lit(nOld) + row_number().over(Window.orderBy(col("vec_id"))) - 1)
-            .cast(LongType))
+      val newNodes = denseRankByKey(
+          newB.select(col("vec_id"), col("bucket")), "vec_id", "rk", base = nOld)
         .localCheckpoint(true)
       val nNew = nOld + newNodes.count()
       val allNodes = oldNodes.unionByName(newNodes)

@@ -157,7 +157,10 @@ object ClusterMaintenanceStream {
   /** Start the maintenance stream over an NDJSON doc directory.
     * `indexPath` and `labelPath` must be seeded with the prior
     * corpus's signatures and converged labels (empty frames with the
-    * right schema for a from-scratch corpus). */
+    * right schema for a from-scratch corpus), and the seed writer must
+    * stamp the index with `SimilarityQueries.stampFamily` — an
+    * unstamped or family-mismatched index fails fast on the first
+    * micro-batch rather than silently missing collisions. */
   def start(
       spark: SparkSession,
       inputDir: String,

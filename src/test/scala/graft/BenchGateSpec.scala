@@ -66,6 +66,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(again.toMap == merged)
   }
 
+  test("mergeBaseline preserves prior-only entries (subset persist cannot truncate an artifact)") {
+    // ADVICE r12: ONLY=q_b persisted into an existing multi-entry
+    // artifact (e.g. bench_sf40.json) must refresh q_b and keep the
+    // untimed entries, not truncate the artifact to the subset.
+    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0)
+    val merged = Bench.mergeBaseline(Seq("q_b" -> 1.5), prior)
+    assert(merged.toMap == Map("q_a" -> 1.0, "q_b" -> 1.5, "q_c" -> 3.0))
+    // timed entries lead (driver-visible order), preserved tail sorted
+    assert(merged.head == ("q_b" -> 1.5))
+  }
+
   test("uncovered reports baseline gaps so a partial baseline cannot silently shrink the gate") {
     val base = Map("q_b" -> 1.0, "q_c" -> 1.0)
     assert(Bench.uncovered(base, Seq("q_c", "q_a", "q_b", "q_d")) == Seq("q_a", "q_d"))

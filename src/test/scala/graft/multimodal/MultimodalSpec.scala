@@ -476,6 +476,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 demux: a table box truncated mid-header degrades to None (ADVICE r12)") {
+    // A box whose declared size ends the payload BEFORE its fixed
+    // header fields: the old code read be32 at payload+4/+8 before
+    // checking the payload held 8/12 bytes, indexing past the array's
+    // end (AIOOBE out of mapPartitions) when the box sat at the file's
+    // tail. Craft each table box as the FINAL box with a tiny payload.
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(payload.length + 8)
+      b.putInt(payload.length + 8).put(name.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val stsd = box("stsd", be(0) ++ be(1) ++ box("jpeg", Array.fill[Byte](8)(0)))
+    val stszOk = box("stsz", be(0) ++ be(16) ++ be(1)) // fixed-size, 1 sample
+    val stscOk = box("stsc", be(0) ++ be(1) ++ be(1) ++ be(1) ++ be(1))
+    val stcoOk = box("stco", be(0) ++ be(1) ++ be(40))
+    for (tables <- Seq(
+        Seq(stsd, stscOk, stcoOk, box("stsz", be(0))),         // stsz: 4 < 12 bytes
+        Seq(stsd, stszOk, stcoOk, box("stsc", be(0))),         // stsc: 4 < 8 bytes
+        Seq(stsd, stszOk, stscOk, box("stco", be(0))))) {      // stco: 4 < 8 bytes
+      val stbl = box("stbl", tables.flatten.toArray)
+      val moov = box("moov",
+        box("trak", box("mdia", box("minf", stbl))))
+      val p = box("ftyp", "isom".getBytes("US-ASCII")) ++ moov
+      assert(Multimodal.isMp4(p))
+      assert(Multimodal.mp4SampleRanges(p).isEmpty,
+        "mid-header-truncated table box did not degrade to None")
+    }
+  }
+
   test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
     val media = Multimodal.syntheticMjpegCorpus(spark, 6)
     media.collect().foreach { r =>

@@ -257,4 +257,41 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(gRows === dRows,
       "gappy-id corpus does not navigate like its dense relabeling")
   }
+
+  test("denseRankByKey: exact dense ranks, and no corpus-sized unpartitioned window (r12 #1)") {
+    // Correctness: shuffled sparse keys rank to 0..n-1 in key order
+    // (plus base), independent of input partitioning.
+    val keys = Seq(907L, 3L, 500L, 41L, 7L, 999999L, 0L, 123L)
+    val df = keys.map(k => (k, s"p$k")).toDF("vec_id", "payload").repartition(5)
+    val ranked = SimilarityQueries.denseRankByKey(df, "vec_id", "rk", base = 10L)
+    val got = ranked.select(col("vec_id"), col("rk"))
+      .as[(Long, Long)].collect().toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> (10L + i) }.toMap
+    assert(got === want)
+    assert(ranked.columns.toSeq === Seq("vec_id", "payload", "rk"),
+      "rank helper must not disturb the column layout")
+
+    // Plan contract: the ONLY unpartitioned window operates on the
+    // per-partition count frame (one row per shuffle partition), never
+    // on the key-bearing corpus frame; the corpus-side rank window is
+    // partitioned (by the range-partition id). AQE off so the physical
+    // tree is inspectable pre-execution.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SimilarityQueries
+        .denseRankByKey(df, "vec_id", "rk", base = 0L)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.output.map(_.name).contains("_cnt"),
+          s"unpartitioned window over a non-count frame:\n$w")
+      }
+      assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+          w.child.output.map(_.name).contains("vec_id")),
+        "the corpus-side rank window lost its partition spec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -62,6 +62,7 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(indexPath)
+    SimilarityQueries.stampFamily(spark, indexPath)
     SimilarityQueries.labelComponents(
         corpus.select(col("doc_id").as("n")), pairsOf(corpus))
       .write.mode("overwrite").parquet(labelPath)
@@ -114,6 +115,7 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val corpus = Seq((0L, textA), (1L, textB)).toDF("doc_id", "text")
     sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(indexPath)
+    SimilarityQueries.stampFamily(spark, indexPath)
     SimilarityQueries.labelComponents(
         corpus.select(col("doc_id").as("n")), pairsOf(corpus))
       .write.mode("overwrite").parquet(labelPath)
@@ -141,6 +143,7 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val corpus = Seq((0L, textA), (1L, textB)).toDF("doc_id", "text")
     sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(indexPath)
+    SimilarityQueries.stampFamily(spark, indexPath)
     SimilarityQueries.labelComponents(
         corpus.select(col("doc_id").as("n")), pairsOf(corpus))
       .write.mode("overwrite").parquet(labelPath)
@@ -177,21 +180,32 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     val corpus = Seq((0L, textA)).toDF("doc_id", "text")
     sigsOf(corpus).select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(indexPath)
+    SimilarityQueries.stampFamily(spark, indexPath)
     corpus.select(col("doc_id").as("n"), col("doc_id").as("lbl"))
       .write.mode("overwrite").parquet(labelPath)
     // an index signed by an OLDER family: schema-identical, so only
-    // the sidecar stamp can reject it
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexPath, "_hash_family"),
-      "mh-v1-a2k1".getBytes("UTF-8"))
+    // the sidecar stamp can reject it (tamper through the Hadoop fs so
+    // its checksum sidecar stays consistent)
+    val stampPath = new org.apache.hadoop.fs.Path(indexPath, "_hash_family")
+    val hfs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(stampPath, true)
+    try out.write("mh-v1-a2k1".getBytes("UTF-8")) finally out.close()
     val batch = Seq((10L, textA)).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
       ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
     }
     assert(e.getMessage.contains("hash family"))
-    // the current family is adopted on first contact with an
-    // unstamped index, and accepted thereafter
-    new java.io.File(indexPath, "_hash_family").delete()
+    // an UNSTAMPED index also fails fast — adopting it on read would
+    // silently bless a pre-stamp artifact of unknown family (the exact
+    // silent-miss the stamp exists to catch); only an explicit
+    // writer-side stampFamily (creation or deliberate migration)
+    // unlocks consumption
+    hfs.delete(stampPath, false)
+    val e2 = intercept[IllegalArgumentException] {
+      ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
+    }
+    assert(e2.getMessage.contains("no _hash_family stamp"))
+    SimilarityQueries.stampFamily(spark, indexPath)
     ClusterMaintenanceStream.maintainBatch(spark, batch, indexPath, labelPath, batchId = 0L)
     ClusterMaintenanceStream.maintainBatch(
       spark, Seq((11L, textB)).toDF("doc_id", "text"), indexPath, labelPath, batchId = 1L)

@@ -89,6 +89,48 @@ class WriteHygieneSpec extends AnyFunSuite {
     assert(snapshot() === before)
   }
 
+  test("Compaction skips a leaf a concurrent writer touched (watermark/data survive)") {
+    import spark.implicits._
+    // ADVICE r12: a maintenance-stream batch landing between the leaf
+    // read and the promote (new b<id>- data file + advanced _last_batch
+    // watermark) must NOT be renamed away / rolled back — the guard
+    // re-fingerprints the leaf before the swap and abandons the rewrite.
+    val root = Files.createTempDirectory("compact_conc").toString + "/t"
+    val rows = (0 until 100).map(i => (i.toLong, s"v$i"))
+    (0 until 4).foreach { _ =>
+      rows.toDF("id", "v").repartition(4)
+        .write.mode("append").parquet(root)
+    }
+    Files.write(java.nio.file.Paths.get(root, "_last_batch"),
+      "7".getBytes("UTF-8"))
+    val extraRows = Seq((9999L, "late")).toDF("id", "v")
+    val rep = graft.pipeline.Compaction.compact(spark, root, 1L << 30, 1,
+      beforePromote = { leaf =>
+        // the "concurrent" batch: one b<id>-named data file + watermark
+        val staged = Files.createTempDirectory("late").toString
+        extraRows.coalesce(1).write.mode("overwrite").parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          java.nio.file.Paths.get(leaf.stripPrefix("file:"), s"b8-${part.getName}"))
+        Files.write(java.nio.file.Paths.get(leaf.stripPrefix("file:"), "_last_batch"),
+          "8".getBytes("UTF-8"))
+      })
+    assert(rep.compacted.isEmpty,
+      s"leaf changed under the rewrite but was still swapped: $rep")
+    // the late batch's rows and watermark are intact
+    assert(spark.read.parquet(root).filter(col("id") === 9999L).count() === 1L)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_last_batch")), "UTF-8") === "8")
+    // with the writer quiescent, the next run compacts normally and
+    // carries the advanced watermark through the swap
+    val rep2 = graft.pipeline.Compaction.compact(spark, root, 1L << 30)
+    assert(rep2.compacted.nonEmpty)
+    assert(spark.read.parquet(root).count() === 401L)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_last_batch")), "UTF-8") === "8")
+  }
+
   test("Compaction staging/aside dirs are hidden from partition discovery; " +
        "a stranded aside with no live leaf is restored") {
     import spark.implicits._

@@ -318,7 +318,7 @@ object ScaleSmoke {
         val t1 = System.nanoTime()
         SimilarityQueries.beamIndexAppend(spark, ne, s"$tmp/idx")
         val tAppend = (System.nanoTime() - t1) / 1e9
-        val nodes = spark.read.parquet(s"$tmp/idx/nodes")
+        val nodes = SimilarityQueries.beamNodesFrame(spark, s"$tmp/idx")
         val sizes = nodes.groupBy(col("bucket")).count().collect()
           .map(r => (r.getInt(0), r.getLong(1))).toMap
         val touched = nodes.filter(col("vec_id") >= nDocs - batchN)

@@ -1824,38 +1824,158 @@ object SimilarityQueries extends QueryModule {
       .drop("_pid", "_off")
   }
 
-  private def beamMetaPath(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_meta")
+  // ── versioned beam-index commits (snapshot isolation, r12 #2) ──
+  //
+  // A beam index root is a VERSIONED table: data files live in
+  // per-generation dirs `root/g<N>/{nodes,fingers,kn}` that are
+  // written before — and never mutated after — their generation
+  // commits, and a commit is one immutable numbered manifest file
+  // under `root/_gen/` listing the exact dirs of that snapshot. A
+  // reader resolves the highest committed manifest once and pins that
+  // file set for the whole query: a concurrent append/delete only
+  // ADDS g<N+1> dirs and a new manifest, so any read observes either
+  // the old or the new index, NEVER a mix (the pre-r13
+  // fingers→meta→nodes promote ordering guaranteed crash-replay
+  // convergence but not reader isolation — BeamIndexSpec pins both
+  // now). The manifest rename is the single commit point: a crash
+  // anywhere earlier leaves the previous manifest current, and the
+  // replay recomputes the SAME deterministic generation number
+  // (parent + 1) and overwrites the same g<N+1> dirs, so orphaned
+  // attempt files self-heal. Unreferenced generations are reclaimed
+  // by [[beamIndexVacuum]]. Single writer (a batch job or the stream
+  // clock) remains the write-side contract, as for every sibling
+  // index artifact.
 
   /** Finger-geometry format stamp: clipped non-wraparound links,
-    * symmetrized at read (r12 v2). Persisted in `_meta` and REQUIRED
-    * on every read — a pre-v2 (mod-n) index mixed with clipped delta
-    * appends would be neither geometry and silently violate the
-    * append ≡ rebuild contract, so legacy indexes fail fast with the
-    * rebuild instruction instead. */
+    * symmetrized at read (r12 v2). Persisted in every manifest and
+    * REQUIRED on every read — a pre-v2 (mod-n) index mixed with
+    * clipped delta appends would be neither geometry and silently
+    * violate the append ≡ rebuild contract, so mismatched indexes
+    * fail fast with the rebuild instruction instead. */
   private[graft] val BeamFingerGeometry = "clip-v2"
 
-  /** (frozen plane width, vector count) of a persisted beam index. */
-  private[graft] def beamMeta(s: SparkSession, root: String): (Int, Long) = {
-    val p = beamMetaPath(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n") finally in.close()
-    val kv = lines.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    val geom = kv.getOrElse("fingers", "mod-v1")
+  /** One committed snapshot of a beam index: generation number, the
+    * frozen LSH width, vector count, and the root-relative data dirs —
+    * nodes/fingers as ordered dir lists (base + monotone-append
+    * deltas), kn as bucket → leaf dir (only EMITTED buckets appear;
+    * a single-member bucket has no in-bucket edges). */
+  private[graft] final case class BeamManifest(
+      gen: Long, planes: Int, n: Long,
+      nodesDirs: Seq[String], fingerDirs: Seq[String],
+      knDirs: Map[Int, String])
+
+  private def beamGenPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_gen")
+
+  private def beamFs(s: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Resolve the CURRENT committed manifest (highest numbered file in
+    * `_gen/`). Everything a search or maintenance pass reads derives
+    * from one manifest resolution — that is the snapshot-isolation
+    * contract. */
+  private[graft] def beamManifest(s: SparkSession, root: String): BeamManifest = {
+    val fs = beamFs(s, root)
+    val dir = beamGenPath(root)
+    val gens =
+      if (fs.exists(dir))
+        fs.listStatus(dir).flatMap(st => st.getPath.getName.toLongOption).toSeq
+      else Seq.empty
+    require(gens.nonEmpty,
+      s"no committed generation under $root/_gen — not a beam index " +
+        "(or a pre-manifest layout); rebuild the index with beamIndexCreate")
+    val gen = gens.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, gen.toString))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val kv = text.split("\n").map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val geom = kv.getOrElse("geometry", "mod-v1")
     require(geom == BeamFingerGeometry,
       s"beam index at $root has finger geometry '$geom' but this build " +
         s"expects '$BeamFingerGeometry' — appending clipped deltas to a " +
         "wraparound graph would corrupt it; rebuild the index")
-    (kv("planes").toInt, kv("n").toLong)
+    def dirs(k: String) = kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+    BeamManifest(gen, kv("planes").toInt, kv("n").toLong,
+      dirs("nodesdirs"), dirs("fingerdirs"),
+      kv.getOrElse("kn", "").split(";").toSeq.filter(_.nonEmpty).map { e =>
+        val Array(b, d) = e.split(":", 2); b.toInt -> d
+      }.toMap)
   }
 
-  private def writeBeamMeta(s: SparkSession, root: String, planes: Int, n: Long): Unit = {
-    val p = beamMetaPath(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"planes=$planes\nn=$n\nfingers=$BeamFingerGeometry\n".getBytes("UTF-8"))
-    finally out.close()
+  /** Commit a generation: write the manifest to a hidden temp name and
+    * rename it in — the atomic commit point. The data dirs it lists
+    * must already be fully written. */
+  private def commitBeamManifest(
+      s: SparkSession, root: String, m: BeamManifest): Unit = {
+    val fs = beamFs(s, root)
+    val dir = beamGenPath(root)
+    fs.mkdirs(dir)
+    val body = s"planes=${m.planes}\nn=${m.n}\ngeometry=$BeamFingerGeometry\n" +
+      s"nodesdirs=${m.nodesDirs.mkString(",")}\n" +
+      s"fingerdirs=${m.fingerDirs.mkString(",")}\n" +
+      s"kn=${m.knDirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b:$d" }.mkString(";")}\n"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".${m.gen}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // a replay of an attempt that crashed after this commit is cut off
+    // upstream (the new-vector/deleted-id guards no-op), so a live
+    // target here is a leftover of THIS commit's own crash-replay —
+    // replace it (single-writer contract)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, m.gen.toString), false)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, m.gen.toString)),
+      s"beam manifest commit failed: $root gen ${m.gen}")
+  }
+
+  /** The manifest's emitted-bucket map for a just-written kn dir:
+    * bucket → root-relative leaf dir. Tolerates a missing/empty dir
+    * (a delete batch can leave zero surviving edges). */
+  private def knLeafDirs(
+      s: SparkSession, root: String, gen: Long): Map[Int, String] = {
+    val fs = beamFs(s, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/g$gen/kn")
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("bucket="))
+        Some(n.stripPrefix("bucket=").toInt -> s"g$gen/kn/$n")
+      else None
+    }.toMap
+  }
+
+  /** (frozen plane width, vector count) of a persisted beam index. */
+  private[graft] def beamMeta(s: SparkSession, root: String): (Int, Long) = {
+    val m = beamManifest(s, root)
+    (m.planes, m.n)
+  }
+
+  /** The snapshot's node table (vec_id, bucket, rk). */
+  private[graft] def beamNodesFrame(s: SparkSession, root: String): DataFrame =
+    beamNodesOf(s, root, beamManifest(s, root))
+
+  private def beamNodesOf(s: SparkSession, root: String, m: BeamManifest): DataFrame =
+    s.read.parquet(m.nodesDirs.map(d => s"$root/$d"): _*)
+
+  /** Reclaim generations the CURRENT manifest no longer references —
+    * the maintenance job a long-lived index runs beside compaction.
+    * Dir-level GC: a generation dir survives while ANY of its dirs is
+    * still referenced (e.g. untouched kn leaves). Older manifests are
+    * dropped too, so `_gen/` stays bounded. Same quiescence/grace
+    * contract as any table-format vacuum: readers that resolved an
+    * older snapshot before the vacuum must have finished. */
+  private[graft] def beamIndexVacuum(s: SparkSession, root: String): Unit = {
+    val m = beamManifest(s, root)
+    val referenced = (m.nodesDirs ++ m.fingerDirs ++ m.knDirs.values)
+      .map(_.takeWhile(_ != '/')).toSet
+    val fs = beamFs(s, root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.head == 'g' && n.tail.forall(_.isDigit) &&
+        !referenced.contains(n))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true): Unit)
+    fs.listStatus(beamGenPath(root))
+      .filter(st => st.getPath.getName.toLongOption.exists(_ < m.gen))
+      .foreach(st => fs.delete(st.getPath, false): Unit)
   }
 
   /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed
@@ -1898,37 +2018,41 @@ object SimilarityQueries extends QueryModule {
         .select(col("src"), col("dst"))
   }
 
-  /** Rewrite the index topology from a (vec_id, bucket) frame: rank,
-    * then clipped Chord links in RANK space mapped back to vec_ids.
-    * Crash-safe promotes, and WRITE ORDER is load-bearing: fingers,
-    * then meta, then NODES LAST — the append/delete replay guards key
-    * off the node table (append's new-vector anti-join, delete's
-    * deleted-ids join), so nodes promoting is the COMMIT point. A
-    * crash anywhere earlier leaves nodes untouched and the replay
-    * redoes every (idempotent, overwrite-style) write; promoting nodes
-    * first would let a crash before the fingers promote make the
-    * replay no-op against rank-stale fingers forever. */
+  /** Rewrite the index topology from a (vec_id, bucket) frame into
+    * generation `gen`: rank ([[denseRankByKey]] — no single-task
+    * stage), then clipped Chord links in RANK space mapped back to
+    * vec_ids, then the manifest commit. `beforeCommit` is the spec's
+    * deterministic interleave point (a reader between the data writes
+    * and the commit must see the PREVIOUS snapshot). */
   private def writeTopology(
-      s: SparkSession, assigned: DataFrame, planeCount: Int, root: String): Unit = {
+      s: SparkSession, assigned: DataFrame, planeCount: Int, root: String,
+      gen: Long, knDirs: Map[Int, String],
+      beforeCommit: () => Unit = () => ()): Unit = {
     val nodes = denseRankByKey(
         assigned.select(col("vec_id"), col("bucket")), "vec_id", "rk", base = 0L)
       .localCheckpoint(true)
     val nVecs = nodes.count()
-    graft.pipeline.BulkPipeline.writeAndPromote(
-      fingerRows(nodes, nodes, nVecs), s"$root/fingers")
-    writeBeamMeta(s, root, planeCount, nVecs)
-    graft.pipeline.BulkPipeline.writeAndPromote(nodes, s"$root/nodes")
+    fingerRows(nodes, nodes, nVecs)
+      .write.mode("overwrite").parquet(s"$root/g$gen/fingers")
+    nodes.write.mode("overwrite").parquet(s"$root/g$gen/nodes")
+    beforeCommit()
+    commitBeamManifest(s, root, BeamManifest(gen, planeCount, nVecs,
+      Seq(s"g$gen/nodes"), Seq(s"g$gen/fingers"), knDirs))
   }
 
   /** Build a beam index at `root` over a [[normEmb]]-shaped frame
-    * (vec_id, v, nrm), freezing the sign-LSH width. */
+    * (vec_id, v, nrm), freezing the sign-LSH width. Starts the
+    * manifest history at generation 0 (any stale history under a
+    * recycled root is discarded first — create means create). */
   private[graft] def beamIndexCreate(
       s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit = {
+    beamFs(s, root).delete(beamGenPath(root), true)
     val b = signBuckets(ne, planeCount)
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
       .localCheckpoint(true)
-    knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/kn")
-    writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root)
+    knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
+    writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root,
+      gen = 0L, knDirs = knLeafDirs(s, root, 0L))
   }
 
   /** Append every vector of `ne` not yet in the index at `root`,
@@ -1938,9 +2062,12 @@ object SimilarityQueries extends QueryModule {
     * Idempotent: a crash mid-append leaves the new ids absent from
     * `nodes`, so a re-run redoes the same (overwrite-style) writes. */
   private[graft] def beamIndexAppend(
-      s: SparkSession, ne: DataFrame, root: String): Unit = {
-    val (planeCount, _) = beamMeta(s, root)
-    val oldNodes = s.read.parquet(s"$root/nodes")
+      s: SparkSession, ne: DataFrame, root: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val m = beamManifest(s, root)
+    val planeCount = m.planes
+    val gen = m.gen + 1
+    val oldNodes = beamNodesOf(s, root, m)
     val newVecs = ne.join(oldNodes.select(col("vec_id")), Seq("vec_id"), "left_anti")
     if (newVecs.isEmpty) return
     val newB = signBuckets(newVecs, planeCount)
@@ -1965,24 +2092,22 @@ object SimilarityQueries extends QueryModule {
       .join(ne, Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
       .unionByName(newB)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      knRowsOf(members).write.partitionBy("bucket")
-        .mode("overwrite").parquet(s"$root/kn")
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // affected leaves land in THIS generation's kn dir; unaffected
+    // buckets keep their old manifest entries (no dynamic-overwrite
+    // dance, and old-snapshot readers keep their files)
+    knRowsOf(members).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$root/g$gen/kn")
+    val knMap = m.knDirs ++ knLeafDirs(s, root, gen)
     // Topology update. FAST PATH (the streaming shape: every new id
     // sorts after the whole corpus): old ranks are untouched, so the
     // clipped finger DELTA is exactly the edges with a new endpoint —
-    // appended in O(batch·log n) rows with the explode pruned to the
-    // sources that can reach the new rank range — and the node table
-    // extends by arithmetic, no global sort. A replayed crash can
-    // duplicate one batch's finger rows (mode("append") is not
-    // batch-scoped here); beamEdgesFrame's distinct() absorbs them.
-    // Non-monotone ids (backfill) take the full re-rank path.
+    // a delta dir of O(batch·log n) rows with the explode pruned to
+    // the sources that can reach the new rank range — and the node
+    // table extends by a batch-sized DELTA dir too: the manifest's
+    // ordered dir lists make both artifacts additive, so a monotone
+    // append never rewrites corpus-sized data (r12's full node
+    // rewrite per streaming batch is gone). Non-monotone ids
+    // (backfill) take the full re-rank path.
     val bounds = oldNodes.agg(max(col("vec_id")), count(lit(1))).head()
     val nOld = bounds.getLong(1)
     // empty index (seeded from scratch): max is null; MinValue makes
@@ -1995,7 +2120,6 @@ object SimilarityQueries extends QueryModule {
           newB.select(col("vec_id"), col("bucket")), "vec_id", "rk", base = nOld)
         .localCheckpoint(true)
       val nNew = nOld + newNodes.count()
-      val allNodes = oldNodes.unionByName(newNodes)
       val pows = (0 until 62).map(1L << _).filter(_ < nNew)
       val oldReachers = oldNodes.filter(
         pows.map(p => col("rk") >= lit(nOld - p) && col("rk") < lit(nNew - p))
@@ -2005,13 +2129,16 @@ object SimilarityQueries extends QueryModule {
       // node table — batch-sized on both sides
       fingerRows(newNodes, newNodes, nNew)
         .unionByName(fingerRows(oldReachers, newNodes, nNew))
-        .write.mode("append").parquet(s"$root/fingers")
-      writeBeamMeta(s, root, planeCount, nNew)
-      graft.pipeline.BulkPipeline.writeAndPromote(allNodes, s"$root/nodes")
+        .write.mode("overwrite").parquet(s"$root/g$gen/fingers")
+      newNodes.write.mode("overwrite").parquet(s"$root/g$gen/nodes")
+      beforeCommit()
+      commitBeamManifest(s, root, BeamManifest(gen, planeCount, nNew,
+        m.nodesDirs :+ s"g$gen/nodes", m.fingerDirs :+ s"g$gen/fingers", knMap))
     } else
       writeTopology(s,
         oldNodes.select(col("vec_id"), col("bucket"))
-          .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root)
+          .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root,
+        gen, knMap, beforeCommit)
   }
 
   /** Delete vectors from a beam index — the append's mirror image,
@@ -2025,12 +2152,15 @@ object SimilarityQueries extends QueryModule {
     * the affected buckets (those that held deleted ids) are
     * recomputed — every kn row referencing a deleted id lives in that
     * id's own bucket (in-bucket kNN), so unaffected leaves are exact
-    * already. Leaves whose members are ALL deleted are removed
-    * explicitly (dynamic overwrite cannot touch a partition it emits
-    * no rows for). `ne` is the surviving corpus's normEmb frame. */
+    * already. Leaves whose members are ALL deleted drop out of the
+    * new manifest (their files linger for old-snapshot readers until
+    * [[beamIndexVacuum]]). `ne` is the surviving corpus's normEmb
+    * frame. */
   private[graft] def beamIndexDelete(
-      s: SparkSession, ne: DataFrame, deletedIds: DataFrame, root: String): Unit = {
-    val oldNodes = s.read.parquet(s"$root/nodes")
+      s: SparkSession, ne: DataFrame, deletedIds: DataFrame, root: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val m = beamManifest(s, root)
+    val oldNodes = beamNodesOf(s, root, m)
     val del = deletedIds.select(col("vec_id")).distinct().localCheckpoint(true)
     if (del.isEmpty) return
     // bounded collect: one bucket id per deleted vector at most —
@@ -2038,6 +2168,10 @@ object SimilarityQueries extends QueryModule {
     val affected = oldNodes.join(del, Seq("vec_id"))
       .select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
+    // none of the ids are present (e.g. a crash-replayed delete batch
+    // whose commit already landed): the snapshot is already correct
+    if (affected.isEmpty) return
+    val gen = m.gen + 1
     val affectedDf = { import s.implicits._; affected.toSeq.toDF("bucket") }
     val surviving = oldNodes.join(del, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
@@ -2054,24 +2188,14 @@ object SimilarityQueries extends QueryModule {
     val members = survAffected
       .join(ne, Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
-    val knNew = knRowsOf(members).localCheckpoint(true)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      knNew.write.partitionBy("bucket").mode("overwrite").parquet(s"$root/kn")
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val emitted = knNew.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    affected.filterNot(emitted).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/kn/bucket=$b"), true): Unit
-    }
-    val (planeCount, _) = beamMeta(s, root)
-    writeTopology(s, surviving.select(col("vec_id"), col("bucket")), planeCount, root)
+    knRowsOf(members).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$root/g$gen/kn")
+    // fully-emptied buckets simply drop out of the manifest (no leaf
+    // deletes — the old snapshot keeps its files until vacuum); the
+    // surviving affected buckets remap to this generation's leaves
+    val knMap = (m.knDirs -- affected) ++ knLeafDirs(s, root, gen)
+    writeTopology(s, surviving.select(col("vec_id"), col("bucket")), m.planes,
+      root, gen, knMap, beforeCommit)
   }
 
   /** (dataset digest) → persisted beam-index root — the
@@ -2089,7 +2213,7 @@ object SimilarityQueries extends QueryModule {
       .map("%02x".format(_)).mkString.take(16)
     val root = new java.io.File(sigIndexRoot, s"graft_beam_$dataKey")
     val valid = beamIndexCache.get(dataKey)
-      .filter(r => new java.io.File(r, "_meta").exists())
+      .filter(r => Option(new java.io.File(r, "_gen").list()).exists(_.nonEmpty))
     valid.getOrElse {
       deleteRecursively(root)
       val ne = normEmb(s, dir).localCheckpoint(true)
@@ -2202,15 +2326,26 @@ object SimilarityQueries extends QueryModule {
     * persisted kn/fingers tables, exposed separately so
     * PlanContractSpec can pin that a warm search never re-signs the
     * corpus (no zip_with hyperplane dots, no embeddings scan). */
-  private[graft] def beamEdgesFrame(s: SparkSession, idxRoot: String): DataFrame = {
-    val kn = s.read.parquet(s"$idxRoot/kn").select(col("vec_id"), col("nbr_id"))
-    val fingers = s.read.parquet(s"$idxRoot/fingers")
+  private[graft] def beamEdgesFrame(s: SparkSession, idxRoot: String): DataFrame =
+    beamEdgesOf(s, idxRoot, beamManifest(s, idxRoot))
+
+  private def beamEdgesOf(
+      s: SparkSession, idxRoot: String, m: BeamManifest): DataFrame = {
+    // kn leaf dirs are read directly (the bucket partition value is
+    // never needed search-side — buckets come from the node table), so
+    // one multi-path relation covers every generation's leaves
+    val kn =
+      if (m.knDirs.isEmpty)
+        { import s.implicits._
+          Seq.empty[(Long, Long)].toDF("vec_id", "nbr_id") }
+      else s.read.parquet(m.knDirs.values.toSeq.sorted.map(d => s"$idxRoot/$d"): _*)
+        .select(col("vec_id"), col("nbr_id"))
+    val fingers = s.read.parquet(m.fingerDirs.map(d => s"$idxRoot/$d"): _*)
     kn.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       .union(kn.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
       // fingers symmetrize like kn: clipped links have no wraparound,
       // so backward long jumps come from the reversed direction; the
-      // distinct() also absorbs any duplicate finger rows a crash-
-      // replayed fast-path append left behind
+      // distinct() folds edges that exist in both directions already
       .union(fingers.select(col("src"), col("dst")))
       .union(fingers.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -2225,11 +2360,16 @@ object SimilarityQueries extends QueryModule {
       s: SparkSession, idxRoot: String, ne: DataFrame,
       edgesOpt: Option[DataFrame] = None,
       queryLimit: Long = 5L): DataFrame = {
-    val (_, nVecs) = beamMeta(s, idxRoot)
+    // ONE manifest resolution pins the whole search to a snapshot:
+    // nodes, edges and the hub stride all derive from it, so a commit
+    // racing this search flips the result atomically (old index or
+    // new), never partially
+    val m = beamManifest(s, idxRoot)
+    val nVecs = m.n
     val stride = annBeamHubStride(nVecs)
     val q = ne.filter(col("vec_id") < queryLimit)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val edges = edgesOpt.getOrElse(beamEdgesFrame(s, idxRoot).localCheckpoint(true))
+    val edges = edgesOpt.getOrElse(beamEdgesOf(s, idxRoot, m).localCheckpoint(true))
     // exact cosine for a (q_id, cand) pair set — vectors join in here,
     // AFTER the candidate set is bounded
     def score(cands: DataFrame): DataFrame =
@@ -2239,7 +2379,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("q_id"), col("cand"),
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("sim"))
     val byBest = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))
-    val nodes = s.read.parquet(s"$idxRoot/nodes")
+    val nodes = beamNodesOf(s, idxRoot, m)
     val qb = nodes.filter(col("vec_id") < queryLimit)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val bucketSeeds = nodes.select(col("vec_id").as("cand"), col("bucket"))

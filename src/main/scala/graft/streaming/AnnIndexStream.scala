@@ -46,10 +46,12 @@ import graft.similarity.SimilarityQueries
   *
   * Scale shape: per micro-batch only batch-sized frames shuffle for
   * bucket assignment; the corpus-sized artifacts (vector table, kn
-  * leaves) are read through pruned scans and written append/
-  * partial-overwrite. The per-append re-rank is one sort of the node
-  * table — the price of rank-space navigation, paid per batch, never
-  * per search.
+  * leaves) are read through pruned scans and written as new
+  * generation dirs committed by one manifest rename (r13 — readers
+  * get snapshot isolation, and the monotone fast path appends
+  * batch-sized node/finger DELTA dirs, so a streaming append never
+  * rewrites corpus-sized data). Deletes and backfills re-rank via the
+  * range-partitioned full path.
   */
 object AnnIndexStream {
 

@@ -648,8 +648,10 @@ class PlanContractSpec extends AnyFunSuite {
     // the contract is on the WARM invocation
     planOf("q_ann_beam")
     val root = graft.similarity.SimilarityQueries.beamIndexFor(spark, dir)
-    val metaFile = new java.io.File(root, "_meta")
-    val metaStamp = metaFile.lastModified()
+    def genState(): Set[(String, Long)] =
+      new java.io.File(root, "_gen").listFiles()
+        .map(f => (f.getName, f.lastModified())).toSet
+    val genStamp = genState()
     // the search's edge frame is pure index reads: no embeddings scan,
     // and no sign-LSH bucket assignment (zip_with hyperplane dots are
     // the build-only stage)
@@ -662,9 +664,10 @@ class PlanContractSpec extends AnyFunSuite {
       s"beam edges recompute sign-LSH buckets:\n$edgesPlan")
     assert(!edgesPlan.contains("embeddings"),
       s"beam edges re-read the corpus vectors:\n$edgesPlan")
-    // a warm end-to-end invocation leaves the artifact untouched
+    // a warm end-to-end invocation leaves the artifact untouched (no
+    // new generation committed, no manifest rewritten)
     planOf("q_ann_beam")
-    assert(metaFile.lastModified() === metaStamp,
+    assert(genState() === genStamp,
       "a warm q_ann_beam invocation rebuilt the beam index")
   }
 }

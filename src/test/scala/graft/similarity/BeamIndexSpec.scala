@@ -48,6 +48,19 @@ class BeamIndexSpec extends AnyFunSuite {
       .select(col("q_id"), col("vec_id"), col("sim_r"), col("rn"))
       .as[(Long, Long, Double, Long)].collect().toSeq
 
+  /** Current-snapshot physical accessors (manifest-resolved). */
+  private def knSet(root: String): Set[(Long, Long)] = {
+    val m = SimilarityQueries.beamManifest(spark, root)
+    if (m.knDirs.isEmpty) Set.empty
+    else spark.read.parquet(m.knDirs.values.toSeq.map(d => s"$root/$d"): _*)
+      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect().toSet
+  }
+  private def fingerSet(root: String): Set[(Long, Long)] = {
+    val m = SimilarityQueries.beamManifest(spark, root)
+    spark.read.parquet(m.fingerDirs.map(d => s"$root/$d"): _*)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+  }
+
   test("append == one-shot rebuild, across two appended batches") {
     val tmp = Files.createTempDirectory("beamidx").toString
     val base = (0L until 40L)
@@ -67,11 +80,6 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(SimilarityQueries.beamMeta(spark, incRoot) ===
            SimilarityQueries.beamMeta(spark, fullRoot))
     // the persisted edge sets are identical, not just the search results
-    def knSet(root: String) = spark.read.parquet(s"$root/kn")
-      .select(col("vec_id"), col("nbr_id"))
-      .as[(Long, Long)].collect().toSet
-    def fingerSet(root: String) = spark.read.parquet(s"$root/fingers")
-      .as[(Long, Long)].collect().toSet
     assert(knSet(incRoot) === knSet(fullRoot),
       "appended kNN edges differ from a one-shot rebuild")
     assert(fingerSet(incRoot) === fingerSet(fullRoot),
@@ -79,21 +87,26 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(searchRows(incRoot, neAll) === searchRows(fullRoot, neAll))
 
     // structural incrementality of the monotone fast path: clipped
-    // fingers never re-aim, so another at-the-end append must APPEND
-    // finger files, leaving every existing one untouched (a full
-    // rewrite would replace them all — the O(n log n) cost the clip
-    // design removes)
-    def fingerFiles(): Set[String] =
-      new java.io.File(s"$incRoot/fingers").listFiles()
+    // fingers never re-aim, so another at-the-end append must add a
+    // DELTA generation dir, leaving every existing finger (and node)
+    // file untouched (a full rewrite would replace them all — the
+    // O(n log n) cost the clip design removes)
+    def fingerFiles(): Set[String] = {
+      val m = SimilarityQueries.beamManifest(spark, incRoot)
+      m.fingerDirs.flatMap(d => new java.io.File(s"$incRoot/$d").listFiles()
         .filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}@${f.lastModified()}").toSet
+        .map(f => s"$d/${f.getName}@${f.lastModified()}")).toSet
+    }
     val beforeFiles = fingerFiles()
+    val gensBefore = SimilarityQueries.beamManifest(spark, incRoot).fingerDirs.size
     SimilarityQueries.beamIndexAppend(spark, neOf(all ++ (60L until 64L)), incRoot)
     val afterFiles = fingerFiles()
     assert(beforeFiles.subsetOf(afterFiles),
       "monotone append rewrote existing finger files instead of appending")
     assert(afterFiles.size > beforeFiles.size,
       "monotone append added no finger files")
+    assert(SimilarityQueries.beamManifest(spark, incRoot).fingerDirs.size ===
+      gensBefore + 1, "monotone append did not add exactly one delta dir")
   }
 
   test("append is idempotent and rewrites only affected bucket leaves") {
@@ -102,20 +115,20 @@ class BeamIndexSpec extends AnyFunSuite {
     val base = (0L until 40L)
     SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, root)
 
-    // record per-leaf file identities before the append
-    def leafFiles(): Map[String, Set[String]] = {
-      val kn = new java.io.File(s"$root/kn")
-      kn.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-        .map(d => d.getName ->
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => s"${f.getName}@${f.lastModified()}").toSet)
-        .toMap
-    }
+    // record per-leaf file identities before the append — through the
+    // manifest, so the map says which PHYSICAL leaf each bucket reads
+    def leafFiles(): Map[String, Set[String]] =
+      SimilarityQueries.beamManifest(spark, root).knDirs.map { case (b, d) =>
+        s"bucket=$b" ->
+          new java.io.File(s"$root/$d").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => s"$d/${f.getName}@${f.lastModified()}").toSet
+      }
     val before = leafFiles()
     val withBatch = neOf(base ++ Seq(40L, 41L)).localCheckpoint(true)
     SimilarityQueries.beamIndexAppend(spark, withBatch, root)
     val after1 = leafFiles()
-    val batchBuckets = spark.read.parquet(s"$root/nodes")
+    val batchBuckets = SimilarityQueries.beamNodesFrame(spark, root)
       .filter(col("vec_id") >= 40L).select(col("bucket"))
       .as[Int].collect().toSet.map((b: Int) => s"bucket=$b")
     val untouched = before.keySet -- batchBuckets
@@ -143,9 +156,9 @@ class BeamIndexSpec extends AnyFunSuite {
     val root = s"$tmp/idx"
     SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, root)
 
-    // delete every member of one bucket (its kn leaf must VANISH, not
-    // go stale) plus a few ids from other buckets
-    val nodes = spark.read.parquet(s"$root/nodes")
+    // delete every member of one bucket (its kn leaf must leave the
+    // manifest, not go stale) plus a few ids from other buckets
+    val nodes = SimilarityQueries.beamNodesFrame(spark, root)
       .select(col("vec_id"), col("bucket")).as[(Long, Int)].collect()
     val victimBucket = nodes.groupBy(_._2).minBy { case (_, members) => members.length }._1
     val wiped = nodes.filter(_._2 == victimBucket).map(_._1).toSet
@@ -155,15 +168,12 @@ class BeamIndexSpec extends AnyFunSuite {
 
     SimilarityQueries.beamIndexDelete(spark, neOf(survivors),
       deleted.toSeq.toDF("vec_id"), root)
-    assert(!new java.io.File(s"$root/kn/bucket=$victimBucket").exists(),
-      "fully-emptied bucket leaf left behind (stale edges to deleted ids)")
+    assert(!SimilarityQueries.beamManifest(spark, root).knDirs
+        .contains(victimBucket),
+      "fully-emptied bucket leaf still referenced (stale edges to deleted ids)")
 
     val fullRoot = s"$tmp/full"
     SimilarityQueries.beamIndexCreate(spark, neOf(survivors), 4, fullRoot)
-    def knSet(r: String) = spark.read.parquet(s"$r/kn")
-      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect().toSet
-    def fingerSet(r: String) = spark.read.parquet(s"$r/fingers")
-      .as[(Long, Long)].collect().toSet
     assert(knSet(root) === knSet(fullRoot),
       "post-delete kNN edges differ from a rebuild over the survivors")
     assert(fingerSet(root) === fingerSet(fullRoot))
@@ -193,27 +203,25 @@ class BeamIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full surviving corpus"))
   }
 
-  test("append replay converges after a crash BEFORE the nodes promote (commit point)") {
+  test("append replay converges after a crash BEFORE the manifest commit") {
     val tmp = Files.createTempDirectory("beamidx6").toString
     val root = s"$tmp/idx"
     val base = (0L until 40L); val all = (0L until 50L)
     SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, root)
-    // snapshot the pre-append node table, run the append, then restore
-    // the OLD nodes — the on-disk state now mimics a crash after the
-    // kn overwrite + fingers promote + meta write but before the final
-    // nodes promote (nodes is written LAST precisely so this replay
-    // guard still sees the batch as new)
-    val snap = s"$tmp/nodes_snapshot"
-    spark.read.parquet(s"$root/nodes").write.parquet(snap)
+    // run the append, then delete its manifest — the on-disk state now
+    // mimics a crash after ALL data writes (kn leaves, finger delta,
+    // node delta) but before the commit rename: the previous manifest
+    // is current, the attempted generation's dirs are orphaned
     SimilarityQueries.beamIndexAppend(spark, neOf(all), root)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(): Unit
-    }
-    rmrf(new java.io.File(s"$root/nodes"))
-    spark.read.parquet(snap).write.parquet(s"$root/nodes")
-    // replay: must redo the whole append, not no-op against stale
-    // fingers/meta
+    val gen = SimilarityQueries.beamManifest(spark, root).gen
+    assert(new java.io.File(s"$root/_gen/$gen").delete())
+    assert(SimilarityQueries.beamManifest(spark, root).gen === gen - 1,
+      "previous manifest is not current after the simulated crash")
+    // a read in the crashed state sees the OLD index, not a mix
+    assert(SimilarityQueries.beamNodesFrame(spark, root)
+      .agg(max(col("vec_id"))).as[Long].head() === 39L)
+    // replay: must redo the whole append (same deterministic gen,
+    // overwriting the orphaned dirs), not no-op against stale state
     SimilarityQueries.beamIndexAppend(spark, neOf(all), root)
     val fullRoot = s"$tmp/full"
     SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, fullRoot)
@@ -221,6 +229,55 @@ class BeamIndexSpec extends AnyFunSuite {
            SimilarityQueries.beamMeta(spark, fullRoot))
     assert(searchRows(root, neOf(all)) === searchRows(fullRoot, neOf(all)),
       "post-crash replay did not converge to the rebuild state")
+  }
+
+  test("snapshot isolation: a read interleaved inside a commit sees old XOR new (r12 #2)") {
+    val tmp = Files.createTempDirectory("beamidx7").toString
+    val root = s"$tmp/idx"
+    val base = (0L until 40L); val all = (0L until 50L)
+    val neAll = neOf(all).localCheckpoint(true)
+    SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, root)
+    val oldRows = searchRows(root, neAll)
+    // APPEND: a search run after every data write but before the
+    // manifest rename must return exactly the pre-append results
+    var duringAppend: Seq[(Long, Long, Double, Long)] = null
+    var duringN = -1L
+    SimilarityQueries.beamIndexAppend(spark, neAll, root,
+      beforeCommit = () => {
+        duringAppend = searchRows(root, neAll)
+        duringN = SimilarityQueries.beamMeta(spark, root)._2
+      })
+    assert(duringAppend === oldRows,
+      "a reader during the append observed a partially-committed index")
+    assert(duringN === 40L && SimilarityQueries.beamMeta(spark, root)._2 === 50L,
+      "mid-commit reader did not resolve the OLD snapshot")
+    val newRows = searchRows(root, neAll)
+    // DELETE: same interleave — the mid-commit reader sees the
+    // pre-delete snapshot
+    var duringDelete: Seq[(Long, Long, Double, Long)] = null
+    val surviving = all.filterNot(Set(45L, 46L, 47L))
+    SimilarityQueries.beamIndexDelete(spark, neOf(surviving),
+      Seq(45L, 46L, 47L).toDF("vec_id"), root,
+      beforeCommit = () => { duringDelete = searchRows(root, neAll) })
+    assert(duringDelete === newRows,
+      "a reader during the delete observed a partially-committed index")
+    // and VACUUM afterwards drops every unreferenced generation while
+    // the current snapshot keeps answering identically
+    val afterDelete = searchRows(root, neOf(surviving))
+    SimilarityQueries.beamIndexVacuum(spark, root)
+    assert(searchRows(root, neOf(surviving)) === afterDelete,
+      "vacuum changed the current snapshot's results")
+    val m = SimilarityQueries.beamManifest(spark, root)
+    val liveGens = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("g\\d+"))
+      .map(_.getName).toSet
+    val referenced = (m.nodesDirs ++ m.fingerDirs ++ m.knDirs.values)
+      .map(_.takeWhile(_ != '/')).toSet
+    assert(liveGens === referenced,
+      s"vacuum left unreferenced generations: ${liveGens -- referenced}")
+    assert(new java.io.File(s"$root/_gen").list()
+        .filterNot(_.startsWith(".")).toSet === Set(m.gen.toString),
+      "vacuum left superseded manifests")
   }
 
   test("gappy vec_ids search isomorphically to their dense relabeling") {

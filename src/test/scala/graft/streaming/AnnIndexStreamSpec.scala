@@ -155,7 +155,7 @@ class AnnIndexStreamSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     assert(spark.read.parquet(corpusPath).count() === 50L)
-    assert(spark.read.parquet(s"$idxRoot/nodes").count() === 50L,
+    assert(SimilarityQueries.beamNodesFrame(spark, idxRoot).count() === 50L,
       "stream did not append to the beam index")
     val fullRoot = s"$root/full"
     SimilarityQueries.beamIndexCreate(spark, neOf(0L until 50L), 4, fullRoot)

@@ -804,6 +804,50 @@ object Multimodal {
     * is what lets [[graft.multimodal.MultimodalQueries.imageHash]]
     * serve as a regression-gated bench entry.
     */
+  /** Seed-keyed structural watermark for the synthetic corpora: a
+    * splitmix64-mixed 64-bit pattern rendered as an 8×8 grid of
+    * high/low-luminance blocks blended over the gradient base. This
+    * makes the planted-twin structure SEPARABLE BY CONSTRUCTION under
+    * the 8×8 aHash: each hash cell covers exactly one block, so two
+    * different (seed, frame) keys differ in ~32 hash bits while a
+    * twin's re-encode (PNG resize, GIF palette quantization, JPEG
+    * DCT, MP4 demux) cannot move a block across the threshold —
+    * before r13 the bare mod-256 gradients let unrelated seeds
+    * collide within the banding's Hamming budget (the 300-PNG corpus
+    * planted ~28 unintended aHash-identical pairs), which made the
+    * planted-pair oracle unpinnable. */
+  private def stampWatermark(
+      img: java.awt.image.BufferedImage, seed: Long, frame: Int): Unit = {
+    val side = img.getWidth
+    val bs = math.max(side / 8, 1)
+    var z = (seed * 8191 + frame + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val bits = z ^ (z >>> 31)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val hi = ((bits >>> (by * 8 + bx)) & 1L) == 1L
+        var y = by * bs
+        while (y < math.min((by + 1) * bs, side)) {
+          var x = bx * bs
+          while (x < math.min((bx + 1) * bs, side)) {
+            val rgb = img.getRGB(x, y)
+            def f(c: Int) = if (hi) c / 3 + 170 else c / 3
+            img.setRGB(x, y,
+              (f((rgb >> 16) & 255) << 16) | (f((rgb >> 8) & 255) << 8) |
+                f(rgb & 255))
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+  }
+
   def syntheticPngCorpus(spark: SparkSession, n: Int, side: Int = 64): DataFrame = {
     import spark.implicits._
     spark.range(n).as[Long]
@@ -825,6 +869,7 @@ object Multimodal {
             }
             y += 1
           }
+          stampWatermark(img, seed, 0)
           if (id % 2 == 1) {
             // near-dup noise: a 4x4 solid block barely moves the 8x8
             // aHash mean, so planted pairs stay within Hamming ~2
@@ -921,6 +966,7 @@ object Multimodal {
                 }
                 y += 1
               }
+              stampWatermark(img, seed, f)
               if (id % 2 == 1) {
                 var yy = 0
                 while (yy < 4) {
@@ -1029,6 +1075,7 @@ object Multimodal {
         }
         y += 1
       }
+      stampWatermark(img, seed, f)
       if (id0 % 2 == 1) {
         var yy = 0
         while (yy < 4) {

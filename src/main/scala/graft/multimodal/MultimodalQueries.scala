@@ -16,14 +16,22 @@ object MultimodalQueries extends QueryModule {
   /** End-to-end image dedup pipeline, timed: synthesize a deterministic
     * 300-PNG corpus distributed (no driver loop), normalize via the
     * REAL decode→bilinear-resize(32)→PNG-re-encode path, then aHash +
-    * 8×8-bit banded near-dup pairs. Output is the deterministic pair
-    * list (planted: ids 2k/2k+1 share a pattern), so rows are stable
-    * run-over-run and round-over-round.
+    * 8×8-bit banded near-dup pairs (planted: ids 2k/2k+1 share a
+    * pattern).
     *
-    * No oracle by design: DuckDB cannot decode PNGs — the driver
-    * records the rows-only check, and MultimodalSpec pins the planted
-    * pair semantics. The sf dir argument is deliberately unused so the
-    * timed work is identical at every SF.
+    * ORACLE-VERIFIED since r13 (the q_video_meta move lifted from
+    * metadata to PAIRS): DuckDB cannot decode PNGs, but the corpus is
+    * a pure function of the row id with one planted near-dup pair per
+    * pattern, so the decode-dependent pair list folds into per-pattern
+    * VERDICT rows the oracle regenerates from `range()` arithmetic —
+    * pair_found (the planted pair surfaced: recall) and n_false_pairs
+    * (pairs joining different patterns: precision, attributed to both
+    * endpoints). The hash compare then proves the real
+    * decode→resize→re-encode→aHash→band path finds exactly the planted
+    * structure — a recall loss, a false positive, or a nondeterministic
+    * decode all flip a row. Exact per-pair Hamming values stay
+    * spec-pinned in MultimodalSpec. The sf dir argument is deliberately
+    * unused so the timed work is identical at every SF.
     */
   val imageHash = Q(
     "q_image_hash",
@@ -31,10 +39,29 @@ object MultimodalQueries extends QueryModule {
       val media = Multimodal.syntheticPngCorpus(s, 300)
       val resized = Multimodal.resizeImages(media, 32).toDF()
         .select(col("media_id"), lit("image").as("kind"), col("payload"))
-      Multimodal.imageDupPairs(resized, maxDist = 5)
-        .orderBy(col("id1"), col("id2"))
+      val pairs = Multimodal.imageDupPairs(resized, maxDist = 5)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val planted = s.range(150).select(
+        col("id").as("pattern"),
+        (col("id") * 2).as("id1"), (col("id") * 2 + 1).as("id2"))
+      val found = planted
+        .join(pairs.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .select(col("pattern"), coalesce(col("hit"), lit(false)).as("pair_found"))
+      val falseCnt = pairs
+        .filter(floor(col("id1") / 2) =!= floor(col("id2") / 2))
+        .select(explode(array(
+          floor(col("id1") / 2).cast("long"),
+          floor(col("id2") / 2).cast("long"))).as("pattern"))
+        .groupBy(col("pattern")).agg(count(lit(1)).as("cnt"))
+      found.join(falseCnt, Seq("pattern"), "left")
+        .select(col("pattern"), col("pair_found"),
+          coalesce(col("cnt"), lit(0L)).as("n_false_pairs"))
+        .orderBy(col("pattern"))
     },
-    None)
+    Some("""
+      SELECT id AS pattern, true AS pair_found,
+             CAST(0 AS BIGINT) AS n_false_pairs
+      FROM range(150) t(id) ORDER BY pattern"""))
 
   /** End-to-end audio metadata pipeline, timed: synthesize a
     * deterministic 400-WAV corpus distributed, decode REAL headers via
@@ -145,19 +172,41 @@ object MultimodalQueries extends QueryModule {
     * cross-container twin even though palette quantization and DCT
     * loss decode to different rasters. This is the query a training-
     * data pipeline runs when the same footage arrives re-encoded.
-    * Rows-only by design (DuckDB parses neither container);
-    * MultimodalSpec pins the planted cross-format recall and the
-    * no-false-pairs property for all three container pairings.
+    * ORACLE-VERIFIED since r13 (DuckDB parses neither container, but
+    * the planted structure is row-id arithmetic): per-clip VERDICT
+    * rows — twin_found pins that clip k's cross-container twin
+    * 2000+k surfaced (recall through BOTH decoders), n_false_pairs
+    * pins that no pair joins different seeds (seed = (id%2000)/2;
+    * ids 2k/2k+1 share footage within a format, so same-seed
+    * intra-format pairs are legitimate near-dups and deliberately
+    * unpinned). MultimodalSpec keeps the exact pair-level pins for
+    * all three container pairings.
     */
   val videoDupQ = Q(
     "q_video_dup",
     (s, _) => {
       val media = Multimodal.syntheticGifCorpus(s, 60)
         .unionByName(Multimodal.syntheticMp4Corpus(s, 60, idOffset = 2000L))
-      Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
-        .orderBy(col("id1"), col("id2"))
+      val pairs = Multimodal.videoDupPairs(media, maxDist = 5, everyK = 2)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val planted = s.range(60).select(
+        col("id").as("clip"), col("id").as("id1"), (col("id") + 2000).as("id2"))
+      val found = planted
+        .join(pairs.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .select(col("clip"), coalesce(col("hit"), lit(false)).as("twin_found"))
+      val falseCnt = pairs
+        .filter(floor((col("id1") % 2000) / 2) =!= floor((col("id2") % 2000) / 2))
+        .select(explode(array(col("id1") % 2000, col("id2") % 2000)).as("clip"))
+        .groupBy(col("clip")).agg(count(lit(1)).as("cnt"))
+      found.join(falseCnt, Seq("clip"), "left")
+        .select(col("clip"), col("twin_found"),
+          coalesce(col("cnt"), lit(0L)).as("n_false_pairs"))
+        .orderBy(col("clip"))
     },
-    None)
+    Some("""
+      SELECT id AS clip, true AS twin_found,
+             CAST(0 AS BIGINT) AS n_false_pairs
+      FROM range(60) t(id) ORDER BY clip"""))
 
   /** Cross-sample-rate AUDIO dedup, timed — completes the dedup
     * column of the modality matrix (image aHash ✓, video frame-sig ✓,
@@ -167,19 +216,41 @@ object MultimodalQueries extends QueryModule {
     * 16-window energy envelope ([[Multimodal.audioEnvelopes]] — gain-
     * normalized and time-relative, so re-encoding cannot hide the
     * twin), and paired via 8-bit banding + nibble-L1 refine
-    * ([[Multimodal.audioDupPairs]]). Rows-only by design (DuckDB
-    * decodes no WAV); MultimodalSpec pins planted recall and the
-    * no-false-pairs property.
+    * ([[Multimodal.audioDupPairs]]).
+    *
+    * ORACLE-VERIFIED since r13 (DuckDB decodes no WAV, but the twin
+    * structure is row-id arithmetic — every melody's only legitimate
+    * partner is id+1000): per-melody VERDICT rows pin full planted
+    * recall (twin_found) and zero false pairs, so the hash compare
+    * proves the envelope signature is exactly gain/rate-invariant
+    * across the real decode for all 60 melodies. Exact L1 values stay
+    * spec-pinned in MultimodalSpec.
     */
   val audioDupQ = Q(
     "q_audio_dup",
     (s, _) => {
       val media = Multimodal.syntheticWavDupCorpus(s, 60)
         .unionByName(Multimodal.syntheticWavDupCorpus(s, 60, idOffset = 1000L))
-      Multimodal.audioDupPairs(media, maxL1 = 8)
-        .orderBy(col("id1"), col("id2"))
+      val pairs = Multimodal.audioDupPairs(media, maxL1 = 8)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val planted = s.range(60).select(
+        col("id").as("melody"), col("id").as("id1"), (col("id") + 1000).as("id2"))
+      val found = planted
+        .join(pairs.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .select(col("melody"), coalesce(col("hit"), lit(false)).as("twin_found"))
+      val falseCnt = pairs
+        .filter(col("id2") - col("id1") =!= 1000)
+        .select(explode(array(col("id1") % 1000, col("id2") % 1000)).as("melody"))
+        .groupBy(col("melody")).agg(count(lit(1)).as("cnt"))
+      found.join(falseCnt, Seq("melody"), "left")
+        .select(col("melody"), col("twin_found"),
+          coalesce(col("cnt"), lit(0L)).as("n_false_pairs"))
+        .orderBy(col("melody"))
     },
-    None)
+    Some("""
+      SELECT id AS melody, true AS twin_found,
+             CAST(0 AS BIGINT) AS n_false_pairs
+      FROM range(60) t(id) ORDER BY melody"""))
 
   override def all: Seq[Q] =
     Seq(imageHash, audioMetaQ, videoMetaQ, videoDupQ, audioDupQ)

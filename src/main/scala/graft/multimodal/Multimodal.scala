@@ -534,12 +534,8 @@ object Multimodal {
                       tpe: String): Option[(Int, Int)] =
     childBoxes(p, from, to).collectFirst { case (`tpe`, s, e) => (s, e) }
 
-  /** Demux the first video track: (sample-entry fourcc, sample byte
-    * ranges). None when the payload is not a well-formed MP4 with the
-    * boxes needed to locate samples. */
-  private[multimodal] def mp4SampleRanges(
-      p: Array[Byte]): Option[(String, IndexedSeq[(Int, Int)])] = {
-    if (!isMp4(p)) return None
+  /** First video track's sample-table box extent. */
+  private def mp4Stbl(p: Array[Byte]): Option[(Int, Int)] =
     for {
       (moovS, moovE) <- findBox(p, 0, p.length, "moov")
       stbl <- childBoxes(p, moovS, moovE).collectFirst { case ("trak", ts, te) =>
@@ -549,7 +545,16 @@ object Multimodal {
             stbl <- findBox(p, mfS, mfE, "stbl")
           } yield stbl
         }.flatten
-      (stS, stE) = stbl
+    } yield stbl
+
+  /** Demux the first video track: (sample-entry fourcc, sample byte
+    * ranges). None when the payload is not a well-formed MP4 with the
+    * boxes needed to locate samples. */
+  private[multimodal] def mp4SampleRanges(
+      p: Array[Byte]): Option[(String, IndexedSeq[(Int, Int)])] = {
+    if (!isMp4(p)) return None
+    for {
+      (stS, stE) <- mp4Stbl(p)
       (sdS, sdE) <- findBox(p, stS, stE, "stsd")
       // stsd: version/flags(4) entry_count(4) then sample entries,
       // each [size:4]["fourcc":4]...
@@ -624,11 +629,181 @@ object Multimodal {
     } yield (fourcc, ranges)
   }
 
-  /** REAL MP4 path for Motion-JPEG tracks; non-JPEG sample entries
-    * ('avc1' etc.) fall back to [[FakeCodec]] — still the honest stub
-    * until a third-party decoder plugs into [[DispatchingCodec]] —
-    * and non-MP4 payloads delegate to the [[MjpegVideoCodec]] chain,
-    * so this codec heads the whole built-in container family. */
+  /** Bit reader for H.264 RBSP payloads (emulation-prevention bytes
+    * already stripped): fixed-width reads plus the Exp-Golomb ue/se
+    * codes of ISO/IEC 14496-10 §9.1. Exhaustion returns None — these
+    * are untrusted executor-side bytes, so a truncated SPS must
+    * degrade row-wise like every other malformed-payload path. */
+  private final class RbspBitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u1(): Option[Int] =
+      if (pos >= b.length * 8) None
+      else { val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; Some(v) }
+    def u(n: Int): Option[Int] = {
+      var v = 0; var i = 0
+      while (i < n) {
+        u1() match {
+          case Some(x) => v = (v << 1) | x
+          case None => return None
+        }
+        i += 1
+      }
+      Some(v)
+    }
+    def ue(): Option[Int] = {
+      var zeros = 0
+      while (zeros <= 31) {
+        u1() match {
+          case Some(0) => zeros += 1
+          case Some(_) => return u(zeros).map(r => (1 << zeros) - 1 + r)
+          case None => return None
+        }
+      }
+      None // > 2^32 would overflow; no sane SPS field is that large
+    }
+    def se(): Option[Int] =
+      ue().map(k => if (k % 2 == 0) -(k / 2) else (k + 1) / 2)
+  }
+
+  private def skipScalingLists(r: RbspBitReader, n: Int): Option[Unit] = {
+    var i = 0
+    while (i < n) {
+      r.u1() match {
+        case Some(1) =>
+          val size = if (i < 6) 16 else 64
+          var j = 0; var last = 8; var next = 8
+          while (j < size) {
+            if (next != 0) r.se() match {
+              case Some(d) => next = (last + d + 256) % 256
+              case None => return None
+            }
+            last = if (next == 0) last else next
+            j += 1
+          }
+        case Some(_) => ()
+        case None => return None
+      }
+      i += 1
+    }
+    Some(())
+  }
+
+  /** Coded width/height from an H.264 sequence-parameter-set NAL —
+    * the public ISO/IEC 14496-10 §7.3.2.1 syntax down to the frame
+    * cropping rectangle (crop units scale with the chroma format and
+    * field coding, §7.4.2.1.1). Frame PIXELS stay undecodable in pure
+    * JDK, but the dimensions live entirely in this header, so avc1
+    * MP4s no longer need [[FakeCodec]] for metadata. */
+  private[multimodal] def spsDims(nal: Array[Byte]): Option[(Int, Int)] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+    // strip emulation prevention: 00 00 03 xx -> 00 00 xx
+    val rbsp = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length)
+      var i = 1
+      while (i < nal.length) {
+        if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 && nal(i + 2) == 3) {
+          out += 0; out += 0; i += 3
+        } else { out += nal(i); i += 1 }
+      }
+      out.toArray
+    }
+    val r = new RbspBitReader(rbsp)
+    val highProfiles =
+      Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+    for {
+      profile <- r.u(8)
+      _ <- r.u(16) // constraint flags + level_idc
+      _ <- r.ue() // seq_parameter_set_id
+      chromaIdc <-
+        if (highProfiles.contains(profile)) for {
+          c <- r.ue()
+          _ <- if (c == 3) r.u1() else Some(0) // separate_colour_plane
+          _ <- r.ue() // bit_depth_luma_minus8
+          _ <- r.ue() // bit_depth_chroma_minus8
+          _ <- r.u1() // qpprime_y_zero_transform_bypass
+          sm <- r.u1()
+          _ <- if (sm == 1) skipScalingLists(r, if (c != 3) 8 else 12)
+               else Some(())
+        } yield c
+        else Some(1)
+      _ <- r.ue() // log2_max_frame_num_minus4
+      poc <- r.ue()
+      _ <- poc match {
+        case 0 => r.ue().map(_ => ())
+        case 1 => for {
+            _ <- r.u1(); _ <- r.se(); _ <- r.se()
+            n <- r.ue()
+            _ <- (0 until n).foldLeft(Option(())) { (acc, _) =>
+              acc.flatMap(_ => r.se().map(_ => ())) }
+          } yield ()
+        case _ => Some(())
+      }
+      _ <- r.ue() // max_num_ref_frames
+      _ <- r.u1() // gaps_in_frame_num_value_allowed
+      pw <- r.ue()
+      ph <- r.ue()
+      fmo <- r.u1()
+      _ <- if (fmo == 0) r.u1() else Some(0) // mb_adaptive_frame_field
+      _ <- r.u1() // direct_8x8_inference
+      crop <- r.u1()
+      dims <-
+        if (crop == 1) for {
+          l <- r.ue(); rt <- r.ue(); t <- r.ue(); b <- r.ue()
+        } yield {
+          val (subW, subH) = chromaIdc match {
+            case 1 => (2, 2)
+            case 2 => (2, 1)
+            case _ => (1, 1) // monochrome and 4:4:4 crop in luma units
+          }
+          val cropY = subH * (2 - fmo)
+          ((pw + 1) * 16 - subW * (l + rt),
+            (2 - fmo) * (ph + 1) * 16 - cropY * (t + b))
+        }
+        else Some(((pw + 1) * 16, (2 - fmo) * (ph + 1) * 16))
+      if dims._1 > 0 && dims._2 > 0
+    } yield dims
+  }
+
+  /** Real avc1 dimensions from the MP4's avcC decoder-configuration
+    * box (ISO/IEC 14496-15 §5.3.3: the sample entry carries the SPS
+    * verbatim): walk stsd → first avc1 VisualSampleEntry → avcC →
+    * first SPS NAL → [[spsDims]]. Every offset is bounds-checked
+    * before the read, same degrade policy as [[mp4SampleRanges]]. */
+  private[multimodal] def mp4AvcDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (!isMp4(p)) return None
+    for {
+      (stS, stE) <- mp4Stbl(p)
+      (sdS, sdE) <- findBox(p, stS, stE, "stsd")
+      if sdE - sdS >= 16 && be32(p, sdS + 4) >= 1
+      entrySize = be32(p, sdS + 8)
+      if entrySize >= 8 && sdS + 8 + entrySize.toLong <= sdE
+      if boxName(p, sdS + 8) == "avc1"
+      // VisualSampleEntry: 8-byte box header + 78 fixed bytes, then
+      // child boxes (avcC among them)
+      childFrom = sdS + 8 + 8 + 78
+      childTo = (sdS + 8 + entrySize).toInt
+      if childFrom <= childTo
+      (cS, cE) <- findBox(p, childFrom, childTo, "avcC")
+      dims <- {
+        // avcC: ver profile compat level lenSizeMinusOne numSPS(low 5
+        // bits), then per SPS [len:2][NAL bytes]
+        if (cE - cS < 8 || (p(cS + 5) & 0x1f) < 1) None
+        else {
+          val spsLen = ((p(cS + 6) & 0xff) << 8) | (p(cS + 7) & 0xff)
+          if (spsLen < 4 || cS + 8 + spsLen > cE) None
+          else spsDims(java.util.Arrays.copyOfRange(p, cS + 8, cS + 8 + spsLen))
+        }
+      }
+    } yield dims
+  }
+
+  /** REAL MP4 path for Motion-JPEG tracks; avc1 entries get REAL
+    * dimensions from the avcC SPS header ([[mp4AvcDims]], r13) while
+    * their frame PIXELS still fall back to [[FakeCodec]] — the honest
+    * stub shrinks to sample data only, until a third-party decoder
+    * plugs into [[DispatchingCodec]]. Non-MP4 payloads delegate to the
+    * [[MjpegVideoCodec]] chain, so this codec heads the whole built-in
+    * container family. */
   object Mp4VideoCodec extends Codec {
     override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
       if (kind != "video" || !isMp4(payload))
@@ -638,6 +813,11 @@ object Multimodal {
           ranges.headOption.flatMap(readJpegFrame(payload, _))
             .map(img => (img.getWidth, img.getHeight))
             .getOrElse(FakeCodec.decodeDims(kind, payload))
+        case Some(("avc1", _)) =>
+          // frame pixels stay FakeCodec territory (no JDK H.264
+          // decoder), but the dims are real: parsed from the avcC
+          // box's SPS header
+          mp4AvcDims(payload).getOrElse(FakeCodec.decodeDims(kind, payload))
         case _ => FakeCodec.decodeDims(kind, payload)
       }
 

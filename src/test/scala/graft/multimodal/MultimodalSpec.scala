@@ -507,6 +507,106 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("spsDims: real H.264 SPS syntax yields coded dims without frame decode (r12 #4)") {
+    // hand-encode genuine SPS bitstreams (ISO/IEC 14496-10 §7.3.2.1)
+    // with a minimal Exp-Golomb writer — no decoder involved
+    class BW {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(n: Int, v: Int): this.type = {
+        ((n - 1) to 0 by -1).foreach(i => bits += ((v >> i) & 1)); this }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val len = 32 - Integer.numberOfLeadingZeros(k)
+        u(len - 1, 0); u(len, k)
+      }
+      def bytes: Array[Byte] =
+        (bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)).grouped(8)
+          .map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+    def baselineSps(level: Int): Array[Byte] = {
+      val w = new BW
+      w.u(8, 66).u(8, 0).u(8, level) // profile / constraints / level
+      w.ue(0).ue(0).ue(0).ue(0)      // sps_id, log2_mfn, poc_type 0, log2_poc
+      w.ue(1).u(1, 0)                // max_ref_frames, gaps
+      w.ue(19).ue(14)                // 20x15 macroblocks = 320x240
+      w.u(1, 1).u(1, 1).u(1, 0)      // frame_mbs_only, direct_8x8, no crop
+      Array[Byte](0x67.toByte) ++ w.bytes
+    }
+    assert(Multimodal.spsDims(baselineSps(30)) === Some((320, 240)))
+    // high profile: chroma branch + 1920x1080 via the cropping rect
+    // (68 map units = 1088 rows, bottom crop 4 in 2-row units)
+    val hi = {
+      val w = new BW
+      w.u(8, 100).u(8, 0).u(8, 40)
+      w.ue(0)                         // sps_id
+      w.ue(1).ue(0).ue(0)             // chroma 4:2:0, bit depths
+      w.u(1, 0).u(1, 0)               // transform bypass, no scaling matrix
+      w.ue(0).ue(0).ue(0)             // log2_mfn, poc_type 0, log2_poc
+      w.ue(4).u(1, 0)                 // max_ref_frames, gaps
+      w.ue(119).ue(67)                // 120x68 macroblocks
+      w.u(1, 1).u(1, 1)               // frame_mbs_only, direct_8x8
+      w.u(1, 1).ue(0).ue(0).ue(0).ue(4) // crop: bottom 4
+      Array[Byte](0x67.toByte) ++ w.bytes
+    }
+    assert(Multimodal.spsDims(hi) === Some((1920, 1080)))
+    // emulation prevention: constraints+level both 0x00 force a 00 00
+    // run; inserting the 03 byte (as an encoder would) must parse to
+    // the same dims
+    val plain = baselineSps(0)
+    assert(plain(2) === 0.toByte && plain(3) === 0.toByte)
+    val withEp = plain.take(4) ++ Array[Byte](3) ++ plain.drop(4)
+    assert(Multimodal.spsDims(withEp) === Some((320, 240)))
+    // truncation and wrong NAL type degrade to None, never throw
+    assert(Multimodal.spsDims(baselineSps(30).take(6)) === None)
+    assert(Multimodal.spsDims(Array[Byte](0x68.toByte, 1, 2, 3, 4)) === None)
+  }
+
+  test("Mp4VideoCodec: avc1 dims come from the avcC SPS, pixels stay honestly fake") {
+    // minimal MP4 with a REAL avc1 VisualSampleEntry: 78-byte fixed
+    // body then an avcC child carrying the SPS verbatim (14496-15)
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(payload.length + 8)
+      b.putInt(payload.length + 8).put(name.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val sps: Array[Byte] = {
+      // 320x240 baseline (same encoding as the spsDims test)
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(n: Int, v: Int): Unit =
+        ((n - 1) to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+      def ue(v: Int): Unit = {
+        val k = v + 1; val len = 32 - Integer.numberOfLeadingZeros(k)
+        u(len - 1, 0); u(len, k)
+      }
+      u(8, 66); u(8, 0); u(8, 30)
+      ue(0); ue(0); ue(0); ue(0); ue(1); u(1, 0)
+      ue(19); ue(14); u(1, 1); u(1, 1); u(1, 0)
+      Array[Byte](0x67.toByte) ++
+        (bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)).grouped(8)
+          .map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+    val avcc = box("avcC",
+      Array[Byte](1, 66, 0, 30, 0xFF.toByte, 0xE1.toByte,
+        ((sps.length >> 8) & 0xff).toByte, (sps.length & 0xff).toByte) ++ sps)
+    val entry = box("avc1", Array.fill[Byte](78)(0) ++ avcc)
+    val stsd = box("stsd", be(0) ++ be(1) ++ entry)
+    val stsz = box("stsz", be(0) ++ be(8) ++ be(1))  // 1 sample, 8 bytes
+    val stsc = box("stsc", be(0) ++ be(1) ++ be(1) ++ be(1) ++ be(1))
+    val stco = box("stco", be(0) ++ be(1) ++ be(16)) // inside the payload
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val p = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      box("moov", box("trak", box("mdia", box("minf", stbl))))
+    assert(Multimodal.mp4SampleRanges(p).exists(_._1 === "avc1"))
+    assert(Multimodal.mp4AvcDims(p) === Some((320, 240)))
+    // the codec seam: real dims, while frame sampling still degrades
+    // to the deterministic stub (no JDK H.264 decoder)
+    assert(Multimodal.Mp4VideoCodec.decodeDims("video", p) === ((320, 240)))
+    assert(Multimodal.Mp4VideoCodec.sampleFrames(p, 2) ===
+      Multimodal.FakeCodec.sampleFrames(p, 2))
+  }
+
   test("jpegFrameRanges: marker scan finds exactly the planted frame boundaries") {
     val media = Multimodal.syntheticMjpegCorpus(spark, 6)
     media.collect().foreach { r =>

@@ -2365,10 +2365,42 @@ object SimilarityQueries extends QueryModule {
     // racing this search flips the result atomically (old index or
     // new), never partially
     val m = beamManifest(s, idxRoot)
-    val nVecs = m.n
-    val stride = annBeamHubStride(nVecs)
     val q = ne.filter(col("vec_id") < queryLimit)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // corpus queries read their bucket straight from the node table —
+    // a pure index read, no hyperplane re-sign on the warm path
+    val qb = beamNodesOf(s, idxRoot, m).filter(col("vec_id") < queryLimit)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    beamSearchCore(s, idxRoot, m, ne, q, qb, edgesOpt)
+  }
+
+  /** Beam search for EXTERNAL probe vectors — the serving entry
+    * ([[graft.streaming.AnnServeStream]]): probes are a normEmb-shaped
+    * frame (vec_id, v, nrm) that need NOT be corpus members, so their
+    * entry bucket is assigned from the probe's own vector at the
+    * index's frozen LSH width (the same [[signBuckets]] the build
+    * used; the hyperplanes are deterministic literals). Probe ids from
+    * a fresh id space (e.g. negative, or beyond the corpus ids) are
+    * never self-excluded, so the top-5 can include an exact corpus
+    * match; a probe REUSING a corpus vec_id keeps the batch query
+    * family's self-exclusion semantics. */
+  private[graft] def beamSearchProbes(
+      s: SparkSession, idxRoot: String, ne: DataFrame, probes: DataFrame,
+      edgesOpt: Option[DataFrame] = None): DataFrame = {
+    val m = beamManifest(s, idxRoot)
+    val q = probes
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qb = signBuckets(probes, m.planes)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    beamSearchCore(s, idxRoot, m, ne, q, qb, edgesOpt)
+  }
+
+  private def beamSearchCore(
+      s: SparkSession, idxRoot: String, m: BeamManifest, ne: DataFrame,
+      q: DataFrame, qb: DataFrame,
+      edgesOpt: Option[DataFrame]): DataFrame = {
+    val nVecs = m.n
+    val stride = annBeamHubStride(nVecs)
     val edges = edgesOpt.getOrElse(beamEdgesOf(s, idxRoot, m).localCheckpoint(true))
     // exact cosine for a (q_id, cand) pair set — vectors join in here,
     // AFTER the candidate set is bounded
@@ -2380,8 +2412,6 @@ object SimilarityQueries extends QueryModule {
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("sim"))
     val byBest = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))
     val nodes = beamNodesOf(s, idxRoot, m)
-    val qb = nodes.filter(col("vec_id") < queryLimit)
-      .select(col("vec_id").as("q_id"), col("bucket"))
     val bucketSeeds = nodes.select(col("vec_id").as("cand"), col("bucket"))
       .join(broadcast(qb), Seq("bucket"))
       .select(col("q_id"), col("cand"))

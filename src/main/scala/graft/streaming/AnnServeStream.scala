@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.SimilarityQueries
+
+/** Streaming QUERY-side ANN — the serving shape that completes the
+  * beam index's production matrix (r12 verdict #5): the maintenance
+  * side already has batch create/append/delete plus a CDC stream feed
+  * ([[AnnIndexStream]]); this job is the CONSUMER — a continuous
+  * stream of probe vectors searched against the warm persisted index,
+  * one micro-batch at a time.
+  *
+  * Shape: stream-static with ZERO streaming state. The static side
+  * (corpus vectors, symmetrized edge frame) is resolved and
+  * checkpointed ONCE at stream start — snapshot-pinned by the index's
+  * versioned manifest, so a concurrent maintenance commit never tears
+  * a batch's view — and each micro-batch runs the exact batch
+  * [[SimilarityQueries.beamSearchProbes]] plan over its probes:
+  * entry buckets from the probe's own vector at the frozen LSH width,
+  * hub seeds, then the bounded beam walk. foreachBatch (not a
+  * streaming join) because the walk is BeamHops checkpointed frames —
+  * driver-side loop unrolling has no single-DataFrame streaming
+  * equivalent, and needs none: per trigger this IS a batch query.
+  *
+  * Scale shape: per micro-batch only (q_id, cand) pairs flow — probe
+  * count × (hubs + beam·degree·hops) rows — against index/corpus
+  * frames that are read-only and shared across triggers; no state
+  * store, no watermark, nothing grows with stream lifetime. Results
+  * append batch-scoped (same idempotent rename protocol as the
+  * maintenance streams), so a crash-replayed trigger overwrites its
+  * own output files instead of duplicating serving rows. See
+  * docs/STREAMING_SCALE.md.
+  */
+object AnnServeStream {
+
+  /** Probe stream rows: an id (any id space — fresh ids are never
+    * self-excluded) and the raw embedding. */
+  val probeSchema: StructType = StructType(Seq(
+    StructField("q_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  private def neOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+
+  /** One micro-batch of serving: probe rows → top-5 rows
+    * (q_id, vec_id, sim_r, rn). Factored out so the spec can compare
+    * it directly against the batch search plan. */
+  private[streaming] def searchBatch(
+      spark: SparkSession, probeBatch: DataFrame, corpusNe: DataFrame,
+      indexRoot: String, edges: Option[DataFrame] = None): DataFrame =
+    SimilarityQueries.beamSearchProbes(spark, indexRoot, corpusNe,
+      probeBatch.select(col("q_id").as("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)"))),
+      edges)
+
+  /** Start the serving stream over an NDJSON probe directory, writing
+    * result rows to `outPath`. `corpusPath`/`indexRoot` are the
+    * maintained artifacts ([[AnnIndexStream]]'s outputs); the static
+    * side is warmed once here. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      corpusPath: String,
+      indexRoot: String,
+      outPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val ne = neOf(spark.read.parquet(corpusPath)).localCheckpoint(true)
+    val edges = SimilarityQueries.beamEdgesFrame(spark, indexRoot)
+      .localCheckpoint(true)
+    spark.readStream
+      .schema(probeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ClusterMaintenanceStream.appendBatchScoped(spark,
+            searchBatch(spark, batch, ne, indexRoot, Some(edges)),
+            outPath, batchId)
+      }
+      .start()
+  }
+}

@@ -40,15 +40,24 @@ object GraphQueries extends QueryModule {
     * WHERE the distinct rows come from, never what they are.
     */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new graft.util.ArtifactCache[DataFrame]("copurchase-edges")
 
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate(
-      s"$dir@${new java.io.File(s"$dir/lineitem.parquet").lastModified()}@${System.identityHashCode(s)}",
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.util.ArtifactCache
+    val key = ArtifactCache.stamp(
+      ArtifactCache.datasetStamp(s"$dir/lineitem.parquet")) +
+      s"@${ArtifactCache.sessionKey(s)}"
+    edgeCache.getOrBuild(key, _.sparkSession eq s) {
+      // sweep dead sessions' checkpointed frames first (pre-r13 this
+      // cache never swept — a recycled identityHashCode could serve a
+      // dead context's RDD, and stale blocks pinned for the JVM's life)
+      edgeCache.sweep(v => ArtifactCache.sessionDead(v.sparkSession))
       t(s, dir, "lineitem")
         .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
         .distinct()
-        .localCheckpoint(false))
+        .localCheckpoint(false)
+    }
+  }
 
   /** Oracle twin of [[coPurchaseEdges]]: CTE `e0(a, b)`. */
   private val coPurchaseEdgesSql = """e0 AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{Q, QueryModule}
+import graft.util.ArtifactCache
 import graft.util.Tables._
 
 /** Similarity search and near-duplicate detection — the operators a
@@ -863,14 +864,15 @@ object SimilarityQueries extends QueryModule {
     * [[dedupIncremental]]; at/above are the incremental batch. */
   private[graft] val IncrementalCutoff = 400L
 
-  /** (dir, documents-mtime, cutoff, session) → registered index table
+  /** (dataset stamp, cutoff, family, session) → registered index table
     * name, so bench iterations and repeated plan builds reuse one
     * build and a changed dataset re-indexes instead of silently
     * serving stale signatures. Hits re-validate against the session
     * catalog (a recycled identityHashCode after session GC must
-    * rebuild, not serve a dead table name). */
-  private val sigIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    * rebuild, not serve a dead table name). [[ArtifactCache]] carries
+    * the shared key/validation/sweep semantics for all six derived-
+    * artifact caches (r12 verdict #7). */
+  private val sigIndexCache = new ArtifactCache[String]("sig-index")
 
   /** All index tables live under ONE tmp root, deterministic per
     * (dataset, session) so rebuilds overwrite in place instead of
@@ -910,21 +912,13 @@ object SimilarityQueries extends QueryModule {
     // sentinel and cache the failure forever — fail loudly instead.
     require(docsFile.exists(),
       s"signatureIndex: $docsFile does not exist")
-    // md5 of the full descriptor — a 32-bit String.hashCode collision
-    // between two datasets in one JVM would silently serve the wrong
-    // persisted index (ADVICE r08); 128-bit digest makes that
-    // impossible in practice, and the file length joins mtime in the
-    // key so a same-second rewrite still changes the digest.
-    val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff@$HashFamilyVersion"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val sessKey = java.lang.Long.toHexString(
-      System.identityHashCode(s).toLong & 0xffffffffL)
-    val cacheKey = s"$dataKey@$sessKey"
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$IncrementalCutoff@$HashFamilyVersion")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
     val name = s"graft_sig_idx_${dataKey}_$sessKey"
-    val valid = sigIndexCache.get(cacheKey).filter(t => s.catalog.tableExists(t))
-    val tbl = valid.getOrElse {
+    val tbl = sigIndexCache.getOrBuild(s"$dataKey@$sessKey",
+        t => s.catalog.tableExists(t)) {
       val path = new java.io.File(sigIndexRoot, name)
       deleteRecursively(path) // rebuilds overwrite in place, never accumulate
       s.sql(s"DROP TABLE IF EXISTS $name")
@@ -938,7 +932,6 @@ object SimilarityQueries extends QueryModule {
         .bucketBy(32, "band", "sig")
         .sortBy("band", "sig")
         .saveAsTable(name)
-      sigIndexCache.put(cacheKey, name)
       name
     }
     s.table(tbl)
@@ -986,8 +979,7 @@ object SimilarityQueries extends QueryModule {
 
   /** (dataset, session) → persisted corpus label table name — the
     * [[sigIndexCache]] idiom for "yesterday's" cluster assignments. */
-  private val labelTableCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val labelTableCache = new ArtifactCache[String]("label-table")
 
   /** The PERSISTED corpus label table — "yesterday's" connected
     * components (n, lbl) of the existing corpus (doc_id <
@@ -1005,16 +997,13 @@ object SimilarityQueries extends QueryModule {
   private[graft] def labelTable(s: SparkSession, dir: String): DataFrame = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     require(docsFile.exists(), s"labelTable: $docsFile does not exist")
-    val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${docsFile.lastModified()}@${docsFile.length()}@$IncrementalCutoff@$HashFamilyVersion"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val sessKey = java.lang.Long.toHexString(
-      System.identityHashCode(s).toLong & 0xffffffffL)
-    val cacheKey = s"$dataKey@$sessKey"
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$IncrementalCutoff@$HashFamilyVersion")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
     val name = s"graft_lbl_${dataKey}_$sessKey"
-    val valid = labelTableCache.get(cacheKey).filter(t => s.catalog.tableExists(t))
-    val tbl = valid.getOrElse {
+    val tbl = labelTableCache.getOrBuild(s"$dataKey@$sessKey",
+        t => s.catalog.tableExists(t)) {
       val path = new java.io.File(sigIndexRoot, name)
       deleteRecursively(path)
       s.sql(s"DROP TABLE IF EXISTS $name")
@@ -1027,7 +1016,6 @@ object SimilarityQueries extends QueryModule {
         .write.mode("overwrite")
         .option("path", path.getPath)
         .saveAsTable(name)
-      labelTableCache.put(cacheKey, name)
       name
     }
     s.table(tbl)
@@ -2201,24 +2189,20 @@ object SimilarityQueries extends QueryModule {
   /** (dataset digest) → persisted beam-index root — the
     * [[sigIndexCache]] idiom. Plain parquet paths (no catalog tables),
     * so the key is data-only; a changed embeddings file re-indexes. */
-  private val beamIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val beamIndexCache = new ArtifactCache[String]("beam-index")
 
   private[graft] def beamIndexFor(s: SparkSession, dir: String): String = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     require(embFile.exists(), s"beamIndexFor: $embFile does not exist")
-    val dataKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir@${embFile.lastModified()}@${embFile.length()}@beam-knn3-chordclip-v2"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(embFile.getPath)}@beam-knn3-chordclip-v2")
+      .take(16)
     val root = new java.io.File(sigIndexRoot, s"graft_beam_$dataKey")
-    val valid = beamIndexCache.get(dataKey)
-      .filter(r => Option(new java.io.File(r, "_gen").list()).exists(_.nonEmpty))
-    valid.getOrElse {
+    beamIndexCache.getOrBuild(dataKey,
+        r => Option(new java.io.File(r, "_gen").list()).exists(_.nonEmpty)) {
       deleteRecursively(root)
       val ne = normEmb(s, dir).localCheckpoint(true)
       beamIndexCreate(s, ne, autoPlaneCount(ne.count()), root.getPath)
-      beamIndexCache.put(dataKey, root.getPath)
       root.getPath
     }
   }
@@ -2299,26 +2283,23 @@ object SimilarityQueries extends QueryModule {
     * ([[graft.streaming.AnnIndexStream]], the specs) search through
     * [[beamSearchPlan]] directly and never this cache. */
   private val beamWarmCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    new ArtifactCache[(DataFrame, DataFrame)]("beam-warm")
 
   private[graft] def annBeamPlan(s: SparkSession, dir: String): DataFrame = {
     // the persisted artifact supplies topology (edges, buckets, ranks);
     // only exact scoring touches the vectors, via the corpus scan below
     val idxRoot = beamIndexFor(s, dir)
-    val key = s"$idxRoot@${System.identityHashCode(s)}"
-    val (ne, edges) = beamWarmCache.get(key)
-      .filter(_._1.sparkSession eq s)
-      .getOrElse {
-        // sweep entries whose context died — a replaced session keys
-        // differently, so its stale entry would otherwise pin its
-        // checkpointed plans (and blocks) for the JVM's lifetime
-        beamWarmCache.filterInPlace((_, v) =>
-          !v._1.sparkSession.sparkContext.isStopped)
-        val built = (normEmb(s, dir).localCheckpoint(true),
-          beamEdgesFrame(s, idxRoot).localCheckpoint(true))
-        beamWarmCache.put(key, built)
-        built
-      }
+    val (ne, edges) = beamWarmCache.getOrBuild(
+        s"$idxRoot@${ArtifactCache.sessionKey(s)}",
+        _._1.sparkSession eq s) {
+      // sweep entries whose context died — a replaced session keys
+      // differently, so its stale entry would otherwise pin its
+      // checkpointed plans (and blocks) for the JVM's lifetime
+      beamWarmCache.sweep(v =>
+        ArtifactCache.sessionDead(v._1.sparkSession))
+      (normEmb(s, dir).localCheckpoint(true),
+        beamEdgesFrame(s, idxRoot).localCheckpoint(true))
+    }
     beamSearchPlan(s, idxRoot, ne, Some(edges))
   }
 
@@ -2574,10 +2555,11 @@ object SimilarityQueries extends QueryModule {
     * dataset is queried, then re-invocations are pure plan
     * construction. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double], Double)]]
+    new ArtifactCache[Array[(Long, Array[Double], Double)]]("ivf-centroids")
 
   private def centroidCacheKey(dir: String): String =
-    s"$dir@${new java.io.File(s"$dir/embeddings.parquet").lastModified()}"
+    ArtifactCache.stamp(
+      ArtifactCache.datasetStamp(s"$dir/embeddings.parquet"))
 
   /** k-means training for the IVF coarse quantizer:
     * k = [[ivfCellCount]] cells (corpus-derived; the demo corpora
@@ -2729,7 +2711,7 @@ object SimilarityQueries extends QueryModule {
   private def cellAssigned(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     val cents: Array[(Long, Array[Double], Double)] =
-      centroidCache.getOrElseUpdate(centroidCacheKey(dir), {
+      centroidCache.getOrBuild(centroidCacheKey(dir), _ => true) {
         trainIvfCentroids(s, dir).map { case (id, ci) =>
           val cv = ci.map(_ / 1e6)
           var ss = 0.0
@@ -2737,7 +2719,7 @@ object SimilarityQueries extends QueryModule {
           while (i < cv.length) { ss += cv(i) * cv(i); i += 1 }
           (id, cv, math.sqrt(ss))
         }
-      })
+      }
     def csim(c: (Long, Array[Double], Double)): Column =
       round(
         call_function("graft_dot", col("v"), array(c._2.map(lit(_)): _*))
@@ -3276,7 +3258,7 @@ object SimilarityQueries extends QueryModule {
     * ×1e6 fixed-point domain, cached like the IVF centroids so bench
     * iterations re-use the bounded trained artifact. */
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
+    new ArtifactCache[Array[Array[Array[Long]]]]("pq-codebooks")
 
   /** Fixed-point (×1e6 BIGINT) embedding vectors — the shared integer
     * domain both PQ training and encoding run in ([[trainIvfCentroids]]
@@ -3422,7 +3404,7 @@ object SimilarityQueries extends QueryModule {
   val pqAdc = Q(
     "q_pq_adc",
     (s, dir) => {
-      val cb = pqCache.getOrElseUpdate(centroidCacheKey(dir),
+      val cb = pqCache.getOrBuild(centroidCacheKey(dir), _ => true)(
         trainPqCodebooks(s, dir))
       val pqK = cb(0).length // derived at train time (pqCodebookSize)
       val vi = fixedVi(s, dir)

@@ -1,0 +1,75 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** THE per-dataset derived-artifact cache (r12 verdict #7): trained
+  * centroids, persisted index table names, checkpointed edge frames
+  * and warm search plans all share one lifecycle — "pure function of
+  * (dataset file, semantic version), rebuilt when either changes,
+  * re-validated on every hit, swept when the owning session dies" —
+  * but each call site used to hand-roll it with slightly different
+  * keys (raw `String` concat vs md5, mtime-only vs mtime+length,
+  * swept vs leaking). One implementation makes the invariants
+  * uniform:
+  *
+  *  - KEY MATERIAL is a 128-bit hex digest ([[stamp]]) of a
+  *    descriptor that must include [[datasetStamp]] (path + mtime +
+  *    LENGTH — a same-second rewrite still changes the digest; a
+  *    32-bit hashCode collision once served the wrong persisted
+  *    index, ADVICE r08) plus every semantic knob baked into the
+  *    artifact (cutoffs, hash-family versions, algorithm tags).
+  *  - SESSION-OWNED values (DataFrames, catalog table names) append
+  *    [[sessionKey]] and validate with a session-aware predicate on
+  *    every hit — a recycled identityHashCode after GC must rebuild,
+  *    never serve RDDs of a dead context.
+  *  - [[ArtifactCache.getOrBuild]] re-validates hits and
+  *    [[ArtifactCache.sweep]] drops entries whose owner died, so
+  *    long-lived JVMs (bench loops, notebooks) never pin dead
+  *    sessions' blocks.
+  */
+final class ArtifactCache[V](val name: String) {
+  private val m = scala.collection.concurrent.TrieMap.empty[String, V]
+
+  /** Cached value for `key` if still `valid`, else `build` and
+    * remember. Concurrent builders may race benignly (builds are
+    * deterministic per key; last put wins). */
+  def getOrBuild(key: String, valid: V => Boolean)(build: => V): V =
+    m.get(key).filter(valid).getOrElse {
+      val v = build
+      m.put(key, v)
+      v
+    }
+
+  /** Drop entries whose value went dead (stopped session, deleted
+    * artifact) — call before building a replacement so stale entries
+    * can't pin resources for the JVM's lifetime. */
+  def sweep(dead: V => Boolean): Unit =
+    m.filterInPlace((_, v) => !dead(v))
+
+  private[graft] def size: Int = m.size
+}
+
+object ArtifactCache {
+
+  /** 128-bit hex digest of an artifact descriptor. */
+  def stamp(descriptor: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(descriptor.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Dataset-file component of a descriptor: path, mtime AND length
+    * (mtime alone misses a same-second rewrite). A missing file
+    * stamps as mtime 0 / length 0 — callers that require existence
+    * should `require` it loudly first, or the failure caches. */
+  def datasetStamp(path: String): String = {
+    val f = new java.io.File(path)
+    s"$path@${f.lastModified()}@${f.length()}"
+  }
+
+  /** Session identity component for session-owned values. */
+  def sessionKey(s: SparkSession): String =
+    java.lang.Long.toHexString(System.identityHashCode(s).toLong & 0xffffffffL)
+
+  /** The standard liveness predicate for session-owned DataFrames. */
+  def sessionDead(s: SparkSession): Boolean = s.sparkContext.isStopped
+}

@@ -89,7 +89,9 @@ object Bench {
       name -> prior.get(name).filter(_ > 0)
         .fold(t)(p => if (t >= 0) math.min(t, p) else t)
     } ++ prior.toSeq.collect {
-      case (name, p) if !nowNames.contains(name) && p > 0 => (name, p)
+      // preserve failed markers (negative) too — the record that a
+      // query exists-but-failed must survive a narrowed refresh
+      case (name, p) if !nowNames.contains(name) => (name, p)
     }.sortBy(_._1)
   }
 

@@ -20,6 +20,10 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val dir = s"/tmp/graft_sfbig_${mult}x"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
     val nDocs = 500 * mult
     val words = (0 until 5000).map(i => s"w$i")
     val rnd = new scala.util.Random(1)
@@ -345,13 +349,7 @@ object ScaleSmoke {
         if (mult <= 40) require(appendPairs * 2 < totalPairs,
           s"append rescored $appendPairs of $totalPairs pairs — " +
             "affected-bucket partiality is not bounding the quadratic term")
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
-      }
+      } finally rmTree(new java.io.File(tmp))
     }
     // Beam-index DELETE + CDC upsert economics (r12 verdict #6): the
     // delete recomputes in-bucket kNN only for the SURVIVORS of the
@@ -421,13 +419,7 @@ object ScaleSmoke {
         println(f"SMOKE ${mult}x beam_cdc upsert=$tAdd%.2fs twins=$twins%d/5")
         require(twins >= 4,
           s"post-CDC recall floor broke: $twins/5 planted twins")
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
-      }
+      } finally rmTree(new java.io.File(tmp))
     }
     // PQ-ADC recall floor: each planted probe's twin (cos ≈ 0.9999 at
     // id + nDocs/2) must appear in the probe's ADC top-5 — 8 coarse

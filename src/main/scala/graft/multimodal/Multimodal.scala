@@ -547,6 +547,18 @@ object Multimodal {
         }.flatten
     } yield stbl
 
+  /** First video track's sample-entry fourcc alone — the cheap probe
+    * for dispatch decisions that do not need the sample table (the
+    * avc1 dims path would otherwise pay a full stsz/stsc/stco
+    * expansion whose result it discards). */
+  private[multimodal] def mp4Fourcc(p: Array[Byte]): Option[String] =
+    if (!isMp4(p)) None
+    else for {
+      (stS, stE) <- mp4Stbl(p)
+      (sdS, sdE) <- findBox(p, stS, stE, "stsd")
+      if sdE - sdS >= 16 && be32(p, sdS + 4) >= 1
+    } yield boxName(p, sdS + 8)
+
   /** Demux the first video track: (sample-entry fourcc, sample byte
     * ranges). None when the payload is not a well-formed MP4 with the
     * boxes needed to locate samples. */
@@ -733,6 +745,10 @@ object Multimodal {
         case 1 => for {
             _ <- r.u1(); _ <- r.se(); _ <- r.se()
             n <- r.ue()
+            // the spec caps num_ref_frames_in_pic_order_cnt_cycle at
+            // 255 (§7.4.2.1.1); an unbounded hostile value would spin
+            // the skip loop for ~2^31 iterations per row
+            if n <= 255
             _ <- (0 until n).foldLeft(Option(())) { (acc, _) =>
               acc.flatMap(_ => r.se().map(_ => ())) }
           } yield ()
@@ -808,12 +824,15 @@ object Multimodal {
     override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) =
       if (kind != "video" || !isMp4(payload))
         MjpegVideoCodec.decodeDims(kind, payload)
-      else mp4SampleRanges(payload) match {
-        case Some((fourcc, ranges)) if fourcc == "jpeg" || fourcc == "mjpa" =>
-          ranges.headOption.flatMap(readJpegFrame(payload, _))
+      else mp4Fourcc(payload) match {
+        // only the JPEG path needs the sample table expanded — dims
+        // come from decoding the first frame
+        case Some(fourcc) if fourcc == "jpeg" || fourcc == "mjpa" =>
+          mp4SampleRanges(payload)
+            .flatMap(_._2.headOption).flatMap(readJpegFrame(payload, _))
             .map(img => (img.getWidth, img.getHeight))
             .getOrElse(FakeCodec.decodeDims(kind, payload))
-        case Some(("avc1", _)) =>
+        case Some("avc1") =>
           // frame pixels stay FakeCodec territory (no JDK H.264
           // decoder), but the dims are real: parsed from the avcC
           // box's SPS header

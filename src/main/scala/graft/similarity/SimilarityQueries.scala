@@ -2310,6 +2310,13 @@ object SimilarityQueries extends QueryModule {
   private[graft] def beamEdgesFrame(s: SparkSession, idxRoot: String): DataFrame =
     beamEdgesOf(s, idxRoot, beamManifest(s, idxRoot))
 
+  /** As [[beamEdgesFrame]] but against an already-resolved manifest,
+    * so a caller pinning a snapshot (the serving stream) reads edges
+    * from exactly that generation. */
+  private[graft] def beamEdgesFrame(
+      s: SparkSession, idxRoot: String, m: BeamManifest): DataFrame =
+    beamEdgesOf(s, idxRoot, m)
+
   private def beamEdgesOf(
       s: SparkSession, idxRoot: String, m: BeamManifest): DataFrame = {
     // kn leaf dirs are read directly (the bucket partition value is
@@ -2367,8 +2374,13 @@ object SimilarityQueries extends QueryModule {
     * family's self-exclusion semantics. */
   private[graft] def beamSearchProbes(
       s: SparkSession, idxRoot: String, ne: DataFrame, probes: DataFrame,
-      edgesOpt: Option[DataFrame] = None): DataFrame = {
-    val m = beamManifest(s, idxRoot)
+      edgesOpt: Option[DataFrame] = None,
+      manifestOpt: Option[BeamManifest] = None): DataFrame = {
+    // a caller that pinned frames at an earlier snapshot (the serving
+    // stream) passes ITS manifest too — resolving a fresh one here
+    // would mix new nodes/hub-stride with old edges/vectors, matching
+    // neither snapshot
+    val m = manifestOpt.getOrElse(beamManifest(s, idxRoot))
     val q = probes
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val qb = signBuckets(probes, m.planes)

@@ -64,11 +64,17 @@ object AnnIndexStream {
     StructField("embedding", ArrayType(DoubleType)),
     StructField("op", StringType)))
 
-  /** normEmb-shaped frame (vec_id, v, nrm) off a raw vector frame. */
-  private def neOf(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
+  /** normEmb-shaped frame (vec_id, v, nrm) off a raw (id, embedding)
+    * frame — THE one embedding-shaping convention for the streaming
+    * package (`idCol` renames to vec_id), shared with the serving
+    * stream so a change to the cast/norm rules cannot silently
+    * diverge between the maintenance and query sides. */
+  private[streaming] def normEmbOf(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+
+  private def neOf(df: DataFrame): DataFrame = normEmbOf(df, "vec_id")
 
   /** One micro-batch of maintenance — factored out so the spec can
     * drive it directly. `batchId` < 0 skips replay bookkeeping.

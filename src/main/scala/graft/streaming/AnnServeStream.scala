@@ -43,22 +43,20 @@ object AnnServeStream {
     StructField("q_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
 
-  private def neOf(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-
   /** One micro-batch of serving: probe rows → top-5 rows
     * (q_id, vec_id, sim_r, rn). Factored out so the spec can compare
-    * it directly against the batch search plan. */
+    * it directly against the batch search plan. `manifest`, when the
+    * caller pinned one at stream start, keeps nodes/n/hub-stride on
+    * the SAME snapshot as the pinned edges/vectors — re-resolving per
+    * batch would tear the view across generations the moment a
+    * maintenance commit lands. */
   private[streaming] def searchBatch(
       spark: SparkSession, probeBatch: DataFrame, corpusNe: DataFrame,
-      indexRoot: String, edges: Option[DataFrame] = None): DataFrame =
+      indexRoot: String, edges: Option[DataFrame] = None,
+      manifest: Option[SimilarityQueries.BeamManifest] = None): DataFrame =
     SimilarityQueries.beamSearchProbes(spark, indexRoot, corpusNe,
-      probeBatch.select(col("q_id").as("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)"))),
-      edges)
+      AnnIndexStream.normEmbOf(probeBatch, "q_id"),
+      edges, manifest)
 
   /** Start the serving stream over an NDJSON probe directory, writing
     * result rows to `outPath`. `corpusPath`/`indexRoot` are the
@@ -72,8 +70,16 @@ object AnnServeStream {
       outPath: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val ne = neOf(spark.read.parquet(corpusPath)).localCheckpoint(true)
-    val edges = SimilarityQueries.beamEdgesFrame(spark, indexRoot)
+    // ONE snapshot for the stream's whole lifetime: manifest, corpus
+    // vectors and edge frame all resolve here, so every trigger
+    // searches a consistent generation — a maintenance commit becomes
+    // visible at the next stream start, never mid-stream (and never
+    // partially: nodes/n/stride re-resolved per batch against pinned
+    // edges would match NEITHER generation)
+    val m = SimilarityQueries.beamManifest(spark, indexRoot)
+    val ne = AnnIndexStream.normEmbOf(spark.read.parquet(corpusPath), "vec_id")
+      .localCheckpoint(true)
+    val edges = SimilarityQueries.beamEdgesFrame(spark, indexRoot, m)
       .localCheckpoint(true)
     spark.readStream
       .schema(probeSchema)
@@ -84,7 +90,7 @@ object AnnServeStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           ClusterMaintenanceStream.appendBatchScoped(spark,
-            searchBatch(spark, batch, ne, indexRoot, Some(edges)),
+            searchBatch(spark, batch, ne, indexRoot, Some(edges), Some(m)),
             outPath, batchId)
       }
       .start()

@@ -70,9 +70,12 @@ class BenchGateSpec extends AnyFunSuite {
     // ADVICE r12: ONLY=q_b persisted into an existing multi-entry
     // artifact (e.g. bench_sf40.json) must refresh q_b and keep the
     // untimed entries, not truncate the artifact to the subset.
-    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0)
+    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0, "q_dead" -> -1.0)
     val merged = Bench.mergeBaseline(Seq("q_b" -> 1.5), prior)
-    assert(merged.toMap == Map("q_a" -> 1.0, "q_b" -> 1.5, "q_c" -> 3.0))
+    // prior-only entries survive INCLUDING the failed marker — losing
+    // q_dead would erase the record that it exists-but-failed
+    assert(merged.toMap == Map(
+      "q_a" -> 1.0, "q_b" -> 1.5, "q_c" -> 3.0, "q_dead" -> -1.0))
     // timed entries lead (driver-visible order), preserved tail sorted
     assert(merged.head == ("q_b" -> 1.5))
   }

@@ -91,6 +91,42 @@ class AnnServeStreamSpec extends AnyFunSuite {
       "replayed serving batch duplicated output rows")
   }
 
+  test("pinned manifest serves one generation across a maintenance commit (no torn view)") {
+    // the serving stream resolves manifest + corpus + edges ONCE at
+    // start; a maintenance commit mid-stream must not leak into a
+    // trigger (per-batch re-resolution would mix new nodes/hub-stride
+    // with pinned edges/vectors — matching NEITHER generation)
+    val root = Files.createTempDirectory("annserve3").toString
+    val idxRoot = s"$root/idx"
+    val base = (0L until 50L)
+    val neBase = neOf(base).localCheckpoint(true)
+    SimilarityQueries.beamIndexCreate(spark, neBase, 4, idxRoot)
+    val m0 = SimilarityQueries.beamManifest(spark, idxRoot)
+    val edges0 = SimilarityQueries.beamEdgesFrame(spark, idxRoot, m0)
+      .localCheckpoint(true)
+    val probes = Seq((-1L, vec(7L))).toDF("q_id", "embedding")
+    def rows(ne: org.apache.spark.sql.DataFrame,
+             edges: Option[org.apache.spark.sql.DataFrame],
+             m: Option[SimilarityQueries.BeamManifest]) =
+      AnnServeStream.searchBatch(spark, probes, ne, idxRoot, edges, m)
+        .select(col("q_id"), col("vec_id"), col("sim_r"), col("rn"))
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val r1 = rows(neBase, Some(edges0), Some(m0))
+    // maintenance commit: append id 100 = an exact copy of vector 7
+    val neAll = neOf(base).unionByName(
+        neOf(Seq(7L)).withColumn("vec_id", lit(100L)))
+      .localCheckpoint(true)
+    SimilarityQueries.beamIndexAppend(spark, neAll, idxRoot)
+    assert(SimilarityQueries.beamManifest(spark, idxRoot).gen === m0.gen + 1)
+    // pinned view: identical results, the new twin is invisible
+    assert(rows(neBase, Some(edges0), Some(m0)) === r1,
+      "a maintenance commit leaked into the pinned serving view")
+    // fresh resolution DOES see the commit — the twin surfaces at 1.0
+    val fresh = rows(neAll, None, None)
+    assert(fresh.exists(r => r._2 == 100L && r._3 == 1.0),
+      s"fresh view missed the appended exact twin: $fresh")
+  }
+
   test("external probes (fresh id space) are not self-excluded and find their corpus match") {
     val root = Files.createTempDirectory("annserve2").toString
     val idxRoot = s"$root/idx"

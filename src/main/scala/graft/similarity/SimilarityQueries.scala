@@ -880,8 +880,24 @@ object SimilarityQueries extends QueryModule {
     * the index is a CACHE of a pure function of the dataset, never
     * durable state this sandbox must keep. */
   private lazy val sigIndexRoot: java.io.File = {
-    val root = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_sig_idx")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    // PER-JVM root (r13): the old shared root's exit sweep deleted
+    // SIBLING JVMs' live index files mid-query (observed: a Verify
+    // JVM's shutdown hook swept a concurrently-running test JVM's
+    // bucketed table out from under its registered catalog entry).
+    // Each JVM owns graft_sig_idx_<pid> and sweeps only that; roots
+    // left by DEAD pids (a crashed JVM never runs its hook) are
+    // reaped opportunistically at first use.
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("graft_sig_idx_")) {
+        val owner = n.stripPrefix("graft_sig_idx_").toLongOption
+        if (owner.exists(p => p != pid && !ProcessHandle.of(p).isPresent))
+          deleteRecursively(f)
+      }
+    })
+    val root = new java.io.File(tmp, s"graft_sig_idx_$pid")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(root)))
     root
@@ -1944,26 +1960,62 @@ object SimilarityQueries extends QueryModule {
   private def beamNodesOf(s: SparkSession, root: String, m: BeamManifest): DataFrame =
     s.read.parquet(m.nodesDirs.map(d => s"$root/$d"): _*)
 
-  /** Reclaim generations the CURRENT manifest no longer references —
-    * the maintenance job a long-lived index runs beside compaction.
-    * Dir-level GC: a generation dir survives while ANY of its dirs is
-    * still referenced (e.g. untouched kn leaves). Older manifests are
-    * dropped too, so `_gen/` stays bounded. Same quiescence/grace
-    * contract as any table-format vacuum: readers that resolved an
-    * older snapshot before the vacuum must have finished. */
-  private[graft] def beamIndexVacuum(s: SparkSession, root: String): Unit = {
-    val m = beamManifest(s, root)
-    val referenced = (m.nodesDirs ++ m.fingerDirs ++ m.knDirs.values)
-      .map(_.takeWhile(_ != '/')).toSet
+  /** Resolve a SPECIFIC committed generation's manifest (used by the
+    * vacuum's grace window to learn what older snapshots reference). */
+  private def beamManifestAt(
+      s: SparkSession, root: String, gen: Long): Option[BeamManifest] = {
     val fs = beamFs(s, root)
+    val p = new org.apache.hadoop.fs.Path(beamGenPath(root), gen.toString)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val kv = text.split("\n").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      def dirs(k: String) = kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+      Some(BeamManifest(gen, kv("planes").toInt, kv("n").toLong,
+        dirs("nodesdirs"), dirs("fingerdirs"),
+        kv.getOrElse("kn", "").split(";").toSeq.filter(_.nonEmpty).map { e =>
+          val Array(b, d) = e.split(":", 2); b.toInt -> d
+        }.toMap))
+    }
+  }
+
+  /** Reclaim generations no RETAINED manifest references — the
+    * maintenance job a long-lived index runs beside compaction.
+    * `keepGens` is the GRACE WINDOW: the newest `keepGens` manifests
+    * (and every generation dir any of them references) survive, so
+    * readers pinned to a recent snapshot — a serving stream resolves
+    * its manifest once at start and reads that generation's node
+    * files per trigger — keep working as long as they restart within
+    * the window. keepGens = 1 is the aggressive form (current
+    * snapshot only; requires reader quiescence, like any
+    * table-format vacuum). Dir-level GC: a generation dir survives
+    * while ANY retained manifest references any of its dirs (e.g.
+    * untouched kn leaves). */
+  private[graft] def beamIndexVacuum(
+      s: SparkSession, root: String, keepGens: Int = 2): Unit = {
+    require(keepGens >= 1, "keepGens must be at least 1")
+    val m = beamManifest(s, root)
+    val fs = beamFs(s, root)
+    val gens = fs.listStatus(beamGenPath(root))
+      .flatMap(_.getPath.getName.toLongOption).sorted.toSeq
+    val retained = gens.takeRight(keepGens)
+    val referenced = retained
+      .flatMap(g => beamManifestAt(s, root, g))
+      .flatMap(mm => mm.nodesDirs ++ mm.fingerDirs ++ mm.knDirs.values)
+      .map(_.takeWhile(_ != '/')).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => n.length > 1 && n.head == 'g' && n.tail.forall(_.isDigit) &&
         !referenced.contains(n))
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true): Unit)
-    fs.listStatus(beamGenPath(root))
-      .filter(st => st.getPath.getName.toLongOption.exists(_ < m.gen))
-      .foreach(st => fs.delete(st.getPath, false): Unit)
+    gens.filterNot(retained.contains).foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(beamGenPath(root), g.toString),
+        false): Unit)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        beamGenPath(root), m.gen.toString)),
+      "vacuum must never drop the current manifest")
   }
 
   /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed

@@ -139,14 +139,24 @@ object AnnIndexStream {
   /** Start the maintenance stream over an NDJSON vector directory.
     * `corpusPath` and `indexRoot` must be seeded with the prior
     * corpus's vectors and its beam index
-    * ([[SimilarityQueries.beamIndexCreate]]). */
+    * ([[SimilarityQueries.beamIndexCreate]]).
+    *
+    * `vacuumEveryBatches` (0 = off) runs the index's generation GC
+    * from the stream clock every N applied batches — the housekeeping
+    * a forever-running maintainer needs, or `_gen/` and the delta dirs
+    * grow without bound. The default grace window (keepGens = 2)
+    * survives serving streams pinned at the previous snapshot; vacuum
+    * is idempotent and crash-safe (it only deletes what no retained
+    * manifest references, and a replayed batch's vacuum re-runs
+    * harmlessly). */
   def start(
       spark: SparkSession,
       inputDir: String,
       corpusPath: String,
       indexRoot: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery =
+      maxFilesPerTrigger: Int = 1,
+      vacuumEveryBatches: Int = 0): StreamingQuery =
     spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -154,8 +164,12 @@ object AnnIndexStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           maintainBatch(spark, batch, corpusPath, indexRoot, batchId)
+          if (vacuumEveryBatches > 0 &&
+              batchId % vacuumEveryBatches == (vacuumEveryBatches - 1))
+            SimilarityQueries.beamIndexVacuum(spark, indexRoot)
+        }
       }
       .start()
 }

@@ -261,12 +261,21 @@ class BeamIndexSpec extends AnyFunSuite {
       beforeCommit = () => { duringDelete = searchRows(root, neAll) })
     assert(duringDelete === newRows,
       "a reader during the delete observed a partially-committed index")
-    // and VACUUM afterwards drops every unreferenced generation while
-    // the current snapshot keeps answering identically
+    // VACUUM with the default grace window (keepGens=2) retains the
+    // PREVIOUS manifest too, so a reader pinned at the pre-delete
+    // snapshot (the serving-stream shape) still resolves and searches
+    val preDeleteGen = SimilarityQueries.beamManifest(spark, root).gen - 1
     val afterDelete = searchRows(root, neOf(surviving))
     SimilarityQueries.beamIndexVacuum(spark, root)
     assert(searchRows(root, neOf(surviving)) === afterDelete,
       "vacuum changed the current snapshot's results")
+    assert(new java.io.File(s"$root/_gen/$preDeleteGen").exists(),
+      "grace-window vacuum dropped the previous manifest")
+    // aggressive vacuum (keepGens=1, reader-quiescent contract) keeps
+    // exactly the current manifest and its referenced generations
+    SimilarityQueries.beamIndexVacuum(spark, root, keepGens = 1)
+    assert(searchRows(root, neOf(surviving)) === afterDelete,
+      "aggressive vacuum changed the current snapshot's results")
     val m = SimilarityQueries.beamManifest(spark, root)
     val liveGens = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("g\\d+"))

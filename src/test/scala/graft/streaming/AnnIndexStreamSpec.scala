@@ -151,12 +151,18 @@ class AnnIndexStreamSpec extends AnyFunSuite {
     Files.write(Paths.get(inputDir, "b1.json"), ndjson(45L until 50L).getBytes("UTF-8"))
 
     val q = AnnIndexStream.start(spark, inputDir, corpusPath, idxRoot,
-      s"$root/ckpt", maxFilesPerTrigger = 1)
+      s"$root/ckpt", maxFilesPerTrigger = 1, vacuumEveryBatches = 1)
     try q.processAllAvailable() finally q.stop()
 
     assert(spark.read.parquet(corpusPath).count() === 50L)
     assert(SimilarityQueries.beamNodesFrame(spark, idxRoot).count() === 50L,
       "stream did not append to the beam index")
+    // stream-clock vacuum bounded the manifest history to the grace
+    // window (keepGens = 2) without touching live generations
+    val keptManifests = new java.io.File(s"$idxRoot/_gen").list()
+      .filterNot(_.startsWith(".")).length
+    assert(keptManifests <= 2,
+      s"stream vacuum left $keptManifests manifests (grace window is 2)")
     val fullRoot = s"$root/full"
     SimilarityQueries.beamIndexCreate(spark, neOf(0L until 50L), 4, fullRoot)
     val oneShot = SimilarityQueries.beamSearchPlan(

@@ -65,10 +65,29 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], everyK: Int): Int
   }
 
-  /** STUB — deterministic fallback for payloads no JDK reader claims
-    * (e.g. MP4/H.264 video; images and GIF video have REAL paths via
-    * [[ImageIoCodec]]/[[GifVideoCodec]]). Every value is a pure
-    * function of the payload bytes so tests are stable.
+  /** STUB — deterministic fallback for payloads no JDK reader claims.
+    * Every value is a pure function of the payload bytes so tests are
+    * stable.
+    *
+    * SCOPE DECISION (r13 verdict #8, mirroring the SURVEY §2.1 S8
+    * precedent): this codec's remaining domain — H.264 frame PIXELS —
+    * is PERMANENTLY out of scope for the pure-JDK build. Everything
+    * around the pixels is real: container demux (ISO-BMFF box walker),
+    * codec identification (stsd fourcc), coded dimensions (avcC SPS
+    * parse, [[spsDims]]), sample locations and sizes. Decoding the
+    * pixel data itself means CABAC/CAVLC entropy decode + intra/inter
+    * prediction + deblocking — a full video decoder, thousands of
+    * lines of public-spec implementation with no JDK entry point and
+    * no library in this build's dependency envelope. The PRODUCTION
+    * path is the [[DispatchingCodec]] seam: a third-party H.264
+    * decoder plugs in as one (sniffer → codec) handler with zero
+    * changes to the Spark plumbing (MultimodalSpec pins the dispatch
+    * with a stub H.264 codec next to real GIF/JPEG rows). Absent such
+    * a handler, avc1 pixel-dependent values degrade to THIS stub —
+    * deterministically, per row, never by failing the job — exactly
+    * like the SPI-null GIF path (MultimodalSpec pins the degradation:
+    * real avcC dims + fake frame signatures for avc1, real everything
+    * for jpeg-in-MP4).
     */
   object FakeCodec extends Codec {
     override def decodeDims(kind: String, payload: Array[Byte]): (Int, Int) = {
@@ -664,14 +683,18 @@ object Multimodal {
     }
     def ue(): Option[Int] = {
       var zeros = 0
-      while (zeros <= 31) {
+      // cap at 30, not 31: (1 << 31) is Int.MinValue, so a 31-zero
+      // prefix would wrap (1 << zeros) - 1 + r into a wrong-but-
+      // positive value that passes downstream > 0 guards (ADVICE r13).
+      // 2^30-scale SPS fields don't exist in any conformant stream.
+      while (zeros <= 30) {
         u1() match {
           case Some(0) => zeros += 1
           case Some(_) => return u(zeros).map(r => (1 << zeros) - 1 + r)
           case None => return None
         }
       }
-      None // > 2^32 would overflow; no sane SPS field is that large
+      None // >= 2^31 would overflow Int; no sane SPS field is that large
     }
     def se(): Option[Int] =
       ue().map(k => if (k % 2 == 0) -(k / 2) else (k + 1) / 2)
@@ -758,6 +781,13 @@ object Multimodal {
       _ <- r.u1() // gaps_in_frame_num_value_allowed
       pw <- r.ue()
       ph <- r.ue()
+      // Level limits (§A.3.1, table A-1): even level 6.2's MaxFS of
+      // 139,264 MBs caps either dimension near 1,055 MBs; 4096 MBs
+      // (65,536 px) is a generous ceiling that keeps every product
+      // below ((pw+1)*16) within Int — a hostile 2^27-scale value
+      // would otherwise overflow into wrong-but-positive dimensions
+      // that pass the dims > 0 guard (ADVICE r13).
+      if pw < 4096 && ph < 4096
       fmo <- r.u1()
       _ <- if (fmo == 0) r.u1() else Some(0) // mb_adaptive_frame_field
       _ <- r.u1() // direct_8x8_inference
@@ -772,12 +802,17 @@ object Multimodal {
             case _ => (1, 1) // monochrome and 4:4:4 crop in luma units
           }
           val cropY = subH * (2 - fmo)
-          ((pw + 1) * 16 - subW * (l + rt),
-            (2 - fmo) * (ph + 1) * 16 - cropY * (t + b))
+          // Long arithmetic: crop offsets are attacker-controlled ue()
+          // values up to ~2^30; subW * (l + rt) in Int could wrap past
+          // the subtraction into a positive fake width (ADVICE r13).
+          ((pw + 1).toLong * 16 - subW.toLong * (l.toLong + rt),
+            (2 - fmo).toLong * (ph + 1) * 16 - cropY.toLong * (t.toLong + b))
         }
-        else Some(((pw + 1) * 16, (2 - fmo) * (ph + 1) * 16))
-      if dims._1 > 0 && dims._2 > 0
-    } yield dims
+        else Some(((pw + 1).toLong * 16, (2 - fmo).toLong * (ph + 1) * 16))
+      // pw/ph < 4096 bounds the uncropped product at 65,536 px; a crop
+      // can only shrink it, so any in-range positive pair fits in Int.
+      if dims._1 > 0 && dims._2 > 0 && dims._1 <= 65536 && dims._2 <= 65536
+    } yield (dims._1.toInt, dims._2.toInt)
   }
 
   /** Real avc1 dimensions from the MP4's avcC decoder-configuration

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{Q, QueryModule}
-import graft.util.ArtifactCache
+import graft.util.{ArtifactCache, WriterFence}
 import graft.util.Tables._
 
 /** Similarity search and near-duplicate detection — the operators a
@@ -1847,8 +1847,12 @@ object SimilarityQueries extends QueryModule {
   // (parent + 1) and overwrites the same g<N+1> dirs, so orphaned
   // attempt files self-heal. Unreferenced generations are reclaimed
   // by [[beamIndexVacuum]]. Single writer (a batch job or the stream
-  // clock) remains the write-side contract, as for every sibling
-  // index artifact.
+  // clock) is the write-side contract — ENFORCED since r14 by a
+  // [[WriterFence]] lease (`root/_writer.lock`): every mutator
+  // (create/append/delete/vacuum) claims it create-exclusively, so a
+  // concurrent second writer fails at acquire instead of silently
+  // clobbering the first's manifest rename, and a writer whose lease
+  // was stolen after a stall aborts at the commit-point check.
 
   /** Finger-geometry format stamp: clipped non-wraparound links,
     * symmetrized at read (r12 v2). Persisted in every manifest and
@@ -1909,9 +1913,14 @@ object SimilarityQueries extends QueryModule {
 
   /** Commit a generation: write the manifest to a hidden temp name and
     * rename it in — the atomic commit point. The data dirs it lists
-    * must already be fully written. */
+    * must already be fully written. `lease` is the writer fence
+    * (r13 verdict #1): ownership re-validates HERE, immediately before
+    * the rename, so a writer whose lease was presumed stale and stolen
+    * mid-transaction aborts loudly instead of clobbering the thief's
+    * commit. */
   private def commitBeamManifest(
-      s: SparkSession, root: String, m: BeamManifest): Unit = {
+      s: SparkSession, root: String, m: BeamManifest,
+      lease: Option[WriterFence.Lease] = None): Unit = {
     val fs = beamFs(s, root)
     val dir = beamGenPath(root)
     fs.mkdirs(dir)
@@ -1922,10 +1931,15 @@ object SimilarityQueries extends QueryModule {
     val tmp = new org.apache.hadoop.fs.Path(dir, s".${m.gen}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    // the commit-point fence: with the lease held and re-validated, at
+    // most one writer can reach the rename for any generation — a
+    // concurrent appender failed at ACQUIRE, and a stale-steal victim
+    // fails right here, before touching committed state
+    lease.foreach(_.check())
     // a replay of an attempt that crashed after this commit is cut off
     // upstream (the new-vector/deleted-id guards no-op), so a live
     // target here is a leftover of THIS commit's own crash-replay —
-    // replace it (single-writer contract)
+    // replace it (single-writer, now fence-enforced)
     fs.delete(new org.apache.hadoop.fs.Path(dir, m.gen.toString), false)
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, m.gen.toString)),
       s"beam manifest commit failed: $root gen ${m.gen}")
@@ -1959,6 +1973,26 @@ object SimilarityQueries extends QueryModule {
 
   private def beamNodesOf(s: SparkSession, root: String, m: BeamManifest): DataFrame =
     s.read.parquet(m.nodesDirs.map(d => s"$root/$d"): _*)
+
+  /** Fail LOUDLY if a pinned snapshot's manifest no longer exists —
+    * i.e. [[beamIndexVacuum]]'s grace window moved past it. A pinned
+    * reader (the serving stream resolves its manifest once at start
+    * and re-reads that generation's node/kn files every trigger) would
+    * otherwise surface a bare executor FileNotFoundException mid-query
+    * once its files are reclaimed; this converts it to an actionable
+    * error at the START of the trigger (ADVICE r13 / verdict #4). The
+    * check is one metadata existence probe — cheap enough per trigger. */
+  private[graft] def requireBeamSnapshotLive(
+      s: SparkSession, root: String, m: BeamManifest): Unit =
+    if (!beamFs(s, root).exists(
+        new org.apache.hadoop.fs.Path(beamGenPath(root), m.gen.toString)))
+      throw new IllegalStateException(
+        s"beam-index snapshot generation ${m.gen} at $root was vacuumed — " +
+          "this reader outlived beamIndexVacuum's grace window " +
+          "(keepGens newest manifests survive); restart the stream/query " +
+          "to pin the current snapshot, or raise keepGens / slow the " +
+          "vacuum cadence past the longest reader lifetime " +
+          "(docs/STREAMING_SCALE.md)")
 
   /** Resolve a SPECIFIC committed generation's manifest (used by the
     * vacuum's grace window to learn what older snapshots reference). */
@@ -1994,7 +2028,8 @@ object SimilarityQueries extends QueryModule {
     * while ANY retained manifest references any of its dirs (e.g.
     * untouched kn leaves). */
   private[graft] def beamIndexVacuum(
-      s: SparkSession, root: String, keepGens: Int = 2): Unit = {
+      s: SparkSession, root: String, keepGens: Int = 2): Unit =
+   WriterFence.withLease(beamFs(s, root), root, "beam index") { _ =>
     require(keepGens >= 1, "keepGens must be at least 1")
     val m = beamManifest(s, root)
     val fs = beamFs(s, root)
@@ -2016,7 +2051,47 @@ object SimilarityQueries extends QueryModule {
     require(fs.exists(new org.apache.hadoop.fs.Path(
         beamGenPath(root), m.gen.toString)),
       "vacuum must never drop the current manifest")
-  }
+   }
+
+  /** Merge the accumulated node/finger DELTA dirs into one base dir in
+    * a fresh generation — the compaction pass a forever-appending
+    * stream needs beside [[beamIndexVacuum]] (r13 verdict #7): the
+    * monotone fast path appends one batch-sized node dir and one
+    * finger dir per streaming batch, so after N batches every search
+    * plans an N-dir multi-path scan (listing cost, tiny files, N×
+    * the parquet footers). Compaction rewrites the UNION of those
+    * dirs into `g<N+1>/{nodes,fingers}` and commits a manifest that
+    * references just the two consolidated dirs — logically the
+    * identity (same rows, same ranks: ranks were assigned at append
+    * time and are stored, not recomputed), so search results are
+    * bit-identical. kn leaves are untouched: each bucket has exactly
+    * ONE leaf at any generation (appends overwrite affected buckets
+    * wholesale), so they never accumulate deltas.
+    *
+    * Same protocol as every other mutator: new dirs written first,
+    * one manifest rename as the commit point (readers see old XOR
+    * new), writer-fenced, idempotent under replay (a re-run finds
+    * nothing to compact or rewrites the same consolidated dirs).
+    * Superseded generations linger for pinned readers until vacuum.
+    * Cost is O(nodes + fingers) — corpus-proportional but
+    * SHUFFLE-FREE (coalesce-style rewrite, no keyed exchange), the
+    * classic small-files compaction economics; run it from the
+    * stream clock every ~dozens of batches, not per batch. */
+  private[graft] def beamIndexCompact(
+      s: SparkSession, root: String, minDirs: Int = 2): Unit =
+   WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
+    val m = beamManifest(s, root)
+    if (m.nodesDirs.size < minDirs && m.fingerDirs.size < minDirs) return
+    val gen = m.gen + 1
+    // plain re-write of the union frames: no shuffle (the write
+    // repartitions nothing), ranks/edges are stored values
+    beamNodesOf(s, root, m)
+      .write.mode("overwrite").parquet(s"$root/g$gen/nodes")
+    s.read.parquet(m.fingerDirs.map(d => s"$root/$d"): _*)
+      .write.mode("overwrite").parquet(s"$root/g$gen/fingers")
+    commitBeamManifest(s, root, BeamManifest(gen, m.planes, m.n,
+      Seq(s"g$gen/nodes"), Seq(s"g$gen/fingers"), m.knDirs), Some(lease))
+   }
 
   /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed
     * normEmb frame — the [[knnGraphPlan]] dataflow, keeping the src
@@ -2067,7 +2142,8 @@ object SimilarityQueries extends QueryModule {
   private def writeTopology(
       s: SparkSession, assigned: DataFrame, planeCount: Int, root: String,
       gen: Long, knDirs: Map[Int, String],
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      lease: Option[WriterFence.Lease] = None): Unit = {
     val nodes = denseRankByKey(
         assigned.select(col("vec_id"), col("bucket")), "vec_id", "rk", base = 0L)
       .localCheckpoint(true)
@@ -2077,7 +2153,7 @@ object SimilarityQueries extends QueryModule {
     nodes.write.mode("overwrite").parquet(s"$root/g$gen/nodes")
     beforeCommit()
     commitBeamManifest(s, root, BeamManifest(gen, planeCount, nVecs,
-      Seq(s"g$gen/nodes"), Seq(s"g$gen/fingers"), knDirs))
+      Seq(s"g$gen/nodes"), Seq(s"g$gen/fingers"), knDirs), lease)
   }
 
   /** Build a beam index at `root` over a [[normEmb]]-shaped frame
@@ -2085,15 +2161,16 @@ object SimilarityQueries extends QueryModule {
     * manifest history at generation 0 (any stale history under a
     * recycled root is discarded first — create means create). */
   private[graft] def beamIndexCreate(
-      s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit = {
-    beamFs(s, root).delete(beamGenPath(root), true)
-    val b = signBuckets(ne, planeCount)
-      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
-      .localCheckpoint(true)
-    knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
-    writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root,
-      gen = 0L, knDirs = knLeafDirs(s, root, 0L))
-  }
+      s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit =
+    WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
+      beamFs(s, root).delete(beamGenPath(root), true)
+      val b = signBuckets(ne, planeCount)
+        .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+        .localCheckpoint(true)
+      knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
+      writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root,
+        gen = 0L, knDirs = knLeafDirs(s, root, 0L), lease = Some(lease))
+    }
 
   /** Append every vector of `ne` not yet in the index at `root`,
     * rewriting only the kn leaves of buckets that received new vectors
@@ -2103,7 +2180,11 @@ object SimilarityQueries extends QueryModule {
     * `nodes`, so a re-run redoes the same (overwrite-style) writes. */
   private[graft] def beamIndexAppend(
       s: SparkSession, ne: DataFrame, root: String,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => ()): Unit =
+   WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
+    // parent manifest resolves INSIDE the lease: gen = parent + 1 is
+    // only safe when no other writer can commit between the resolve
+    // and our own commit (r13 verdict #1)
     val m = beamManifest(s, root)
     val planeCount = m.planes
     val gen = m.gen + 1
@@ -2173,13 +2254,14 @@ object SimilarityQueries extends QueryModule {
       newNodes.write.mode("overwrite").parquet(s"$root/g$gen/nodes")
       beforeCommit()
       commitBeamManifest(s, root, BeamManifest(gen, planeCount, nNew,
-        m.nodesDirs :+ s"g$gen/nodes", m.fingerDirs :+ s"g$gen/fingers", knMap))
+        m.nodesDirs :+ s"g$gen/nodes", m.fingerDirs :+ s"g$gen/fingers", knMap),
+        Some(lease))
     } else
       writeTopology(s,
         oldNodes.select(col("vec_id"), col("bucket"))
           .unionByName(newB.select(col("vec_id"), col("bucket"))), planeCount, root,
-        gen, knMap, beforeCommit)
-  }
+        gen, knMap, beforeCommit, Some(lease))
+   }
 
   /** Delete vectors from a beam index — the append's mirror image,
     * completing the ANN lifecycle (create/append/stream/DELETE;
@@ -2198,7 +2280,8 @@ object SimilarityQueries extends QueryModule {
     * frame. */
   private[graft] def beamIndexDelete(
       s: SparkSession, ne: DataFrame, deletedIds: DataFrame, root: String,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => ()): Unit =
+   WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
     val m = beamManifest(s, root)
     val oldNodes = beamNodesOf(s, root, m)
     val del = deletedIds.select(col("vec_id")).distinct().localCheckpoint(true)
@@ -2235,8 +2318,8 @@ object SimilarityQueries extends QueryModule {
     // surviving affected buckets remap to this generation's leaves
     val knMap = (m.knDirs -- affected) ++ knLeafDirs(s, root, gen)
     writeTopology(s, surviving.select(col("vec_id"), col("bucket")), m.planes,
-      root, gen, knMap, beforeCommit)
-  }
+      root, gen, knMap, beforeCommit, Some(lease))
+   }
 
   /** (dataset digest) → persisted beam-index root — the
     * [[sigIndexCache]] idiom. Plain parquet paths (no catalog tables),

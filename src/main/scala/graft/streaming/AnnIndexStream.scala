@@ -148,7 +148,19 @@ object AnnIndexStream {
     * survives serving streams pinned at the previous snapshot; vacuum
     * is idempotent and crash-safe (it only deletes what no retained
     * manifest references, and a replayed batch's vacuum re-runs
-    * harmlessly). */
+    * harmlessly). CAUTION: vacuum cadence is a reader-lifetime
+    * contract — vacuum_interval × (keepGens − 1) must exceed the
+    * longest pinned reader's lifetime, or that reader dies with a
+    * "snapshot vacuumed" error (docs/STREAMING_SCALE.md §4).
+    *
+    * `compactEveryBatches` (0 = off) merges the per-batch node/finger
+    * DELTA dirs into one consolidated generation every N applied
+    * batches ([[SimilarityQueries.beamIndexCompact]]) — vacuum's
+    * twin: vacuum bounds GENERATION count, compaction bounds the
+    * DIRS-PER-SNAPSHOT count that monotone appends grow by one per
+    * batch. Compaction before vacuum on a shared cadence tick, so
+    * the superseded delta generations it strands are reclaimed in
+    * the same tick (modulo the grace window). */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -156,7 +168,8 @@ object AnnIndexStream {
       indexRoot: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      vacuumEveryBatches: Int = 0): StreamingQuery =
+      vacuumEveryBatches: Int = 0,
+      compactEveryBatches: Int = 0): StreamingQuery =
     spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -166,6 +179,9 @@ object AnnIndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           maintainBatch(spark, batch, corpusPath, indexRoot, batchId)
+          if (compactEveryBatches > 0 &&
+              batchId % compactEveryBatches == (compactEveryBatches - 1))
+            SimilarityQueries.beamIndexCompact(spark, indexRoot)
           if (vacuumEveryBatches > 0 &&
               batchId % vacuumEveryBatches == (vacuumEveryBatches - 1))
             SimilarityQueries.beamIndexVacuum(spark, indexRoot)

@@ -61,7 +61,18 @@ object AnnServeStream {
   /** Start the serving stream over an NDJSON probe directory, writing
     * result rows to `outPath`. `corpusPath`/`indexRoot` are the
     * maintained artifacts ([[AnnIndexStream]]'s outputs); the static
-    * side is warmed once here. */
+    * side is warmed once here.
+    *
+    * VACUUM HAZARD (ADVICE r13): the snapshot pinned here lives only
+    * as long as [[SimilarityQueries.beamIndexVacuum]]'s grace window
+    * (keepGens newest manifests). A maintenance stream vacuuming every
+    * batch beside a long-lived serving stream WILL reclaim this
+    * stream's generation once `keepGens` newer commits land; each
+    * trigger therefore re-probes the pinned manifest first and fails
+    * fast with a "snapshot vacuumed — restart stream" error instead of
+    * a bare executor FileNotFoundException mid-search. Operate per
+    * docs/STREAMING_SCALE.md: vacuum cadence × keepGens must exceed
+    * the serving stream's restart interval. */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -88,10 +99,14 @@ object AnnServeStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // fail fast, with the operational fix in the message, the
+          // moment the pinned generation leaves the vacuum grace window
+          SimilarityQueries.requireBeamSnapshotLive(spark, indexRoot, m)
           ClusterMaintenanceStream.appendBatchScoped(spark,
             searchBatch(spark, batch, ne, indexRoot, Some(edges), Some(m)),
             outPath, batchId)
+        }
       }
       .start()
   }

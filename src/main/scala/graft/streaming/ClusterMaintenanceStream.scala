@@ -94,24 +94,31 @@ object ClusterMaintenanceStream {
       dir: String, batchId: Long): Unit = {
     if (batchId < 0) { out.write.mode("append").parquet(dir); return }
     val fs = hadoopFs(spark, dir)
-    val idx = new org.apache.hadoop.fs.Path(dir)
-    val staging = new org.apache.hadoop.fs.Path(
-      idx.getParent, s".${idx.getName}.__batchappend_$batchId")
-    fs.delete(staging, true)
-    out.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(idx))
-      fs.listStatus(idx)
-        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
-        .foreach(s => fs.delete(s.getPath, false))
-    else fs.mkdirs(idx)
-    fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        val dst = new org.apache.hadoop.fs.Path(idx, s"b$batchId-${s.getPath.getName}")
-        require(fs.rename(s.getPath, dst), s"batch-scoped append rename failed: $dst")
-      }
-    fs.delete(staging, true)
+    // Single-writer fence (r13 verdict #1, same lease as the beam
+    // index's manifest commits): two concurrent maintainers replaying
+    // the SAME batch id would interleave the sweep-then-rename below —
+    // one's freshly renamed b<id>-* files are the other's "crashed
+    // leftovers" to sweep. The loser now fails at acquire instead.
+    graft.util.WriterFence.withLease(fs, dir, "batch-scoped append table") { _ =>
+      val idx = new org.apache.hadoop.fs.Path(dir)
+      val staging = new org.apache.hadoop.fs.Path(
+        idx.getParent, s".${idx.getName}.__batchappend_$batchId")
+      fs.delete(staging, true)
+      out.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(idx))
+        fs.listStatus(idx)
+          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+          .foreach(s => fs.delete(s.getPath, false))
+      else fs.mkdirs(idx)
+      fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val dst = new org.apache.hadoop.fs.Path(idx, s"b$batchId-${s.getPath.getName}")
+          require(fs.rename(s.getPath, dst), s"batch-scoped append rename failed: $dst")
+        }
+      fs.delete(staging, true)
+    }
   }
 
   /** One micro-batch of maintenance — factored out of the stream so

@@ -29,15 +29,31 @@ import org.apache.spark.sql.SparkSession
   */
 final class ArtifactCache[V](val name: String) {
   private val m = scala.collection.concurrent.TrieMap.empty[String, V]
+  // Per-key build lock: builds are NOT all side-effect-free (the
+  // signature-index and label-table builds deleteRecursively + DROP
+  // TABLE + saveAsTable), so a check-then-act race between two callers
+  // on one session can interleave destructive filesystem/catalog work
+  // (ADVICE r13). One builder per key at a time; the lock object is
+  // interned per key and never removed (bounded by distinct key count,
+  // which is bounded by distinct artifacts).
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
   /** Cached value for `key` if still `valid`, else `build` and
-    * remember. Concurrent builders may race benignly (builds are
-    * deterministic per key; last put wins). */
+    * remember. At most one builder runs for a given key at a time;
+    * losers of the race re-check the cache under the lock and get the
+    * winner's value. Distinct keys build concurrently. */
   def getOrBuild(key: String, valid: V => Boolean)(build: => V): V =
     m.get(key).filter(valid).getOrElse {
-      val v = build
-      m.put(key, v)
-      v
+      val lock = locks.getOrElseUpdate(key, new AnyRef)
+      lock.synchronized {
+        // Re-check under the lock: a concurrent builder may have
+        // finished while this caller was waiting.
+        m.get(key).filter(valid).getOrElse {
+          val v = build
+          m.put(key, v)
+          v
+        }
+      }
     }
 
   /** Drop entries whose value went dead (stopped session, deleted

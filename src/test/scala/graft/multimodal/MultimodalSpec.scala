@@ -559,6 +559,37 @@ class MultimodalSpec extends AnyFunSuite {
     // truncation and wrong NAL type degrade to None, never throw
     assert(Multimodal.spsDims(baselineSps(30).take(6)) === None)
     assert(Multimodal.spsDims(Array[Byte](0x68.toByte, 1, 2, 3, 4)) === None)
+
+    // ── hostile-SPS overflow guards (ADVICE r13) ──
+    // Every case must degrade to None, never wrap Int into a
+    // wrong-but-positive dimension that passes the dims > 0 check.
+    def hostile(pw: Int, ph: Int, crop: Option[(Int, Int, Int, Int)]): Array[Byte] = {
+      val w = new BW
+      w.u(8, 66).u(8, 0).u(8, 30)
+      w.ue(0).ue(0).ue(0).ue(0)
+      w.ue(1).u(1, 0)
+      w.ue(pw).ue(ph)
+      w.u(1, 1).u(1, 1)
+      crop match {
+        case Some((l, r, t, b)) => w.u(1, 1).ue(l).ue(r).ue(t).ue(b)
+        case None => w.u(1, 0)
+      }
+      Array[Byte](0x67.toByte) ++ w.bytes
+    }
+    // pic-width 2^26−1 map units: (pw+1)*16 would wrap Int to a
+    // positive multiple — the level-limit bound (< 4096 MBs) rejects it
+    assert(Multimodal.spsDims(hostile((1 << 26) - 1, 14, None)) === None)
+    assert(Multimodal.spsDims(hostile(19, (1 << 26) - 1, None)) === None)
+    // a 31-zero Exp-Golomb prefix: (1 << 31) is Int.MinValue — the
+    // reader must refuse (cap at 30 zeros), not wrap
+    assert(Multimodal.spsDims(hostile(Int.MaxValue, 14, None)) === None)
+    // crop offsets near 2^28: subW*(l+r) wraps Int past the
+    // subtraction — Long arithmetic must yield a negative width → None
+    val bigCrop = (1 << 28) - 1
+    assert(Multimodal.spsDims(hostile(19, 14, Some((bigCrop, bigCrop, 0, 0)))) === None)
+    assert(Multimodal.spsDims(hostile(19, 14, Some((0, 0, bigCrop, bigCrop)))) === None)
+    // sane inputs still parse after the guards
+    assert(Multimodal.spsDims(hostile(19, 14, Some((0, 2, 0, 2)))) === Some((316, 236)))
   }
 
   test("Mp4VideoCodec: avc1 dims come from the avcC SPS, pixels stay honestly fake") {

@@ -289,6 +289,162 @@ class BeamIndexSpec extends AnyFunSuite {
       "vacuum left superseded manifests")
   }
 
+  test("writer fence: a concurrent appender fails loudly; winner commits intact (r13 #1)") {
+    val tmp = Files.createTempDirectory("beamidx8").toString
+    val root = s"$tmp/idx"
+    val base = (0L until 40L); val all = (0L until 50L)
+    val neAll = neOf(all).localCheckpoint(true)
+    SimilarityQueries.beamIndexCreate(spark, neOf(base), 4, root)
+    // interleave a SECOND writer inside the first's transaction (after
+    // its data writes, before its manifest rename) — pre-fence, both
+    // computed gen = 1 and the loser's rename silently clobbered the
+    // winner's commit; now the loser throws at lease acquire
+    var loser: Option[Throwable] = None
+    SimilarityQueries.beamIndexAppend(spark, neAll, root,
+      beforeCommit = () => {
+        loser = scala.util.Try(
+          SimilarityQueries.beamIndexDelete(spark, neOf(base.drop(3)),
+            Seq(0L, 1L, 2L).toDF("vec_id"), root)).failed.toOption
+      })
+    assert(loser.exists(_.isInstanceOf[
+        graft.util.WriterFence.ConcurrentWriterException]),
+      s"concurrent writer did not fail with ConcurrentWriterException: $loser")
+    // the winner's commit is intact: state == a one-shot rebuild of
+    // the union corpus, untouched by the aborted concurrent delete
+    val fullRoot = s"$tmp/full"
+    SimilarityQueries.beamIndexCreate(spark, neAll, 4, fullRoot)
+    assert(searchRows(root, neAll) === searchRows(fullRoot, neAll),
+      "the losing writer corrupted the winning snapshot")
+    // the lease released on exit: the next writer proceeds normally
+    assert(!new java.io.File(root, "_writer.lock").exists(),
+      "winner did not release its lease")
+    SimilarityQueries.beamIndexAppend(spark, neOf(all ++ (50L until 55L)), root)
+    assert(SimilarityQueries.beamMeta(spark, root)._2 === 55L)
+  }
+
+  test("writer fence: stale lease is stolen; the stalled victim aborts at commit") {
+    val tmp = Files.createTempDirectory("beamidx9").toString
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(0L until 40L), 4, root)
+    // a crashed writer's leftover lease (old mtime) must not block
+    // writers forever — the staleness window lets the next one steal
+    val lock = new java.io.File(root, "_writer.lock")
+    assert(java.nio.file.Files.write(lock.toPath,
+      "dead-writer-token".getBytes("UTF-8")).toFile.exists())
+    assert(lock.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    SimilarityQueries.beamIndexAppend(spark, neOf(0L until 45L), root)
+    assert(SimilarityQueries.beamMeta(spark, root)._2 === 45L,
+      "append could not steal a stale (crashed-writer) lease")
+    // the commit-point fence: a writer whose lease is stolen MID-
+    // transaction (it stalled past the window; a thief now owns the
+    // root) must abort BEFORE its manifest rename, not clobber
+    val genBefore = SimilarityQueries.beamManifest(spark, root).gen
+    val ex = intercept[graft.util.WriterFence.ConcurrentWriterException] {
+      SimilarityQueries.beamIndexAppend(spark, neOf(0L until 48L), root,
+        beforeCommit = () => {
+          // simulate the thief: replace the victim's token
+          java.nio.file.Files.write(lock.toPath,
+            "thief-token".getBytes("UTF-8")): Unit
+        })
+    }
+    // the diagnosis is "taken over by <token>" or "removed" (the local
+    // fs reports a checksum-mismatched tampered lock as unreadable —
+    // both mean the same thing: the lease is no longer ours)
+    assert(ex.getMessage.contains("aborting before commit"),
+      s"commit-point abort lacks the takeover diagnosis: ${ex.getMessage}")
+    assert(SimilarityQueries.beamManifest(spark, root).gen === genBefore,
+      "a fenced-out victim still committed its generation")
+  }
+
+  test("reader pinned past the vacuum grace window fails loudly, never silently wrong (r13 #4)") {
+    val tmp = Files.createTempDirectory("beamidx10").toString
+    val root = s"$tmp/idx"
+    val all = (0L until 48L)
+    SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, root)
+    val m0 = SimilarityQueries.beamManifest(spark, root)
+    // advance TWO generations with deletes that touch EVERY bucket
+    // (one member per bucket), so every g0 artifact — nodes, fingers,
+    // and all kn leaves — becomes unreferenced by the retained window
+    def oneIdPerBucket(): Seq[Long] =
+      SimilarityQueries.beamNodesFrame(spark, root)
+        .groupBy(col("bucket")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id")).as[Long].collect().toSeq
+    val del1 = oneIdPerBucket()
+    var left = all.filterNot(del1.toSet)
+    SimilarityQueries.beamIndexDelete(spark, neOf(left), del1.toDF("vec_id"), root)
+    val del2 = oneIdPerBucket()
+    left = left.filterNot(del2.toSet)
+    SimilarityQueries.beamIndexDelete(spark, neOf(left), del2.toDF("vec_id"), root)
+    SimilarityQueries.beamIndexVacuum(spark, root, keepGens = 2)
+    assert(!new java.io.File(root, "g0").exists(),
+      "setup failed: generation 0 survived the vacuum (still referenced?)")
+    // the serving stream's per-trigger probe: an actionable error
+    // naming the fix, at the START of the trigger
+    val ex = intercept[IllegalStateException] {
+      SimilarityQueries.requireBeamSnapshotLive(spark, root, m0)
+    }
+    assert(ex.getMessage.contains("vacuumed") &&
+      ex.getMessage.contains("restart"),
+      s"stale-snapshot error is not actionable: ${ex.getMessage}")
+    // and the underlying read path is LOUD too (missing files, not
+    // empty frames): a pinned search can never silently return wrong
+    // results after its generation is reclaimed
+    val neLeft = neOf(left).localCheckpoint(true)
+    assertThrows[Exception] {
+      SimilarityQueries.beamSearchProbes(spark, root, neLeft,
+        neOf(left.take(3)), manifestOpt = Some(m0))
+        .collect()
+    }
+    // the CURRENT snapshot still serves (probe surviving ids — the
+    // fixed vec_id < 5 probe set was deleted above)
+    assert(SimilarityQueries.beamSearchProbes(spark, root, neLeft,
+      neOf(left.take(3))).collect().nonEmpty)
+  }
+
+  test("compaction merges delta dirs: results bit-identical, file count drops (r13 #7)") {
+    val tmp = Files.createTempDirectory("beamidx11").toString
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(0L until 40L), 4, root)
+    // three monotone appends -> three node/finger DELTA dirs beside
+    // the base (the per-streaming-batch accumulation compaction bounds)
+    (0 until 3).foreach { i =>
+      SimilarityQueries.beamIndexAppend(
+        spark, neOf(0L until (44L + 4 * i)), root)
+    }
+    val mBefore = SimilarityQueries.beamManifest(spark, root)
+    assert(mBefore.nodesDirs.size === 4 && mBefore.fingerDirs.size === 4,
+      s"setup: expected 4 delta dirs, got ${mBefore.nodesDirs}")
+    val neAll = neOf(0L until 52L).localCheckpoint(true)
+    val before = searchRows(root, neAll)
+    def dataFiles(m: SimilarityQueries.BeamManifest): Int =
+      (m.nodesDirs ++ m.fingerDirs).map(d =>
+        new java.io.File(s"$root/$d").listFiles()
+          .count(_.getName.endsWith(".parquet"))).sum
+    val filesBefore = dataFiles(mBefore)
+
+    SimilarityQueries.beamIndexCompact(spark, root)
+    val mAfter = SimilarityQueries.beamManifest(spark, root)
+    assert(mAfter.gen === mBefore.gen + 1)
+    assert(mAfter.nodesDirs.size === 1 && mAfter.fingerDirs.size === 1,
+      "compaction did not consolidate to single base dirs")
+    assert(mAfter.knDirs === mBefore.knDirs,
+      "compaction touched kn leaves (they never accumulate deltas)")
+    assert(mAfter.n === mBefore.n && mAfter.planes === mBefore.planes)
+    assert(searchRows(root, neAll) === before,
+      "compaction changed search results")
+    assert(dataFiles(mAfter) < filesBefore,
+      s"compaction did not reduce data file count ($filesBefore -> ${dataFiles(mAfter)})")
+    // superseded generations linger for pinned readers until vacuum;
+    // after an aggressive vacuum the consolidated snapshot still serves
+    SimilarityQueries.beamIndexVacuum(spark, root, keepGens = 1)
+    assert(searchRows(root, neAll) === before,
+      "post-compaction vacuum broke the consolidated snapshot")
+    // idempotence: nothing left to compact -> no new generation
+    SimilarityQueries.beamIndexCompact(spark, root)
+    assert(SimilarityQueries.beamManifest(spark, root).gen === mAfter.gen,
+      "a no-op compaction committed a generation")
+  }
+
   test("gappy vec_ids search isomorphically to their dense relabeling") {
     val tmp = Files.createTempDirectory("beamidx3").toString
     // ids 0..89 with every id ≡ 1 (mod 3) removed — non-contiguous,

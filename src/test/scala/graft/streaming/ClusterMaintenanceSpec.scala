@@ -174,6 +174,29 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     assert(ids === Set(0L, 1L, 10L, 11L))
   }
 
+  test("batch-scoped append is writer-fenced: a second live writer fails loudly (r13 #1)") {
+    // Two maintainers on one table interleaving sweep-then-rename for
+    // the same batch id would each treat the other's fresh b<id>-*
+    // files as crashed leftovers; the lease makes the loser throw at
+    // acquire instead.
+    val root = Files.createTempDirectory("clustermaintfence").toString
+    val dir = s"$root/index"
+    val out = Seq((1L, 0, "s")).toDF("doc_id", "band", "sig")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.WriterFence.withLease(fs, dir, "test holder") { _ =>
+      val ex = intercept[graft.util.WriterFence.ConcurrentWriterException] {
+        ClusterMaintenanceStream.appendBatchScoped(spark, out, dir, batchId = 0L)
+      }
+      assert(ex.getMessage.contains("another writer"),
+        s"fence error not diagnostic: ${ex.getMessage}")
+    }
+    // lease released: the append now proceeds, and the fence left no
+    // artifacts a parquet reader would trip on
+    ClusterMaintenanceStream.appendBatchScoped(spark, out, dir, batchId = 0L)
+    assert(spark.read.parquet(dir).count() === 1L)
+  }
+
   test("hash-family stamp: a mismatched persisted index fails fast") {
     val root = Files.createTempDirectory("clustermaintfam").toString
     val indexPath = s"$root/index"; val labelPath = s"$root/labels"

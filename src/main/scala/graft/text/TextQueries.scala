@@ -817,15 +817,31 @@ object TextQueries extends QueryModule {
     * filtering by informativeness). score = tf · ln(N/df), top 5 per
     * doc.
     *
-    * Scale shape: term frequencies are one (doc, term) hash aggregate
-    * with map-side combine; document frequencies derive from THAT
-    * (already-distinct) stream, so df is one more vocab-sized
-    * aggregate — the corpus token stream shuffles once. The df join
-    * is a plain equi-join on term (vocab-sized right side; Catalyst/
-    * AQE broadcasts when it fits). The corpus size N is a 1-row
-    * metadata-only count broadcast into the score expression. Top-5
-    * per doc is rank-filtered, so the window prunes before the final
-    * sort. Cross-engine: the score is 6dp-rounded BEFORE ranking and
+    * Scale shape (r13 verdict #2 rework — the old plan was the only
+    * >10× sf1 breadth ratio at 10.2s): the token stream is hash-
+    * repartitioned by TERM once, and everything term-keyed rides that
+    * single exchange — the (doc, term) tf aggregate (HashPartitioning
+    * on term satisfies the agg's ClusteredDistribution on
+    * {doc_id, term}, so Catalyst plans NO second exchange) and the df
+    * census, which folds into a `count(*) over (partition by term)`
+    * window on the aggregated rows instead of a separate vocab-sized
+    * aggregate joined back (the join and its exchange disappear; tf
+    * rows are (doc, term)-unique, so the window count IS the document
+    * frequency). The corpus size N is a 1-row metadata-only count
+    * broadcast into the score expression. Top-5 per doc is
+    * rank-filtered, so the doc-keyed window prunes before the final
+    * sort. Total: two data exchanges (term, doc) + the output range
+    * sort, vs four (doc+term agg, term df agg, join, doc window).
+    * The term repartition moves RAW tokens (no map-side combine) —
+    * measured both orders at the 50k-doc sf1 tier: raw-then-agg
+    * 2.75s, agg-then-repartition 2.76s (combine saves nothing here
+    * because tf ≈ 1 for almost every (doc, term) pair), and the old
+    * join plan 10.2s — a 3.7× win, identical hashes (BASELINE.md
+    * §r14). At sf0.1's fixed 500-doc corpus the extra window stage
+    * costs ~0.3s of fixed overhead (0.97s vs the 0.66s min-ratchet
+    * budget, inside the 2× gate) — the right trade for the tier
+    * where the query actually costs something.
+    * Cross-engine: the score is 6dp-rounded BEFORE ranking and
     * the tiebreak is (score DESC, term ASC), so Spark's Math.log vs
     * DuckDB's ln can only disagree if two terms' unrounded scores
     * straddle the same half-ulp-of-1e-6 boundary — and ties on the
@@ -838,12 +854,13 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val tf = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .repartition(col("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.groupBy().agg(count(lit(1)).as("n"))
       val scored = tf
-        .join(df, Seq("term"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
         .crossJoin(broadcast(n))
         .withColumn("score_r",
           round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6))

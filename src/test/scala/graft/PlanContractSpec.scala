@@ -88,9 +88,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_kmeans_cluster" -> 2,   // map-side cell assignment; one (cell) agg + sort
     "q_semantic_dedup" -> 6,   // cell self-join (2) + pair distinct + 2 aggs + join/sort
     "q_mix_sample" -> 2,       // broadcast weights dim + one (source) agg + sort
-    "q_tfidf" -> 6,            // tf/df aggs + term join + doc window + sort; the static
-                               // plan re-derives tf for df — AQE exchange reuse collapses
-                               // the duplicate at runtime
+    "q_tfidf" -> 4,            // ONE term exchange serves tf agg + df window (r14:
+                               // the df agg + join and their exchanges are gone) +
+                               // doc window + sort + the 1-row corpus-count agg
+    "q_percentile" -> 2,       // final segment only: the checkpointed range sort (1
+                               // corpus exchange) + census run at build time; visible
+                               // plan is broadcast joins + group agg + 3-row sort
     "q_entropy" -> 3,          // (doc,term) agg + per-doc agg + sort; no window
     "q_scd2" -> 2,             // lag + lead share ONE (user) window exchange + sort
     "q_moments" -> 2,          // one decimal power-sum agg + sort

@@ -95,6 +95,48 @@ object Bench {
     }.sortBy(_._1)
   }
 
+  /** On a FULL run the registry is authoritative: prior baseline
+    * entries whose query no longer exists (renamed/deleted) would
+    * otherwise persist in the artifact forever — mergeBaseline
+    * union-preserves them and uncovered() only reports the OPPOSITE
+    * direction (ADVICE r13). Subset runs can't tell "deleted" from
+    * "not selected", so they never prune. */
+  private[graft] def pruneStale(
+      prior: Map[String, Double], registry: Set[String],
+      fullRun: Boolean): Map[String, Double] =
+    if (!fullRun) prior
+    else {
+      val stale = prior.keySet -- registry
+      if (stale.nonEmpty)
+        System.err.println(
+          s"[bench] pruning ${stale.size} stale baseline entries no longer " +
+            s"in the registry: ${stale.toSeq.sorted.mkString(", ")}")
+      prior -- stale
+    }
+
+  /** A scale-tier preset (r13 verdict #6): one env var
+    * (`SPARK_GRAFT_BENCH_TIER=sf40|sf1`) turns a tier re-bench into
+    * ONE mechanical command — corpus dir (auto-built via
+    * [[ScaleSmoke.buildCorpus]] when missing), persisted artifact,
+    * iteration count, family subset, and the regression gate against
+    * the artifact's own committed budgets all default together, where
+    * the r13 recipes needed two commands and a hand-set baseline.
+    * Every individual env var still overrides its preset field. */
+  private[graft] final case class Tier(
+      mult: Int, sfDir: String, out: String, iters: Int,
+      family: Option[String])
+
+  private[graft] def tierOf(name: String): Tier = name match {
+    // sf40: the 20-query heavy tail at the 40× corpus (BASELINE.md §r11)
+    case "sf40" => Tier(40, ScaleSmoke.corpusDir(40), "bench_sf40.json", 2,
+      Some("heavy"))
+    // sf1: full-registry breadth at the mult-100 corpus (BASELINE.md §r13)
+    case "sf1" => Tier(100, ScaleSmoke.corpusDir(100), "bench_sf1.json", 1,
+      None)
+    case other => throw new IllegalArgumentException(
+      s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1)")
+  }
+
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
     * bench everything). Both knobs validate loudly — a typo'd or empty
     * value must fail, not silently bench (and gate) nothing — and when
@@ -143,30 +185,52 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER").map(tierOf)
+    val sfDir = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .orElse(tier.map(_.sfDir)).getOrElse("/root/testdata/sf0.1")
+    val iters = sys.env.get("BENCH_ITERS")
+      .map(_.toInt).getOrElse(tier.fold(3)(_.iters))
     // Local-iteration subsets: SPARK_GRAFT_BENCH_ONLY=q_lang_id,q_setops
     // and/or SPARK_GRAFT_BENCH_FAMILY=similarity,graph (union when both).
     val only = selection(
       sys.env.get("SPARK_GRAFT_BENCH_ONLY"),
-      sys.env.get("SPARK_GRAFT_BENCH_FAMILY"))
+      sys.env.get("SPARK_GRAFT_BENCH_FAMILY").orElse(tier.flatMap(_.family)))
+    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(tier.map(_.out))
     // Pre-flight the persist target's scale factor BEFORE paying for
     // the timing run: min-merging a different-sf run into an existing
     // artifact would ratchet its budgets to the smaller corpus forever
     // (the same check guards the write below; here it just fails in
     // seconds instead of after minutes of measurement).
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+    outEnv.foreach { p =>
       requireSameSf(new java.io.File(p), sfDir)
     }
     val spark = util.GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Tier corpora are synthetic and reproducible — a missing dir
+    // regenerates (deterministic generator, seed 1) instead of failing
+    // the recipe's first step. An explicit SPARK_GRAFT_SF_DIR is the
+    // caller's own corpus; never second-guess it.
+    tier.foreach { t =>
+      if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty &&
+          !new java.io.File(t.sfDir).exists) {
+        System.err.println(s"[bench] tier corpus ${t.sfDir} missing — building " +
+          s"(ScaleSmoke mult=${t.mult})")
+        ScaleSmoke.buildCorpus(spark, t.mult): Unit
+      }
+    }
 
     var failed = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Baseline loads BEFORE timing so first-pass suspects can be
-    // retry-confirmed below, and so a bad path fails fast.
-    val baseOpt = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map { p =>
+    // retry-confirmed below, and so a bad path fails fast. Under a
+    // TIER the artifact's own committed budgets are the default gate
+    // (that is what makes the tier run mechanical — regressions exit
+    // 2 with no extra flags); a first-ever tier run has no artifact
+    // and records ungated, like any first recording.
+    val baselineEnv = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .orElse(tier.map(_.out).filter(p => new java.io.File(p).exists))
+    val baseOpt = baselineEnv.map { p =>
       val base = loadBaseline(p)
       // An empty parse means the file isn't a bench artifact at all —
       // gating against it would be a silent no-op, which is exactly the
@@ -295,7 +359,6 @@ object Bench {
     // The protection compares CANONICAL paths (./bench_local.json and
     // an absolute alias must not bypass it and truncate the committed
     // 219-entry budget to the subset).
-    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     val isBudgetFile = outEnv.forall(p =>
       new java.io.File(p).getCanonicalFile ==
         new java.io.File("bench_local.json").getCanonicalFile)
@@ -308,10 +371,19 @@ object Bench {
       // stdout keeps the honest measured numbers (the driver reads
       // them); the PERSISTED budget merges against the prior committed
       // baseline via [[mergeBaseline]] so it can only ratchet down.
-      val prior = baseOpt.getOrElse {
+      // Prior ALWAYS comes from the OUT artifact itself, never from
+      // SPARK_GRAFT_BENCH_BASELINE: gating a 40x run against
+      // bench_local.json (sf0.1) while persisting to bench_sf40.json
+      // would otherwise union-copy every foreign-sf baseline entry into
+      // the persisted artifact (ADVICE r13 medium) — requireSameSf only
+      // validates the OUT file's recorded sf, not the baseline file's.
+      // baseOpt stays what it is: the regression-GATE reference only.
+      val priorRaw = {
         val f = new java.io.File(out)
         if (f.exists) loadBaseline(f.getPath) else Map.empty[String, Double]
       }
+      val prior = pruneStale(priorRaw, SparkEntry.queries.keySet,
+        fullRun = only.isEmpty)
       val merged = mergeBaseline(results, prior)
       val mergedQs = merged.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

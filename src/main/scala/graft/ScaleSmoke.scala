@@ -12,18 +12,100 @@ import org.apache.spark.sql.functions._
   * re-times.
   */
 object ScaleSmoke {
+
+  /** Canonical location of the mult× corpus (shared with Bench's tier
+    * knob, which auto-builds a missing corpus via [[buildCorpus]]). */
+  def corpusDir(mult: Int): String = s"/tmp/graft_sfbig_${mult}x"
+
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULT", "40").toInt
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.build("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_SMOKE_DOCS_ONLY=1: the document-scaled tier (r13
+    // verdict #5) — only documents/embeddings are generated (fully
+    // distributed, so mult=1000 → 500k docs works), and the caller
+    // restricts SPARK_GRAFT_SMOKE_ONLY to the dedup/ANN/text families
+    // that read those two tables. The quadratic hazards (shingle
+    // buckets, band collisions, in-bucket kNN, component diameters)
+    // grow with DOCUMENT count, not lineitem count — this tier stresses
+    // exactly them without paying for 60M relational rows.
+    val docsOnly = sys.env.get("SPARK_GRAFT_SMOKE_DOCS_ONLY").contains("1")
+    val dir =
+      if (docsOnly) buildDocsCorpus(spark, mult)
+      else buildCorpus(spark, mult)
+    runSmoke(spark, mult, only, dir)
+  }
+
+  /** Distributed documents+embeddings generator for the docs-scaled
+    * tier at `/tmp/graft_docs_<mult>x`. Content is hash-derived (no
+    * driver-side Seq — the committed 40×/100× corpora keep their
+    * byte-identical driver-side generator), with planted structure
+    * the family gates need:
+    *  - every doc with id ≡ 0 (mod 97) is an EXACT copy of doc id+1
+    *    (exact-dedup signal),
+    *  - every doc with id ≡ 0 (mod 89) copies doc id+1 with its first
+    *    token replaced (near-dup signal for MinHash/SimHash),
+    *  - embeddings plant the standard cos ≈ 0.9999 twins: vec_ids
+    *    [n/2, n/2+5) are probe (id − n/2)'s vector + 1% noise — the
+    *    recall-floor gates (knn/ivf/beam) work unchanged. */
+  def buildDocsCorpus(
+      spark: org.apache.spark.sql.SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_docs_${mult}x"
+    val nDocs = 500L * mult
+    // doc id ≡ 0 mod 97 → copy of id+1; mod 89 → near-dup of id+1
+    val src = spark.range(nDocs).select(
+      col("id"),
+      when(col("id") % 97 === 0 && col("id") + 1 < nDocs, col("id") + 1)
+        .when(col("id") % 89 === 0 && col("id") + 1 < nDocs, col("id") + 1)
+        .otherwise(col("id")).as("src"),
+      (col("id") % 89 === 0 && col("id") % 97 =!= 0).as("mut"))
+    val toks = transform(sequence(lit(0), lit(99)),
+      p => concat(lit("w"),
+        pmod(hash(col("src") * 101 + p.cast("long") * 7 + 3), lit(5000))))
+    val toksMut = when(col("mut"),
+      concat(array(lit("zzq")), slice(toks, 2, 99))).otherwise(toks)
+    src.select(
+        col("id").as("doc_id"),
+        array_join(toksMut, " ").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+          (col("id") % 4 + 1).cast("int")).as("lang"),
+        lit("src").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: deterministic uniform [-1, 1) per (id, dim) — sign-LSH
+    // and Lloyd training only need symmetric spread — with the twins
+    // planted by remapping the source id and adding 1% hash noise
+    val half = nDocs / 2
+    val eSrc = when(col("id") >= half && col("id") < half + 5,
+      col("id") - half).otherwise(col("id"))
+    val isTwin = col("id") >= half && col("id") < half + 5
+    def u(seed: org.apache.spark.sql.Column, salt: Int) =
+      pmod(hash(seed * 131 + salt), lit(2000001)) / lit(1000000.0) - lit(1.0)
+    spark.range(nDocs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d => {
+          val base = u(eSrc * 67 + d.cast("long") * 17, 7)
+          (base + when(isTwin,
+            u(col("id") * 71 + d.cast("long") * 19, 11) * lit(0.01))
+            .otherwise(lit(0.0))).cast("float")
+        }).as("embedding"),
+        (col("id") % 8).cast("int").as("label"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Generate the mult× synthetic corpus (all 10 tables) at
+    * [[corpusDir]] and return the dir — factored out of the smoke so
+    * Bench's tier gate is ONE command (r13 verdict #6: a missing
+    * corpus rebuilds instead of failing the recipe's first step). */
+  def buildCorpus(
+      spark: org.apache.spark.sql.SparkSession, mult: Int): String = {
     import spark.implicits._
-    val dir = s"/tmp/graft_sfbig_${mult}x"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
+    val dir = corpusDir(mult)
     val nDocs = 500 * mult
     val words = (0 until 5000).map(i => s"w$i")
     val rnd = new scala.util.Random(1)
@@ -166,6 +248,18 @@ object ScaleSmoke {
       concat(lit("NATION_"), col("id")).as("n_name"),
       (col("id") % 5).cast("int").as("n_regionkey"))
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    dir
+  }
+
+  private def runSmoke(
+      spark: org.apache.spark.sql.SparkSession, mult: Int,
+      only: Option[Set[String]], dir: String): Unit = {
+    import spark.implicits._
+    val nDocs = 500 * mult
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
     def time(n: String): Unit = if (only.forall(_.contains(n))) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -80,6 +80,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(merged.head == ("q_b" -> 1.5))
   }
 
+  test("tier presets are the one-command scale gates (r13 #6)") {
+    // sf40: the heavy tail at the 40x corpus, min-of-2, persisted+gated
+    // against bench_sf40.json
+    val t40 = Bench.tierOf("sf40")
+    assert(t40 == Bench.Tier(40, "/tmp/graft_sfbig_40x", "bench_sf40.json",
+      2, Some("heavy")))
+    // sf1: the full-registry breadth tier at the mult-100 corpus,
+    // one-shot, persisted+gated against bench_sf1.json
+    val t1 = Bench.tierOf("sf1")
+    assert(t1 == Bench.Tier(100, "/tmp/graft_sfbig_100x", "bench_sf1.json",
+      1, None))
+    // the heavy family must exist for sf40's preset to select anything
+    assert(Bench.tierOf("sf40").family.forall(SparkEntry.families.contains))
+    // a typo fails loudly, not as an accidental sf0.1 full run
+    assertThrows[IllegalArgumentException](Bench.tierOf("sf2"))
+  }
+
+  test("pruneStale drops registry-orphaned entries on full runs only (ADVICE r13)") {
+    val prior = Map("q_live" -> 1.0, "q_renamed_away" -> 2.0, "q_deleted" -> -1.0)
+    val registry = Set("q_live", "q_other")
+    // full run: the registry is authoritative — orphans (including
+    // failed markers) are dropped, so a renamed query's old entry
+    // cannot persist in the artifact forever
+    assert(Bench.pruneStale(prior, registry, fullRun = true) ==
+      Map("q_live" -> 1.0))
+    // subset run: "deleted" is indistinguishable from "not selected" —
+    // never prune
+    assert(Bench.pruneStale(prior, registry, fullRun = false) == prior)
+  }
+
   test("uncovered reports baseline gaps so a partial baseline cannot silently shrink the gate") {
     val base = Map("q_b" -> 1.0, "q_c" -> 1.0)
     assert(Bench.uncovered(base, Seq("q_c", "q_a", "q_b", "q_d")) == Seq("q_a", "q_d"))

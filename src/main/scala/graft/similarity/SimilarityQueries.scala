@@ -1376,9 +1376,25 @@ object SimilarityQueries extends QueryModule {
     * n planes × 64 dims, integer values in [-3, 3]. The first 4 are
     * shared verbatim by the Spark plan and the oracle SQL (single
     * source of truth); [[planesFor]] extends the same formula for the
-    * scale-widened variants ScaleSmoke measures. */
-  private[graft] def planesFor(n: Int): Seq[Array[Int]] =
-    (0 until n).map(j => Array.tabulate(64)(i => ((i * 31 + j * 17) % 7) - 3))
+    * auto-width variants, mirrored in SQL by [[knnBucketSql]].
+    *
+    * The `(j / 7)` terms exist because the r14 500k-doc tier caught
+    * the original formula REPEATING with period 7 in j (j·17 + 119 ≡
+    * j·17 mod 7): planes 7/8/9 duplicated planes 0/1/2, so any width
+    * above 7 silently capped bucket diversity at 128 — 500k vectors
+    * at "width 10" landed in 126 buckets and the in-bucket quadratic
+    * came back (SCALE.md §r14). The band-shift terms vanish for
+    * j < 7, keeping every committed oracle literal and every corpus
+    * up to width 7 (≈ 50k vectors) bit-identical; the family is
+    * verified pairwise-distinct and non-proportional through j = 25
+    * (width 26 ≈ 2.7e10 vectors), and fails loudly beyond. */
+  private[graft] def planesFor(n: Int): Seq[Array[Int]] = {
+    require(n <= 26,
+      s"plane family verified distinct only to width 26, got $n — " +
+        "extend the (j/7) band-mixing terms before going wider")
+    (0 until n).map(j => Array.tabulate(64)(i =>
+      ((i * 31 + j * 17 + (j / 7) * ((i * i) % 7) * 3 + (j / 7) * 5) % 7) - 3))
+  }
 
   private val planes: Seq[Array[Int]] = planesFor(4)
 
@@ -1591,8 +1607,11 @@ object SimilarityQueries extends QueryModule {
       wv AS (SELECT CAST(greatest(4, round(log2(count(*) / 400.0))) AS INT) AS w
              FROM embeddings),
       pl AS (
-        SELECT pj.j, pi.i, ((pi.i * 31 + pj.j * 17) % 7) - 3 AS wgt
-        FROM (SELECT unnest(range(16)) AS j) pj
+        SELECT pj.j, pi.i,
+               ((pi.i * 31 + pj.j * 17
+                 + (pj.j // 7) * ((pi.i * pi.i) % 7) * 3
+                 + (pj.j // 7) * 5) % 7) - 3 AS wgt
+        FROM (SELECT unnest(range(26)) AS j) pj
         CROSS JOIN (SELECT unnest(range(64)) AS i) pi
         CROSS JOIN wv WHERE pj.j < wv.w),
       vx AS (
@@ -3073,16 +3092,18 @@ object SimilarityQueries extends QueryModule {
     */
   val embedDedup = Q(
     "q_embed_dedup",
+    // Auto-width (r14 — the 500k-doc tier's measured cliff): this was
+    // the LAST all-pairs-in-bucket query still on the literal 4-plane
+    // demo width; at 500k uniform vectors that is 16 buckets × ~31k
+    // members × C(31k, 2) dots = the 1667s straggler the docs tier
+    // caught (SCALE.md §r14). signBuckets ∘ autoPlaneCount derives 4
+    // (bit-identical to the old inline planes) at the 500-doc oracle
+    // corpora and log2-scales beyond, exactly the q_knn_graph
+    // precedent; the DuckDB twin derives the SAME width in SQL
+    // ([[knnBucketSql]]), so the oracle stays exact at every scale.
     (s, dir) => {
-      val emb = normEmb(s, dir)
-      def dot(j: Int): Column = aggregate(
-        zip_with(col("v"), array(planes(j).map(lit(_)): _*),
-          (x, w) => round(x * 1e6).cast(LongType) * w.cast(LongType)),
-        lit(0L), (acc, x) => acc + x)
-      val b = emb.withColumn(
-        "bucket",
-        (0 until 4).map(j => when(dot(j) >= 0, lit(8 >> j)).otherwise(lit(0)))
-          .reduce(_ + _))
+      val b = signBuckets(normEmb(s, dir),
+        autoPlaneCount(t(s, dir, "embeddings").count()))
       val right = b.select(
         col("bucket"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
       b.join(right, Seq("bucket"))
@@ -3091,22 +3112,10 @@ object SimilarityQueries extends QueryModule {
         .filter(col("sim") >= 0.4)
         .select(col("vec_id").as("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
         .orderBy(col("id1"), col("id2"))
-    }, {
-      def planeSql(j: Int): String = {
-        val w = planes(j).mkString("[", ", ", "]")
-        s"""CAST(list_sum(list_transform(list_zip(v, $w),
-             z -> CAST(round(struct_extract(z, 1) * 1000000) AS BIGINT)
-                  * CAST(struct_extract(z, 2) AS BIGINT))) AS BIGINT)"""
-      }
-      Some(s"""
+    },
+    Some(s"""
       WITH $normEmbSql,
-      b AS (
-        SELECT vec_id, v, nrm,
-               (CASE WHEN ${planeSql(0)} >= 0 THEN 8 ELSE 0 END
-              + CASE WHEN ${planeSql(1)} >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN ${planeSql(2)} >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN ${planeSql(3)} >= 0 THEN 1 ELSE 0 END) AS bucket
-        FROM n),
+      $knnBucketSql,
       p AS (
         SELECT a.vec_id AS id1, c.vec_id AS id2,
                list_sum(list_transform(list_zip(a.v, c.v),
@@ -3115,7 +3124,6 @@ object SimilarityQueries extends QueryModule {
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
       SELECT id1, id2, round(sim, 6) AS sim_r
       FROM p WHERE sim >= 0.4 ORDER BY id1, id2""")
-    }
   )
 
   /** Int8 scalar quantization of the embedding column — the 4× memory

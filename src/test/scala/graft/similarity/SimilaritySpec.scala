@@ -84,6 +84,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g.forall(e => e._3 >= -1.0 - 1e-9 && e._3 <= 1.0 + 1e-9))
   }
 
+  test("planesFor: pairwise-distinct, non-proportional planes at every supported width") {
+    // r14 regression: the original weight formula repeated with period
+    // 7 in j (119 ≡ 0 mod 7), so plane 7 duplicated plane 0 — widths
+    // above 7 silently capped bucket diversity at 128 and the 500k-doc
+    // tier re-hit the in-bucket quadratic. Duplicate AND negated/
+    // proportional planes both halve diversity, so the gate rejects
+    // proportionality, not just equality.
+    val ps = SimilarityQueries.planesFor(26).map(_.toSeq)
+    for (a <- ps.indices; b <- (a + 1) until ps.size) {
+      val ratios = ps(a).zip(ps(b)).flatMap {
+        case (0, 0) => None
+        case (x, y) if x == 0 || y == 0 => Some(Double.NaN) // not proportional
+        case (x, y) => Some(x.toDouble / y)
+      }.distinct
+      assert(ratios.size != 1 || ratios.head.isNaN,
+        s"planes $a and $b are proportional: the bucket bit is redundant")
+    }
+    // the first 7 planes are the committed oracle family — frozen
+    val legacy = (0 until 7).map(j =>
+      (0 until 64).map(i => ((i * 31 + j * 17) % 7) - 3))
+    assert(ps.take(7).map(_.toSeq) === legacy,
+      "planes 0-6 must stay bit-identical to the committed oracle literals")
+    // beyond the verified band the family fails loudly
+    assertThrows[IllegalArgumentException](SimilarityQueries.planesFor(27))
+  }
+
   test("signBuckets: widened widths REFINE the demo buckets (prefix property)") {
     // The scale knob for the embedding family is the sign-LSH plane
     // count (ScaleSmoke's q_knn_graph_scaled entry). planesFor(n)

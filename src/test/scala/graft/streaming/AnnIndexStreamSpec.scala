@@ -151,7 +151,8 @@ class AnnIndexStreamSpec extends AnyFunSuite {
     Files.write(Paths.get(inputDir, "b1.json"), ndjson(45L until 50L).getBytes("UTF-8"))
 
     val q = AnnIndexStream.start(spark, inputDir, corpusPath, idxRoot,
-      s"$root/ckpt", maxFilesPerTrigger = 1, vacuumEveryBatches = 1)
+      s"$root/ckpt", maxFilesPerTrigger = 1, vacuumEveryBatches = 1,
+      compactEveryBatches = 2)
     try q.processAllAvailable() finally q.stop()
 
     assert(spark.read.parquet(corpusPath).count() === 50L)
@@ -163,6 +164,13 @@ class AnnIndexStreamSpec extends AnyFunSuite {
       .filterNot(_.startsWith(".")).length
     assert(keptManifests <= 2,
       s"stream vacuum left $keptManifests manifests (grace window is 2)")
+    // stream-clock compaction (every 2 batches; batch 1 is the second)
+    // consolidated the monotone appends' delta dirs back to one base
+    // dir per artifact — the dirs-per-snapshot bound a forever-running
+    // maintainer needs (r13 #7)
+    val mEnd = SimilarityQueries.beamManifest(spark, idxRoot)
+    assert(mEnd.nodesDirs.size === 1 && mEnd.fingerDirs.size === 1,
+      s"stream-clock compaction did not consolidate: ${mEnd.nodesDirs}")
     val fullRoot = s"$root/full"
     SimilarityQueries.beamIndexCreate(spark, neOf(0L until 50L), 4, fullRoot)
     val oneShot = SimilarityQueries.beamSearchPlan(

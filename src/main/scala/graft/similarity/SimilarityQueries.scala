@@ -478,13 +478,27 @@ object SimilarityQueries extends QueryModule {
       // pipeline below as a semi-join filter.
       val pairs = pairsFromMhWithMatches(minhashFrameFrom(shf))
         .localCheckpoint(true)
-      val cnt = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // Restrict the inverted index to CANDIDATE DOCS before the
+      // doc-list aggregation (r14 — the 500k-doc tier measured the
+      // unrestricted collect_list over every corpus shingle as this
+      // query's time AND memory hog: 181s and the tier's only
+      // 32g-heap requirement): only docs that appear in some band
+      // collision can contribute to a candidate pair's intersection,
+      // so dropping the rest first is result-identical and shrinks
+      // the grouped stage from corpus-sized to candidate-sized. The
+      // per-doc shingle counts below only ever join to candidate ids,
+      // so they ride the same restricted frame.
+      val candDocs = pairs.select(col("id1").as("doc_id"))
+        .union(pairs.select(col("id2").as("doc_id"))).distinct()
+      val shCand = shf.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val cnt = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // Exact intersections for CANDIDATES ONLY: the inverted-index
-      // pair expansion is semi-joined against the broadcast candidate
-      // set BEFORE the (id1,id2) aggregation, so the agg shuffles
-      // candidate evidence, not every co-shingle pair in the corpus
-      // (q_ngram_jaccard wants them all; this query does not).
-      val inter = shingleDocListsFrom(shf)
+      // pair expansion is additionally semi-joined against the
+      // broadcast candidate PAIR set before the (id1,id2) aggregation
+      // (co-shingle pairs among candidate docs are a superset of the
+      // band-collision pairs; q_ngram_jaccard wants them all, this
+      // query does not).
+      val inter = shingleDocListsFrom(shCand)
         .filter(size(col("ds")) >= 2)
         .select(explode(expr(
           """flatten(transform(ds,

@@ -144,10 +144,14 @@ class PlanContractSpec extends AnyFunSuite {
                                // (AQE broadcasts) + sort
     "q_bpe_apply" -> 2,        // merges are checkpointed 1-row broadcasts; tokenize
                                // + 3 replaces are map-side, then per-doc agg + sort
-    "q_minhash_est" -> 6,      // ONE checkpointed shingle pipeline feeds signatures
+    "q_minhash_est" -> 8,      // ONE checkpointed shingle pipeline feeds signatures
                                // + inverted index; signatures ride the band join
                                // (no pair-wise re-join), candidates broadcast into
-                               // the intersection agg; + size joins
+                               // the intersection agg; + size joins. r14: +2
+                               // CANDIDATE-sized exchanges (the cand-doc distinct
+                               // + restricted recount) buy the corpus-sized
+                               // collect_list stage down to candidate-sized —
+                               // the 500k-doc tier's memory hog (SCALE.md §r14)
     "q_outlier_mad" -> 4,      // two type-sized percentile aggs broadcast back
                                // (median, then MAD) + final sort
     "q_abtest" -> 2,           // ONE power-sum aggregate by variant + scalar cross

@@ -101,6 +101,22 @@ object GraftExtensions {
         require(args.length == 1, "graft_nfc(str) takes exactly 1 argument")
         NfcNormalize(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cell_argmin"),
+      new ExpressionInfo(classOf[CellArgMin].getName, "graft_cell_argmin"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_cell_argmin(v, cents, ids) takes exactly 3 arguments")
+        CellArgMin(args.head, args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cell_top2"),
+      new ExpressionInfo(classOf[CellTop2].getName, "graft_cell_top2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_cell_top2(v, nrm, cents, ids, nrms) takes exactly 5 arguments")
+        CellTop2(args.head, args(1), args(2), args(3), args(4))
+      }))
     // Spark ships battle-tested Bloom expressions (the machinery behind
     // its runtime row-level join filters) but leaves them out of the
     // public function registry — expose them so the pre-shuffle

@@ -2776,17 +2776,15 @@ object SimilarityQueries extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     for (_ <- 1 to lloydRounds(n)) {
-      val centArr = array(cents.map { case (id, ci) =>
-        struct(lit(id).as("cell"), array(ci.map(lit(_)): _*).as("ci"))
-      }: _*)
-      val d2 = transform(centArr, c =>
-        struct(
-          aggregate(
-            zip_with(col("vi"), c.getField("ci"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
-          c.getField("cell").as("cell")))
+      // graft_cell_argmin (r14): the fused codegen'd argmin — same
+      // (d2 asc, cell asc) winner as the struct-sort HOF it replaces,
+      // at primitive-loop speed (functions/CellAssign.scala)
+      val centsLit = array(cents.map { case (_, ci) =>
+        array(ci.map(lit(_)): _*) }: _*)
+      val idsLit = array(cents.map { case (id, _) => lit(id) }: _*)
       val sums = vi
-        .select(col("vi"), element_at(array_sort(d2), 1).getField("cell").as("cell"))
+        .select(col("vi"), call_function("graft_cell_argmin",
+          col("vi"), centsLit, idsLit).as("cell"))
         .select(col("cell"), posexplode(col("vi")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("sx"), count(lit(1)).as("cnt"))
@@ -2900,22 +2898,24 @@ object SimilarityQueries extends QueryModule {
           (id, cv, math.sqrt(ss))
         }
       }
-    def csim(c: (Long, Array[Double], Double)): Column =
-      round(
-        call_function("graft_dot", col("v"), array(c._2.map(lit(_)): _*))
-          / (col("nrm") * lit(c._3)),
-        6)
-    // (sim, -id) structs: lexicographic max = highest sim, then
-    // smallest centroid id — same tiebreak as the oracle's
-    // ORDER BY csim DESC, cent_id.
-    val simArr = array(cents.map(c =>
-      struct(csim(c).as("s"), lit(-c._1).as("nid"))): _*)
-    val sortedDesc = reverse(array_sort(simArr))
+    // Native fused top-2 (graft_cell_top2, r14): same math and the
+    // same (sim desc, id asc) tiebreak as the (sim, -id) struct-sort
+    // idiom it replaces — ORDER BY csim DESC, cent_id in the oracle —
+    // but as one codegen'd primitive loop instead of building and
+    // sorting a k-struct array per row through interpreted lambdas
+    // (the 500k-doc tier measured that idiom at ~100s per corpus
+    // assignment pass; see functions/CellAssign.scala).
+    val centsLit = array(cents.map(c => array(c._2.map(lit(_)): _*)): _*)
+    val idsLit = array(cents.map(c => lit(c._1)): _*)
+    val nrmsLit = array(cents.map(c => lit(c._3)): _*)
     emb
-      .withColumn("cell1", -element_at(sortedDesc, 1).getField("nid"))
-      .withColumn("cell2", -element_at(sortedDesc, 2).getField("nid"))
-      .withColumn("sim1", element_at(sortedDesc, 1).getField("s"))
-      .withColumn("sim2", element_at(sortedDesc, 2).getField("s"))
+      .withColumn("_t2", call_function("graft_cell_top2",
+        col("v"), col("nrm"), centsLit, idsLit, nrmsLit))
+      .withColumn("cell1", col("_t2.cell1"))
+      .withColumn("cell2", col("_t2.cell2"))
+      .withColumn("sim1", col("_t2.sim1"))
+      .withColumn("sim2", col("_t2.sim2"))
+      .drop("_t2")
   }
 
   /** Oracle twin of [[cellAssigned]]: trains the same two fixed-point

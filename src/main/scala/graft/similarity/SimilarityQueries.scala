@@ -3482,12 +3482,14 @@ object SimilarityQueries extends QueryModule {
     }
     for (_ <- 1 to lloydRounds(n)) {
       val cbLit = pqCbLit(cb)
-      val cellOf = element_at(array_sort(
-        transform(sequence(lit(0), lit(pqK - 1)), c =>
-          struct(
-            pqD2(col("svi"),
-              element_at(element_at(cbLit, col("m") + 1), c + 1)).as("d2"),
-            c.as("cell")))), 1).getField("cell")
+      // graft_cell_argmin (r14): fused codegen'd argmin, same
+      // (d2 asc, cell asc) winner as the struct-sort HOF it replaces;
+      // the per-row cents arg is this subspace's slice of the nested
+      // codebook literal (the expression does not require a literal)
+      val cellOf = call_function("graft_cell_argmin",
+        col("svi"), element_at(cbLit, col("m") + 1),
+        array((0 until pqK).map(c => lit(c.toLong)): _*))
+        .cast(IntegerType)
       val sums = sv
         .withColumn("cell", cellOf)
         .select(col("m"), col("cell"), posexplode(col("svi")))
@@ -3588,15 +3590,18 @@ object SimilarityQueries extends QueryModule {
       // noise. Semantics identical: argmin via the same (d2, cell)
       // lexicographic array_sort.
       def subLit(m: Int, c: Int): Column = array(cb(m)(c).map(lit(_)): _*)
+      // graft_cell_argmin per subspace (r14): the fused codegen'd
+      // argmin replaces the per-(m) struct-sort HOF — same (d2 asc,
+      // cell asc) winner, no per-row K-struct array build/sort (this
+      // encode pass over the whole corpus was 71s of q_pq_adc's
+      // measured cost at the 500k tier)
       val coded = vi.withColumn("codes",
         array((0 until PqM).map { m =>
-          element_at(array_sort(
-            array((0 until pqK).map { c =>
-              struct(
-                pqD2(slice(col("vi"), lit(m * PqSub + 1), lit(PqSub)),
-                  subLit(m, c)).as("d2"),
-                lit(c).as("cell"))
-            }: _*)), 1).getField("cell")
+          call_function("graft_cell_argmin",
+            slice(col("vi"), lit(m * PqSub + 1), lit(PqSub)),
+            array((0 until pqK).map(c => subLit(m, c)): _*),
+            array((0 until pqK).map(c => lit(c.toLong)): _*))
+            .cast(IntegerType)
         }: _*))
         .select(col("vec_id"), col("codes"))
       val probes = vi.filter(col("vec_id") < 5)

@@ -127,6 +127,54 @@ class AnnServeStreamSpec extends AnyFunSuite {
       s"fresh view missed the appended exact twin: $fresh")
   }
 
+  test("a serving stream whose pinned snapshot is vacuumed dies LOUDLY, not silently wrong (ADVICE r13)") {
+    val root = Files.createTempDirectory("annservevac").toString
+    val corpusPath = s"$root/vectors"
+    val idxRoot = s"$root/idx"
+    val inputDir = s"$root/in"; new java.io.File(inputDir).mkdirs()
+    val all = (0L until 48L)
+    rawOf(all).write.mode("overwrite").parquet(corpusPath)
+    SimilarityQueries.beamIndexCreate(spark, neOf(all), 4, idxRoot)
+
+    // start serving (pins generation 0), prove it serves one trigger
+    Files.write(Paths.get(inputDir, "b0.json"), ndjson(Seq(0L)).getBytes("UTF-8"))
+    val q = AnnServeStream.start(spark, inputDir, corpusPath, idxRoot,
+      s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      // maintenance advances TWO generations with all-bucket deletes
+      // (every g0 artifact becomes unreferenced), then vacuums with
+      // the default grace window — the serving stream's pinned
+      // snapshot is now reclaimed
+      def oneIdPerBucket(): Seq[Long] =
+        SimilarityQueries.beamNodesFrame(spark, idxRoot)
+          .groupBy(col("bucket")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")).as[Long].collect().toSeq
+      var left: Seq[Long] = all
+      (1 to 2).foreach { _ =>
+        val dels = oneIdPerBucket()
+        left = left.filterNot(dels.toSet)
+        SimilarityQueries.beamIndexDelete(
+          spark, neOf(left), dels.toDF("vec_id"), idxRoot)
+      }
+      SimilarityQueries.beamIndexVacuum(spark, idxRoot, keepGens = 2)
+      assert(!new java.io.File(idxRoot, "g0").exists(),
+        "setup failed: generation 0 survived the vacuum")
+      // next trigger must fail with the actionable message, BEFORE any
+      // executor-side FileNotFoundException
+      Files.write(Paths.get(inputDir, "b1.json"), ndjson(Seq(1L)).getBytes("UTF-8"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        // processAllAvailable can return after the failure lands in
+        // the query thread; surface it deterministically
+        q.awaitTermination(30000): Unit
+      }
+      val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
+      assert(msg.contains("vacuumed") && msg.contains("restart"),
+        s"serving stream died without the actionable diagnosis: $msg")
+    } finally q.stop()
+  }
+
   test("external probes (fresh id space) are not self-excluded and find their corpus match") {
     val root = Files.createTempDirectory("annserve2").toString
     val idxRoot = s"$root/idx"

@@ -230,6 +230,7 @@ case class CellTop2(
     val s2 = ctx.freshName("s2"); val id2 = ctx.freshName("id2")
     val has1 = ctx.freshName("has1"); val has2 = ctx.freshName("has2")
     val out = ctx.freshName("out")
+    val c1 = ctx.freshName("c1"); val c2 = ctx.freshName("c2")
     ev.copy(code =
       code"""
          |${vGen.code}
@@ -257,13 +258,13 @@ case class CellTop2(
          |      double $sim = graft.functions.CellAssign.round6(
          |        $dot / (${nGen.value} * ${rGen.value}.getDouble($j)));
          |      long $id = ${iGen.value}.getLong($j);
-         |      int ${j}_c1 = java.lang.Double.compare($sim, $s1);
-         |      if (!$has1 || ${j}_c1 > 0 || (${j}_c1 == 0 && $id < $id1)) {
+         |      int $c1 = java.lang.Double.compare($sim, $s1);
+         |      if (!$has1 || $c1 > 0 || ($c1 == 0 && $id < $id1)) {
          |        if ($has1) { $s2 = $s1; $id2 = $id1; $has2 = true; }
          |        $s1 = $sim; $id1 = $id; $has1 = true;
          |      } else {
-         |        int ${j}_c2 = java.lang.Double.compare($sim, $s2);
-         |        if (!$has2 || ${j}_c2 > 0 || (${j}_c2 == 0 && $id < $id2)) {
+         |        int $c2 = java.lang.Double.compare($sim, $s2);
+         |        if (!$has2 || $c2 > 0 || ($c2 == 0 && $id < $id2)) {
          |          $s2 = $sim; $id2 = $id; $has2 = true;
          |        }
          |      }

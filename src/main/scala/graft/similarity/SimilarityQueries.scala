@@ -2061,8 +2061,9 @@ object SimilarityQueries extends QueryModule {
     * while ANY retained manifest references any of its dirs (e.g.
     * untouched kn leaves). */
   private[graft] def beamIndexVacuum(
-      s: SparkSession, root: String, keepGens: Int = 2): Unit =
-   WriterFence.withLease(beamFs(s, root), root, "beam index") { _ =>
+      s: SparkSession, root: String, keepGens: Int = 2,
+      beforeSweep: () => Unit = () => ()): Unit =
+   WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
     require(keepGens >= 1, "keepGens must be at least 1")
     val m = beamManifest(s, root)
     val fs = beamFs(s, root)
@@ -2073,6 +2074,13 @@ object SimilarityQueries extends QueryModule {
       .flatMap(g => beamManifestAt(s, root, g))
       .flatMap(mm => mm.nodesDirs ++ mm.fingerDirs ++ mm.knDirs.values)
       .map(_.takeWhile(_ != '/')).toSet
+    beforeSweep() // test seam: simulate a stall/steal inside the lease
+    // commit-point fence (r14 advice): the retained/referenced sets
+    // above come from a listing taken under THIS lease — if the vacuum
+    // stalled past the staleness window and the lease was stolen, a
+    // thief may have committed a fresh generation this listing never
+    // saw; abort before deleting anything computed from a pre-steal view
+    lease.check()
     fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => n.length > 1 && n.head == 'g' && n.tail.forall(_.isDigit) &&

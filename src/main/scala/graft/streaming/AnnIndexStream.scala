@@ -120,7 +120,8 @@ object AnnIndexStream {
     if (!adds.isEmpty) {
       // 1. corpus vector table append (idempotent per batch id)
       ClusterMaintenanceStream.appendBatchScoped(
-        spark, adds.select(col("vec_id"), col("embedding")), corpusPath, batchId)
+        spark, adds.select(col("vec_id"), col("embedding")), corpusPath, batchId,
+        staleMs = ClusterMaintenanceStream.StreamStaleMs)
       // 2. index append: the anti-join inside finds exactly the new ids
       SimilarityQueries.beamIndexAppend(
         spark, neOf(spark.read.parquet(corpusPath)), indexRoot)

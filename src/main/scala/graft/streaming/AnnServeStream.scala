@@ -105,7 +105,8 @@ object AnnServeStream {
           SimilarityQueries.requireBeamSnapshotLive(spark, indexRoot, m)
           ClusterMaintenanceStream.appendBatchScoped(spark,
             searchBatch(spark, batch, ne, indexRoot, Some(edges), Some(m)),
-            outPath, batchId)
+            outPath, batchId,
+            staleMs = ClusterMaintenanceStream.StreamStaleMs)
         }
       }
       .start()

@@ -54,6 +54,16 @@ import graft.similarity.SimilarityQueries
   */
 object ClusterMaintenanceStream {
 
+  /** Writer-fence staleness window for STREAMING maintainers (r14
+    * advice). The fenced transaction in [[appendBatchScoped]] is a
+    * batch-sized staging write plus a handful of renames — seconds,
+    * not minutes — so two minutes is still ≫ any live holder, while
+    * capping the worst case after a hard-killed stream (lease left
+    * behind, restart replays the same batch id and must wait out the
+    * window before the stale steal unblocks it) at 2 min instead of
+    * [[graft.util.WriterFence.DefaultStaleMs]]'s 15. */
+  val StreamStaleMs: Long = 2 * 60 * 1000L
+
   private def hadoopFs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,10 +98,21 @@ object ClusterMaintenanceStream {
     * `b<id>-*` leftovers from a crashed prior attempt — so a replayed
     * batch lands exactly the same file set, never a second copy. With
     * batchId < 0 (direct non-stream invocation) this degrades to a
-    * plain append. */
+    * plain append.
+    *
+    * `staleMs` is the fence's crashed-writer recovery window. The
+    * corpus-sized staging write runs INSIDE the lease, so a batch
+    * slower than `staleMs` risks having its lease presumed stale and
+    * stolen — which is why the lease is re-[[graft.util.WriterFence.Lease.check]]ed
+    * after the staging write and again immediately before the
+    * destructive `b<id>-*` sweep/renames (r14 advice): a stolen lease
+    * aborts LOUDLY before this writer can interleave its sweep with
+    * the thief's renames. Streaming call sites size `staleMs` to
+    * their restart economics (see [[maintainBatch]]). */
   private[streaming] def appendBatchScoped(
       spark: SparkSession, out: DataFrame,
-      dir: String, batchId: Long): Unit = {
+      dir: String, batchId: Long,
+      staleMs: Long = graft.util.WriterFence.DefaultStaleMs): Unit = {
     if (batchId < 0) { out.write.mode("append").parquet(dir); return }
     val fs = hadoopFs(spark, dir)
     // Single-writer fence (r13 verdict #1, same lease as the beam
@@ -99,17 +120,23 @@ object ClusterMaintenanceStream {
     // the SAME batch id would interleave the sweep-then-rename below —
     // one's freshly renamed b<id>-* files are the other's "crashed
     // leftovers" to sweep. The loser now fails at acquire instead.
-    graft.util.WriterFence.withLease(fs, dir, "batch-scoped append table") { _ =>
+    graft.util.WriterFence.withLease(
+        fs, dir, "batch-scoped append table", staleMs) { lease =>
       val idx = new org.apache.hadoop.fs.Path(dir)
       val staging = new org.apache.hadoop.fs.Path(
         idx.getParent, s".${idx.getName}.__batchappend_$batchId")
       fs.delete(staging, true)
       out.write.mode("overwrite").parquet(staging.toString)
+      // commit-point fence: the staging write above is the only long
+      // operation in this transaction — if it outlived the staleness
+      // window and the lease was stolen, abort before the sweep
+      lease.check()
       if (fs.exists(idx))
         fs.listStatus(idx)
           .filter(_.getPath.getName.startsWith(s"b$batchId-"))
           .foreach(s => fs.delete(s.getPath, false))
       else fs.mkdirs(idx)
+      lease.check() // last gate before the irreversible renames
       fs.listStatus(staging)
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
           s.getPath.getName.endsWith(".parquet"))
@@ -157,7 +184,8 @@ object ClusterMaintenanceStream {
     // references docs the label table has never seen
     BulkPipeline.writeAndPromote(updated, labelPath)
     appendBatchScoped(spark,
-      sigs.select(col("doc_id"), col("band"), col("sig")), indexPath, batchId)
+      sigs.select(col("doc_id"), col("band"), col("sig")), indexPath, batchId,
+      staleMs = StreamStaleMs)
     if (batchId >= 0) writeLastBatch(spark, indexPath, batchId)
   }
 

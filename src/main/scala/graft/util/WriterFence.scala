@@ -31,8 +31,37 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * This is the same lease-then-fence shape as HDFS lease recovery and
   * Delta/Iceberg's optimistic-commit-with-check: cheap on every
   * transaction (two tiny file ops), loud on every conflict.
+  *
+  * FILESYSTEM ASSUMPTIONS (r14 advice — the fence is only as strong
+  * as the primitives under it):
+  *
+  *  - The atomic claim relies on `create(path, overwrite = false)`
+  *    failing when the file exists. HDFS and `file://` with the
+  *    default `LocalFileSystem`/`RawLocalFileSystem` honor this at
+  *    the syscall level (`O_CREAT|O_EXCL`); object stores (S3A, ABFS
+  *    without a metastore lock) implement it as check-then-create, so
+  *    two writers racing inside the store's consistency window can
+  *    BOTH claim. On such stores the fence degrades to best-effort —
+  *    the commit-point [[Lease.check]] still narrows the clobber
+  *    window to the read-check-rename gap but cannot close it; use
+  *    the store's native conditional-put / a coordination service for
+  *    hard exclusion there.
+  *  - The staleness steal compares the lease file's mtime to THIS
+  *    process's wall clock. Two machines with skewed clocks can steal
+  *    a live lease early (or late); `check()` converts an early steal
+  *    into a loud abort at the victim's commit point, so skew costs
+  *    availability, never silent corruption. Keep `staleMs` well
+  *    above both the longest in-lease transaction AND the plausible
+  *    cross-machine skew.
   */
 object WriterFence {
+
+  /** Default crashed-writer recovery window. Batch jobs — where a
+    * 15-minute worst-case recovery after a hard kill is acceptable —
+    * use this; latency-sensitive streaming maintainers pass a smaller
+    * window sized to their fenced transaction (see
+    * [[graft.streaming.ClusterMaintenanceStream.StreamStaleMs]]). */
+  val DefaultStaleMs: Long = 15 * 60 * 1000L
 
   /** A writer lost the race for an artifact's single-writer lease. */
   final class ConcurrentWriterException(msg: String)
@@ -71,8 +100,23 @@ object WriterFence {
       try out.write(token.getBytes("UTF-8")) finally out.close()
       true
     } catch {
+      // Only a create-exclusive collision MEANS "another writer holds
+      // the lease". A generic IOException is disambiguated by reading
+      // the lease body (r14 advice — the old `if fs.exists(p)` guard
+      // misfiled transient disk faults as writer conflicts, stalling
+      // the caller for the whole staleness window):
+      //  - foreign token → we genuinely lost the race;
+      //  - OUR token → the create succeeded but write/close faulted:
+      //    remove the partial claim and surface the fault;
+      //  - absent/unreadable → transient fault (or a racer mid-claim
+      //    between its create and write — never delete that): rethrow.
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) => false
+      case e: java.io.IOException =>
+        readToken(fs, p) match {
+          case Some(t) if t != token => false
+          case Some(_) => fs.delete(p, false); throw e
+          case None => throw e
+        }
     }
 
   /** Run `body` holding the single-writer lease for `root`. Throws
@@ -80,7 +124,7 @@ object WriterFence {
     * `staleMs` is the crashed-writer recovery window — see the class
     * doc for why commit points must also call [[Lease.check]]. */
   def withLease[T](fs: FileSystem, root: String, what: String,
-      staleMs: Long = 15 * 60 * 1000L)(body: Lease => T): T = {
+      staleMs: Long = DefaultStaleMs)(body: Lease => T): T = {
     val lockPath = new Path(root, "_writer.lock")
     val token = java.util.UUID.randomUUID().toString
     def claimOrFail(retryStale: Boolean): Unit =

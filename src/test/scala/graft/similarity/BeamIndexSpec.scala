@@ -356,6 +356,43 @@ class BeamIndexSpec extends AnyFunSuite {
       "a fenced-out victim still committed its generation")
   }
 
+  test("vacuum: a lease stolen mid-run aborts before any delete (r14 advice)") {
+    // The vacuum computes its retained/referenced sets from a listing
+    // taken under its lease; if it stalls past the staleness window
+    // and a thief commits a fresh generation, deleting from that
+    // pre-steal view could reap the thief's commit. The commit-point
+    // check must abort BEFORE the first delete.
+    val tmp = Files.createTempDirectory("beamidx12").toString
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(0L until 40L), 4, root)
+    SimilarityQueries.beamIndexAppend(spark, neOf(0L until 45L), root)
+    SimilarityQueries.beamIndexAppend(spark, neOf(0L until 48L), root)
+    def walk(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.toString)
+        .filterNot(_.contains("_writer.lock")).toSet
+      finally s.close()
+    }
+    val before = walk()
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    val ex = intercept[graft.util.WriterFence.ConcurrentWriterException] {
+      SimilarityQueries.beamIndexVacuum(spark, root, keepGens = 1,
+        beforeSweep = () =>
+          { java.nio.file.Files.write(lock, "thief-token".getBytes("UTF-8")): Unit })
+    }
+    assert(ex.getMessage.contains("aborting before commit"),
+      s"mid-vacuum steal not caught at the commit point: ${ex.getMessage}")
+    assert(walk() === before,
+      "a fenced-out vacuum still deleted generations or manifests")
+    // non-vacuous: with the thief's lock cleared, the SAME vacuum does
+    // reclaim state (the old manifests) — the abort above really did
+    // prevent deletes, not find nothing to delete
+    java.nio.file.Files.delete(lock)
+    SimilarityQueries.beamIndexVacuum(spark, root, keepGens = 1)
+    assert(walk() !== before, "aggressive vacuum reclaimed nothing")
+  }
+
   test("reader pinned past the vacuum grace window fails loudly, never silently wrong (r13 #4)") {
     val tmp = Files.createTempDirectory("beamidx10").toString
     val root = s"$tmp/idx"

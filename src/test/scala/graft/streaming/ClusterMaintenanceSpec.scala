@@ -197,6 +197,42 @@ class ClusterMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 1L)
   }
 
+  test("a lease stolen MID-append aborts before the destructive sweep (r14 advice)") {
+    // The staging parquet write runs INSIDE the lease; a batch slower
+    // than the staleness window can have its lease stolen while the
+    // write is in flight. Pre-fix, the victim then swept the thief's
+    // freshly renamed b<id>-* files as "crashed leftovers" — the
+    // silent interleave the commit-point check now converts into a
+    // loud abort BEFORE any sweep/rename.
+    val root = Files.createTempDirectory("clustermaintsteal").toString
+    val dir = s"$root/index"
+    ClusterMaintenanceStream.appendBatchScoped(spark,
+      Seq((1L, 0, "s")).toDF("doc_id", "band", "sig"), dir, batchId = 0L)
+    val before = spark.read.parquet(dir)
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // replay batch 0 with DIFFERENT rows, and tamper the lease from
+    // inside the staging write itself (a udf side effect — exactly
+    // when a real steal lands: while the victim's write is in flight)
+    val lockPath = s"$dir/_writer.lock"
+    val tamper = udf { (id: Long) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(lockPath),
+        "thief-token".getBytes("UTF-8"))
+      id
+    }
+    val replay = Seq((2L, 1, "t")).toDF("doc_id", "band", "sig")
+      .select(tamper(col("doc_id")).as("doc_id"), col("band"), col("sig"))
+    val ex = intercept[graft.util.WriterFence.ConcurrentWriterException] {
+      ClusterMaintenanceStream.appendBatchScoped(spark, replay, dir, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("aborting before commit"),
+      s"mid-transaction steal not caught at the commit point: ${ex.getMessage}")
+    // the victim aborted BEFORE sweeping: batch 0's committed files
+    // (the thief's state, from its point of view) are untouched
+    assert(spark.read.parquet(dir)
+        .as[(Long, Int, String)].collect().sorted.toSeq === before,
+      "a fenced-out appender still mutated the committed table")
+  }
+
   test("hash-family stamp: a mismatched persisted index fails fast") {
     val root = Files.createTempDirectory("clustermaintfam").toString
     val indexPath = s"$root/index"; val labelPath = s"$root/labels"

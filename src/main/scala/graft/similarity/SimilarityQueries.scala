@@ -2894,7 +2894,7 @@ object SimilarityQueries extends QueryModule {
     * then an ascending-index norm) is IEEE-exact and mirrored verbatim
     * by the oracle's cn CTE ([[ivfAssignSql]]).
     */
-  private def cellAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def cellAssignedCompute(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     val cents: Array[(Long, Array[Double], Double)] =
       centroidCache.getOrBuild(centroidCacheKey(dir), _ => true) {
@@ -2925,6 +2925,55 @@ object SimilarityQueries extends QueryModule {
       .withColumn("sim2", col("_t2.sim2"))
       .drop("_t2")
   }
+
+  private val cellAssignCache = new ArtifactCache[String]("cell-assign")
+
+  /** PERSISTED corpus cell assignment (r14 verdict #2): the
+    * [[cellAssignedCompute]] output — (vec_id, v, nrm, cell1, cell2,
+    * sim1, sim2) for every corpus vector — written once per (dataset
+    * mtime+length, assignment version) as a parquet artifact beside
+    * the signature/beam indexes, exactly the [[beamIndexFor]]
+    * lifecycle. Rationale measured at the 500k-doc tier: the three
+    * cell consumers (q_ann_ivf, q_kmeans_cluster, q_semantic_dedup)
+    * each re-ran the corpus×k assignment pass per INVOCATION — and
+    * q_semantic_dedup's plan consumes the frame on BOTH join sides,
+    * so one query paid the pass twice. Warm queries now read the
+    * artifact and pay only their own work (the in-cell pair mass for
+    * SemDeDup, the probe join for IVF). The artifact key embeds the
+    * dataset stamp, so a rewritten corpus re-assigns instead of
+    * serving stale cells (CellAssignArtifactSpec); the build is
+    * fence-guarded like every other persisted-index writer (the lock
+    * lives BESIDE the dir because the build replaces the dir itself).
+    * Validity = Spark's _SUCCESS marker: a crashed partial write
+    * fails validation and rebuilds. */
+  private def cellAssignFor(s: SparkSession, dir: String): String = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    require(embFile.exists(), s"cellAssignFor: $embFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(embFile.getPath)}@cell-assign-v1")
+      .take(16)
+    val root = new java.io.File(sigIndexRoot, s"graft_cells_$dataKey")
+    cellAssignCache.getOrBuild(dataKey,
+        r => new java.io.File(r, "_SUCCESS").exists) {
+      val fs = new org.apache.hadoop.fs.Path(root.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      WriterFence.withLease(fs, s"${root.getPath}_lock",
+          "cell-assignment artifact") { lease =>
+        deleteRecursively(root)
+        val staged = cellAssignedCompute(s, dir)
+        lease.check() // the corpus pass above is the long part
+        staged.write.mode("overwrite").parquet(root.getPath)
+      }
+      root.getPath
+    }
+  }
+
+  /** Trained-quantizer cell assignment as consumed by the queries:
+    * the persisted artifact ([[cellAssignFor]]) read back — one
+    * parquet scan, no training jobs, no per-row centroid dots on the
+    * warm path. */
+  private def cellAssigned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(cellAssignFor(s, dir))
 
   /** Oracle twin of [[cellAssigned]]: trains the same two fixed-point
     * Lloyd iterations in CTEs and ends with

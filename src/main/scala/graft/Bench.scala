@@ -124,7 +124,7 @@ object Bench {
     * Every individual env var still overrides its preset field. */
   private[graft] final case class Tier(
       mult: Int, sfDir: String, out: String, iters: Int,
-      family: Option[String])
+      family: Option[String], docsOnly: Boolean = false)
 
   private[graft] def tierOf(name: String): Tier = name match {
     // sf40: the 20-query heavy tail at the 40× corpus (BASELINE.md §r11)
@@ -133,8 +133,15 @@ object Bench {
     // sf1: full-registry breadth at the mult-100 corpus (BASELINE.md §r13)
     case "sf1" => Tier(100, ScaleSmoke.corpusDir(100), "bench_sf1.json", 1,
       None)
+    // docs1000: the document-scaled tier (r14 verdict #1) — 500k docs /
+    // 500k×64 embeddings, documents+embeddings ONLY (the quadratic
+    // dedup/ANN hazards grow with document count; this is 10× sf1's
+    // docs at none of its relational cost). The tier that caught all
+    // three r14 scale cliffs, now a one-command gated artifact.
+    case "docs1000" => Tier(1000, ScaleSmoke.docsCorpusDir(1000),
+      "bench_docs1000.json", 1, Some("docs"), docsOnly = true)
     case other => throw new IllegalArgumentException(
-      s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1)")
+      s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1, docs1000)")
   }
 
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
@@ -214,8 +221,9 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty &&
           !new java.io.File(t.sfDir).exists) {
         System.err.println(s"[bench] tier corpus ${t.sfDir} missing — building " +
-          s"(ScaleSmoke mult=${t.mult})")
-        ScaleSmoke.buildCorpus(spark, t.mult): Unit
+          s"(ScaleSmoke mult=${t.mult}${if (t.docsOnly) ", docs only" else ""})")
+        if (t.docsOnly) ScaleSmoke.buildDocsCorpus(spark, t.mult): Unit
+        else ScaleSmoke.buildCorpus(spark, t.mult): Unit
       }
     }
 

@@ -17,6 +17,10 @@ object ScaleSmoke {
     * knob, which auto-builds a missing corpus via [[buildCorpus]]). */
   def corpusDir(mult: Int): String = s"/tmp/graft_sfbig_${mult}x"
 
+  /** Canonical location of the docs-only mult× corpus (the docs1000
+    * bench tier auto-builds a missing one via [[buildDocsCorpus]]). */
+  def docsCorpusDir(mult: Int): String = s"/tmp/graft_docs_${mult}x"
+
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULT", "40").toInt
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
@@ -52,7 +56,7 @@ object ScaleSmoke {
     *    recall-floor gates (knn/ivf/beam) work unchanged. */
   def buildDocsCorpus(
       spark: org.apache.spark.sql.SparkSession, mult: Int): String = {
-    val dir = s"/tmp/graft_docs_${mult}x"
+    val dir = docsCorpusDir(mult)
     val nDocs = 500L * mult
     // doc id ≡ 0 mod 97 → copy of id+1; mod 89 → near-dup of id+1
     val src = spark.range(nDocs).select(

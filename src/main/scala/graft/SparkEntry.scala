@@ -53,7 +53,23 @@ object SparkEntry {
       "q_minhash_est", "q_dedup_keep_best", "q_modularity", "q_bfs",
       "q_edit_dist", "q_dedup_components", "q_basket", "q_label_prop",
       "q_ngram_jaccard", "q_dedup_funnel", "q_gap_fill", "q_minhash_lsh",
-      "q_bpe_apply", "q_dedup_incremental", "q_link_predict", "q_kcore"))
+      "q_bpe_apply", "q_dedup_incremental", "q_link_predict", "q_kcore"),
+    // The document-scaled bench family (r14 verdict #1): the dedup/ANN
+    // queries whose quadratic hazards grow with DOCUMENT count — and
+    // that read ONLY documents/embeddings, so they run against the
+    // docs-only 500k corpus (ScaleSmoke.buildDocsCorpus; no relational
+    // tables exist there). A FIXED explicit list, so
+    //   SPARK_GRAFT_BENCH_TIER=docs1000 sbt "runMain graft.Bench"
+    // reproduces bench_docs1000.json with one command (corpus
+    // auto-built when missing; gate = the artifact's own budgets).
+    "docs" -> Set(
+      "q_dedup", "q_line_dedup", "q_substr_dedup", "q_dedup_funnel",
+      "q_dedup_components", "q_dedup_keep_best", "q_dedup_incremental",
+      "q_cluster_incremental", "q_minhash_lsh", "q_minhash_est",
+      "q_ngram_jaccard", "q_simhash", "q_simhash_pairs",
+      "q_semantic_dedup", "q_embed_dedup", "q_cosine_topk", "q_ann_lsh",
+      "q_ann_ivf", "q_pq_adc", "q_ann_beam", "q_knn_graph",
+      "q_kmeans_cluster", "q_silhouette"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -469,8 +469,21 @@ object SimilarityQueries extends QueryModule {
     "q_minhash_est",
     (s, dir) => {
       // ONE shingle pipeline (scan + window + DF cap), checkpointed,
-      // feeds the signatures AND the inverted index
-      val shf = shingles(s, dir).localCheckpoint(true)
+      // feeds the signatures AND the inverted index. DISK_ONLY (r14
+      // verdict #3): this frame is CORPUS-SIZED (~100 shingle rows per
+      // doc — 49M rows at the 500k-doc tier), and the default
+      // MEMORY_AND_DISK checkpoint parked those deserialized rows in
+      // the unified storage pool, squeezing execution memory to the
+      // point where downstream hash aggregations could not allocate
+      // their first page at the tier's 8g heap ("Unable to acquire
+      // 262144 bytes, got 0" — the tier's one 32g requirement). Spark
+      // re-reads a DISK_ONLY block sequentially; compute-once and the
+      // checkpoint's lineage truncation (plan pinned at 8 exchanges)
+      // are unchanged. Executor sizing rule this encodes: checkpoint
+      // state ∝ corpus shingles must never live in the heap — only
+      // candidate-sized frames may.
+      val shf = shingles(s, dir).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // The candidate frame is band-collision-bounded (tiny at any
       // corpus size) — checkpoint IT, not the signature frame: the
       // band self-join's two sides share one reused exchange, and the

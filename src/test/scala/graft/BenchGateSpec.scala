@@ -91,8 +91,15 @@ class BenchGateSpec extends AnyFunSuite {
     val t1 = Bench.tierOf("sf1")
     assert(t1 == Bench.Tier(100, "/tmp/graft_sfbig_100x", "bench_sf1.json",
       1, None))
-    // the heavy family must exist for sf40's preset to select anything
+    // docs1000: the document-scaled dedup/ANN tier at the 500k-doc
+    // docs-only corpus, one-shot, persisted+gated against
+    // bench_docs1000.json (r14 verdict #1)
+    val td = Bench.tierOf("docs1000")
+    assert(td == Bench.Tier(1000, "/tmp/graft_docs_1000x",
+      "bench_docs1000.json", 1, Some("docs"), docsOnly = true))
+    // each tier's family must exist for its preset to select anything
     assert(Bench.tierOf("sf40").family.forall(SparkEntry.families.contains))
+    assert(td.family.forall(SparkEntry.families.contains))
     // a typo fails loudly, not as an accidental sf0.1 full run
     assertThrows[IllegalArgumentException](Bench.tierOf("sf2"))
   }
@@ -117,10 +124,11 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("families mirror the registry exactly — every query in exactly one family") {
-    // "heavy" is the declared CROSS-CUTTING overlay (the 40× bench
-    // selection, BASELINE.md §r12) — every other family partitions the
-    // registry by module.
-    val (overlays, modules) = SparkEntry.families.partition(_._1 == "heavy")
+    // "heavy" and "docs" are the declared CROSS-CUTTING overlays (the
+    // 40× and 500k-doc bench selections, BASELINE.md §r12/§r15) —
+    // every other family partitions the registry by module.
+    val (overlays, modules) =
+      SparkEntry.families.partition(f => f._1 == "heavy" || f._1 == "docs")
     val all = modules.values.toSeq
     val union = all.flatten.toSet
     assert(union == SparkEntry.queries.keySet,

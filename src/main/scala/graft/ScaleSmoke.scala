@@ -36,9 +36,23 @@ object ScaleSmoke {
     // grow with DOCUMENT count, not lineitem count — this tier stresses
     // exactly them without paying for 60M relational rows.
     val docsOnly = sys.env.get("SPARK_GRAFT_SMOKE_DOCS_ONLY").contains("1")
+    // SPARK_GRAFT_SMOKE_REUSE=1: reuse an existing corpus dir instead
+    // of regenerating (the generator is deterministic, but a rewrite
+    // changes the parquet mtimes and therefore invalidates every
+    // mtime-keyed derived artifact — persisted indexes, centroids,
+    // cell assignments — forcing expensive rebuilds on the next
+    // bench/tier run over the same corpus).
+    val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1")
+    def orReuse(canonical: String)(build: => String): String =
+      if (reuse && new java.io.File(canonical).exists) canonical else build
+    // Targeted A/B of the top-k planner rule at scale (r14 verdict #4):
+    // SPARK_GRAFT_TOPK_REWRITE=false times the WindowGroupLimit-only
+    // plan; unset/true keeps the default-ON TopKPerKey path.
+    sys.env.get("SPARK_GRAFT_TOPK_REWRITE")
+      .foreach(v => spark.conf.set("spark.graft.topkRewrite", v))
     val dir =
-      if (docsOnly) buildDocsCorpus(spark, mult)
-      else buildCorpus(spark, mult)
+      if (docsOnly) orReuse(docsCorpusDir(mult))(buildDocsCorpus(spark, mult))
+      else orReuse(corpusDir(mult))(buildCorpus(spark, mult))
     runSmoke(spark, mult, only, dir)
   }
 
@@ -316,6 +330,27 @@ object ScaleSmoke {
     // scaling is a recall trade by design — the floor pins that the
     // derived width keeps what ANN exists to keep (≥4 of the 5 planted
     // pairs; a lone plane-straddling twin is within tolerance).
+    // Shingle pair-mass census (r14 verdict #5): the q_ngram_jaccard
+    // candidate mass is Σ C(df,2) over DF-capped shingles, provably
+    // ≤ (cap−1)/2 × occurrences — LINEAR in corpus size at any shingle
+    // distribution (SCALE.md §r15; SimilaritySpec gates the bound).
+    // This census prints the measured mass next to the bound so the
+    // tier run verifies the curve empirically, not just algebraically.
+    if (only.forall(_.contains("q_pairmass_census"))) {
+      import graft.similarity.SimilarityQueries.{shingles, MaxShingleDf}
+      val df = shingles(spark, dir).groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("occ"),
+          sum((col("df") * (col("df") - 1) / 2).cast("long")).as("mass"),
+          count(lit(1)).as("distinct_sh"))
+        .collect()(0) // 1 row: corpus-wide census sums
+      val (occ, mass) = (df.getLong(0), df.getLong(1))
+      val bound = (MaxShingleDf - 1).toLong * occ / 2
+      println(s"SMOKE ${mult}x pairmass_census occurrences=$occ " +
+        s"distinct=${df.getLong(2)} pair_mass=$mass linear_bound=$bound")
+      require(mass <= bound,
+        s"capped pair mass $mass exceeded the linear bound $bound")
+    }
     if (only.forall(_.contains("q_knn_recall_floor"))) {
       val hits = graft.similarity.SimilarityQueries.knnGraphPlanAuto(spark, dir)
         .filter(col("vec_id") < 5 && col("rn") === 1L &&

@@ -57,7 +57,7 @@ object SimilarityQueries extends QueryModule {
     * skew guard stays exercised end-to-end. [[SimilaritySpec]] plants a
     * hot shingle to prove the pair count stays bounded.
     */
-  private[similarity] val MaxShingleDf = 50
+  private[graft] val MaxShingleDf = 50
 
   /** Distinct word 3-gram shingles per document — the blocking key for
     * the Jaccard and MinHash queries. Built entirely with higher-order
@@ -69,7 +69,7 @@ object SimilarityQueries extends QueryModule {
     * same shingle set with unnest + lead — different algorithm, same
     * output.)
     */
-  private[similarity] def shingles(
+  private[graft] def shingles(
       s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame =
     shinglesOf(t(s, dir, "documents").select(col("doc_id"), col("text")), maxDf)
 

@@ -315,6 +315,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(candidatePairs(maxDf = 10) === 0L)   // capped: hot shingle never joins
   }
 
+  test("capped pair mass is linear in corpus size: sum C(df,2) <= (cap-1)/2 x occurrences") {
+    // The q_ngram_jaccard growth bound (r14 verdict #5, SCALE.md
+    // §r15): with the DF cap D, every surviving shingle contributes
+    // C(df,2) <= df·(D−1)/2 candidate pairs, so the TOTAL pair mass is
+    // bounded by (D−1)/2 × (surviving shingle occurrences) — linear in
+    // corpus size at any shingle distribution, Zipf tails included
+    // (the tail's hot shingles are exactly the ones the cap DROPS).
+    // Gate it on a corpus engineered to stress the bound: many
+    // mid-frequency shingles just under the cap (the worst survivors).
+    val dir = Files.createTempDirectory("pairmass").toString
+    val cap = 8
+    // 96 docs in 12 groups of 8: each group shares its own 3-gram
+    // (df = 8 = cap boundary... kept at df <= cap), plus unique filler
+    (0 until 96).map { i =>
+      val g = i / 8
+      val text = s"group$g shared shingle$g u${i}a u${i}b u${i}c u${i}d"
+      (i.toLong, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sh = SimilarityQueries.shingles(spark, dir, cap)
+    val occurrences = sh.count()
+    val pairMass = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(pairMass > 0, "fixture must generate in-cap collisions")
+    assert(pairMass <= (cap - 1).toLong * occurrences / 2,
+      s"capped pair mass $pairMass exceeded the linear bound " +
+        s"(cap-1)/2 x occ = ${(cap - 1).toLong * occurrences / 2}")
+  }
+
   /** Planted-cluster embeddings: vec_ids 0-4 are query centers, each
     * with 5 near-duplicate neighbors (center + small noise, cosine
     * ~0.998), plus 200 unrelated background vectors. Deterministic

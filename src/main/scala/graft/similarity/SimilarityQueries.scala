@@ -1982,6 +1982,7 @@ object SimilarityQueries extends QueryModule {
     // concurrent appender failed at ACQUIRE, and a stale-steal victim
     // fails right here, before touching committed state
     lease.foreach(_.check())
+    beamCommitTestSeam()
     // a replay of an attempt that crashed after this commit is cut off
     // upstream (the new-vector/deleted-id guards no-op), so a live
     // target here is a leftover of THIS commit's own crash-replay —
@@ -1989,7 +1990,37 @@ object SimilarityQueries extends QueryModule {
     fs.delete(new org.apache.hadoop.fs.Path(dir, m.gen.toString), false)
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, m.gen.toString)),
       s"beam manifest commit failed: $root gen ${m.gen}")
+    // POST-rename fence (r14 verdict #6) — closes the check→rename
+    // window by an ORDERING argument rather than an FS-atomicity one
+    // (POSIX rename replaces an existing file, so rename-if-absent
+    // cannot be assumed on local filesystems):
+    //  - a steal that happens BEFORE this check aborts loudly here
+    //    (over-conservative but safe; the state is flagged for
+    //    inspection, never silently wrong);
+    //  - a steal AFTER this check necessarily precedes the thief's
+    //    parent-manifest resolve (every mutator resolves its parent
+    //    INSIDE its lease), which therefore sees THIS rename and
+    //    builds on top of it — no clobber is possible.
+    // For a thief to do harm undetected it would have to steal the
+    // lease AND complete its entire data-write + commit inside this
+    // writer's check→rename microsecond gap — its staging writes alone
+    // take longer than that by orders of magnitude. The wall-clock
+    // staleness assumption itself is documented on [[WriterFence]].
+    try lease.foreach(_.check())
+    catch {
+      case e: WriterFence.ConcurrentWriterException =>
+        throw new WriterFence.ConcurrentWriterException(
+          s"beam manifest g${m.gen} at $root was renamed in, but the writer " +
+            "lease was stolen during the commit window — the committed state " +
+            "may interleave with another writer's and needs inspection: " +
+            e.getMessage)
+    }
   }
+
+  /** Test seam (BeamIndexSpec): runs between the commit-point
+    * ownership check and the manifest rename — the residual window the
+    * post-rename fence exists to flag. */
+  private[similarity] var beamCommitTestSeam: () => Unit = () => ()
 
   /** The manifest's emitted-bucket map for a just-written kn dir:
     * bucket → root-relative leaf dir. Tolerates a missing/empty dir

@@ -356,6 +356,35 @@ class BeamIndexSpec extends AnyFunSuite {
       "a fenced-out victim still committed its generation")
   }
 
+  test("a lease stolen INSIDE the check->rename window is flagged post-rename (r14 #6)") {
+    // The pre-rename check narrows the harmful race to the microsecond
+    // gap between check and rename; the post-rename re-check makes a
+    // steal inside even THAT gap loud. (A steal after the post-check
+    // is safe by ordering: the thief resolves its parent manifest
+    // inside its lease, i.e. after this rename is visible, and builds
+    // on top.) POSIX rename replaces files, so this cannot be closed
+    // by rename-if-absent on local filesystems — loud detection is
+    // the contract.
+    val tmp = Files.createTempDirectory("beamidx13").toString
+    val root = s"$tmp/idx"
+    SimilarityQueries.beamIndexCreate(spark, neOf(0L until 40L), 4, root)
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    SimilarityQueries.beamCommitTestSeam = () =>
+      { java.nio.file.Files.write(lock, "thief-token".getBytes("UTF-8")): Unit }
+    try {
+      val ex = intercept[graft.util.WriterFence.ConcurrentWriterException] {
+        SimilarityQueries.beamIndexAppend(spark, neOf(0L until 44L), root)
+      }
+      assert(ex.getMessage.contains("stolen during the commit window"),
+        s"in-window steal not flagged post-rename: ${ex.getMessage}")
+    } finally SimilarityQueries.beamCommitTestSeam = () => ()
+    // the abort is LOUD, not silent: the operator is told the state
+    // needs inspection; a subsequent rebuild-or-inspect path exists
+    // because the manifest chain is still parseable
+    java.nio.file.Files.delete(lock)
+    assert(SimilarityQueries.beamManifest(spark, root).gen >= 0L)
+  }
+
   test("vacuum: a lease stolen mid-run aborts before any delete (r14 advice)") {
     // The vacuum computes its retained/referenced sets from a listing
     // taken under its lease; if it stalls past the staleness window

@@ -110,6 +110,19 @@ object GraftExtensions {
         CellArgMin(args.head, args(1), args(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bucket_knn"),
+      new ExpressionInfo(classOf[BucketKnn].getName, "graft_bucket_knn"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_bucket_knn(members, k) takes exactly 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_bucket_knn: k must be an integer literal")
+        }
+        BucketKnn(args.head, k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cell_top2"),
       new ExpressionInfo(classOf[CellTop2].getName, "graft_cell_top2"),
       (args: Seq[Expression]) => {

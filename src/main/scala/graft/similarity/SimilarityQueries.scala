@@ -1690,25 +1690,30 @@ object SimilarityQueries extends QueryModule {
     * q_simhash_pairs' lossless pigeonhole widening — which is why it
     * is a deployment parameter, not a hard-coded bump.
     */
+  /** Grouped per-bucket kNN edges (r15): ONE exchange collects each
+    * LSH bucket's members, then `graft_bucket_knn` scores every
+    * unordered pair in a JIT'd primitive loop and emits only the
+    * ≤ m·k result rows — where the former self-join + window
+    * materialized every ORDERED pair as a row carrying both 64-double
+    * vectors (~100 GB of row traffic at the 500k-doc tier) before the
+    * top-k reduction. Ranking semantics (sim desc, nbr_id asc; self
+    * excluded) are bit-identical to the join form and to the oracle's
+    * `kn` CTE. Output: one column `e` = struct(vec_id, nbr_id, sim,
+    * rn) — unordered, for consumers (q_knn_classify) that don't need
+    * the presentation sort. */
+  private def knnEdgesPlan(
+      s: SparkSession, dir: String, planeCount: Int): DataFrame =
+    signBuckets(normEmb(s, dir), planeCount)
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+      .select(explode(call_function("graft_bucket_knn", col("ms"), lit(3))).as("e"))
+
   private[graft] def knnGraphPlan(
-      s: SparkSession, dir: String, planeCount: Int = 4): DataFrame = {
-    // one bucket-assignment job feeds both sides of the self-join
-    val x = signBuckets(normEmb(s, dir), planeCount).localCheckpoint(true)
-    val nbrs = x.select(col("bucket"), col("vec_id").as("nbr_id"),
-      col("v").as("nv"), col("nrm").as("nnrm"))
-    val scored = x.join(nbrs, Seq("bucket"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("sim",
-        expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    scored
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id"), col("nbr_id"),
-        round(col("sim"), 6).as("sim_r"), col("rn"))
+      s: SparkSession, dir: String, planeCount: Int = 4): DataFrame =
+    knnEdgesPlan(s, dir, planeCount)
+      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+        round(col("e.sim"), 6).as("sim_r"), col("e.rn").cast(LongType).as("rn"))
       .orderBy(col("vec_id"), col("rn"))
-  }
 
   /** Auto-width for the sign-LSH plane count: planes =
     * max(4, round(log2(n / targetBucket))) — the log2-scaled rule the
@@ -2181,19 +2186,15 @@ object SimilarityQueries extends QueryModule {
   /** In-bucket top-3 kNN rows (vec_id, nbr_id, bucket) for a bucketed
     * normEmb frame — the [[knnGraphPlan]] dataflow, keeping the src
     * bucket as the partition column of the persisted edge table. */
-  private def knRowsOf(b: DataFrame): DataFrame = {
-    val nbrs = b.select(col("bucket"), col("vec_id").as("nbr_id"),
-      col("v").as("nv"), col("nrm").as("nnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    b.join(nbrs, Seq("bucket"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("sim",
-        expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id"), col("nbr_id"), col("bucket"))
-  }
+  private def knRowsOf(b: DataFrame): DataFrame =
+    // same grouped per-bucket kNN as [[knnGraphPlan]] (r15) — one
+    // exchange, pair scoring inside graft_bucket_knn, edge rows out
+    b.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+      .select(col("bucket"),
+        explode(call_function("graft_bucket_knn", col("ms"), lit(3))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+        col("bucket"))
 
   /** Finger rows (src, dst) for the given source nodes against a
     * target rank table — CLIP semantics (r12 v2): src_rk + 2^j links
@@ -3305,10 +3306,20 @@ object SimilarityQueries extends QueryModule {
     "q_knn_classify",
     (s, dir) => {
       val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-      val kn = knnGraph.run(s, dir).select(col("vec_id"), col("nbr_id"))
+      // unordered edges at the auto width — skips knnGraph's
+      // presentation sort (meaningless under the joins below)
+      val kn = knnEdgesPlan(s, dir,
+          autoPlaneCount(t(s, dir, "embeddings").count()))
+        .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"))
       val votes = kn
         .join(lab.select(col("vec_id").as("nbr_id"),
           col("label").as("nbr_label")), Seq("nbr_id"))
+        // ONE vec_id exchange serves the vote count AND the top-1
+        // window: hash(vec_id) satisfies the agg's (vec_id, nbr_label)
+        // clustering as a key subset, so Catalyst plans no second
+        // shuffle between them (the pre-r15 plan got this shape for
+        // free because its window ran upstream of the join)
+        .repartition(col("vec_id"))
         .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("c").desc, col("nbr_label"))

@@ -120,8 +120,9 @@ class PlanContractSpec extends AnyFunSuite {
                                // joins; TakeOrdered final (no sort exchange)
     "q_countmin" -> 3,         // sketch agg + exact top-20 agg + final sort; the
                                // 512-row sketch broadcasts back, no join shuffle
-    "q_knn_graph" -> 2,        // checkpointed bucket frame; per-node window + sort
-                               // (bucket self-join is a broadcast, not an exchange)
+    "q_knn_graph" -> 2,        // ONE bucket-grouped exchange (graft_bucket_knn
+                               // scores pairs inside the aggregate's buckets,
+                               // r15 — no self-join, no window) + final sort
     "q_triangles" -> 8,        // checkpointed edge list; 3 census aggs (each ends in a
                                // single-partition exchange) + 2-hop join pair — AQE
                                // broadcasts the tiny sides at runtime
@@ -203,9 +204,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q_linreg" -> 2,           // daily census agg + ONE global moment agg
     "q_sql_q18" -> 3,          // HAVING key-set agg + semi join (AQE broadcasts
                                // the selective side) + detail agg; TakeOrdered
-    "q_knn_classify" -> 3,    // checkpointed kNN frame: vote agg + top-1 vote
-                               // window + confusion census (labels broadcast);
-                               // the census sort rides the final exchange
+    "q_knn_classify" -> 4,     // r15: the kNN bucket-group exchange is now
+                               // plan-VISIBLE (was hidden behind knnGraph's
+                               // eager checkpoint job — a full materialization
+                               // this plan no longer pays); votes agg + top-1
+                               // window share one vec_id exchange; + final
+                               // agg + sort (labels broadcast)
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,        // first-view agg + first-purchase-after agg + ONE

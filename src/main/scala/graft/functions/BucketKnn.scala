@@ -138,3 +138,83 @@ case class BucketKnn(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): BucketKnn =
     copy(child = newChild)
 }
+
+/** Per-bucket THRESHOLD pair scoring over a collected member list —
+  * the grouped replacement for the bucket/cell self-join in
+  * q_embed_dedup and q_semantic_dedup (same r15 rationale as
+  * [[BucketKnn]]: the join form materializes every ordered pair with
+  * both vectors before the similarity filter; this emits only the
+  * pairs that pass). Output pairs are (id1 = min(vec_id), id2 =
+  * max(vec_id), sim) for every unordered pair with UNROUNDED
+  * sim ≥ threshold — `a.vec_id < c.vec_id` semantics and the
+  * ascending-index dot of `graft_dot`, bit-identical to the join form
+  * and the oracles' `p` CTEs. Input as [[BucketKnn]].
+  */
+case class BucketSimPairs(child: Expression, threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  private val struct = StructType(Seq(
+    StructField("id1", LongType, nullable = false),
+    StructField("id2", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  override def dataType: DataType = ArrayType(struct, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _),
+      StructField(_, DoubleType, _, _))), _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "graft_bucket_pairs expects array<struct<bigint, array<double>, double>>, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m <= 1) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](m)
+    val nrms = new Array[Double](m)
+    val vecs = new Array[Array[Double]](m)
+    var dim = -1
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 3)
+      require(row != null, "graft_bucket_pairs: null member struct")
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1)
+      if (dim < 0) dim = v.numElements()
+      else require(v.numElements() == dim,
+        s"graft_bucket_pairs: mixed vector dims ${v.numElements()} vs $dim")
+      vecs(i) = v.toDoubleArray()
+      nrms(i) = row.getDouble(2)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var a = 0
+    while (a < m) {
+      val va = vecs(a)
+      val na = nrms(a)
+      var b = a + 1
+      while (b < m) {
+        val vb = vecs(b)
+        var dot = 0.0
+        var t = 0
+        while (t < dim) { dot += va(t) * vb(t); t += 1 }
+        val sim = dot / (na * nrms(b))
+        if (sim >= threshold) {
+          val (lo, hi) =
+            if (ids(a) < ids(b)) (ids(a), ids(b)) else (ids(b), ids(a))
+          out += InternalRow(lo, hi, sim)
+        }
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketSimPairs =
+    copy(child = newChild)
+}

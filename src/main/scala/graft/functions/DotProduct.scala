@@ -123,6 +123,19 @@ object GraftExtensions {
         BucketKnn(args.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bucket_pairs"),
+      new ExpressionInfo(classOf[BucketSimPairs].getName, "graft_bucket_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_bucket_pairs(members, threshold) takes exactly 2 arguments")
+        val thr = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_bucket_pairs: threshold must be a double literal")
+        }
+        BucketSimPairs(args.head, thr)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cell_top2"),
       new ExpressionInfo(classOf[CellTop2].getName, "graft_cell_top2"),
       (args: Seq[Expression]) => {

@@ -3161,12 +3161,14 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val a = cellAssigned(s, dir)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
-      val right = a.select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("nrm").as("n2"))
-      val pruned = a.join(right, Seq("cell"))
-        .filter(col("vec_id") < col("id2") &&
-          expr("graft_dot(v, v2)") / (col("nrm") * col("n2")) >= 0.4)
-        .select(col("cell"), col("id2"))
+      // grouped per-cell pair scoring (r15): the in-cell pair mass is
+      // scored inside graft_bucket_pairs over primitive arrays; only
+      // the ≥-threshold pairs' (cell, id2) survive to the distinct
+      val pruned = a.groupBy(col("cell"))
+        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+        .select(col("cell"), explode(
+          call_function("graft_bucket_pairs", col("ms"), lit(0.4))).as("e"))
+        .select(col("cell"), col("e.id2").as("id2"))
         .distinct()
       val perCell = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       val perPruned = pruned.groupBy(col("cell"))
@@ -3217,18 +3219,22 @@ object SimilarityQueries extends QueryModule {
     // corpora and log2-scales beyond, exactly the q_knn_graph
     // precedent; the DuckDB twin derives the SAME width in SQL
     // ([[knnBucketSql]]), so the oracle stays exact at every scale.
-    (s, dir) => {
-      val b = signBuckets(normEmb(s, dir),
-        autoPlaneCount(t(s, dir, "embeddings").count()))
-      val right = b.select(
-        col("bucket"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      b.join(right, Seq("bucket"))
-        .filter(col("vec_id") < col("id2"))
-        .withColumn("sim", expr("graft_dot(v, v2)") / (col("nrm") * col("n2")))
-        .filter(col("sim") >= 0.4)
-        .select(col("vec_id").as("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
-        .orderBy(col("id1"), col("id2"))
-    },
+    // Grouped per-bucket pair scoring (r15, the q_knn_graph precedent):
+    // graft_bucket_pairs runs the pair loop over each collected
+    // bucket's primitive arrays and emits only the ≥-threshold pairs —
+    // no ordered-pair row materialization. Semantics (vec_id < id2,
+    // unrounded-sim threshold, ascending-index dot) bit-match the
+    // former self-join and the oracle's p CTE.
+    (s, dir) =>
+      signBuckets(normEmb(s, dir),
+          autoPlaneCount(t(s, dir, "embeddings").count()))
+        .groupBy(col("bucket"))
+        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+        .select(explode(
+          call_function("graft_bucket_pairs", col("ms"), lit(0.4))).as("e"))
+        .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
+          round(col("e.sim"), 6).as("sim_r"))
+        .orderBy(col("id1"), col("id2")),
     Some(s"""
       WITH $normEmbSql,
       $knnBucketSql,

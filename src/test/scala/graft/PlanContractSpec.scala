@@ -86,7 +86,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
     "q_pack" -> 2,             // per-shard cumsum window + final sort
     "q_kmeans_cluster" -> 2,   // map-side cell assignment; one (cell) agg + sort
-    "q_semantic_dedup" -> 6,   // cell self-join (2) + pair distinct + 2 aggs + join/sort
+    "q_semantic_dedup" -> 3,   // r15: ONE cell-grouped exchange (pairs scored
+                               // inside graft_bucket_pairs) + pair distinct
+                               // + per-cell census; final join/sort ride them
     "q_mix_sample" -> 2,       // broadcast weights dim + one (source) agg + sort
     "q_tfidf" -> 4,            // ONE term exchange serves tf agg + df window (r14:
                                // the df agg + join and their exchanges are gone) +

@@ -94,6 +94,15 @@ object SimilarityQueries extends QueryModule {
                   element_at(col("ws"), i + 2),
                   element_at(col("ws"), i + 3))))
               .otherwise(array().cast("array<string>"))).as("s"))
+        // ONE shingle-keyed exchange serves the whole pipeline (r15):
+        // hash(s) satisfies the per-doc DISTINCT's (doc_id, s)
+        // clustering as a key subset, the DF-cap census groups by s on
+        // the same partitioning, and the anti-join's tiny hot side
+        // broadcasts — where the bare .distinct() shuffled on
+        // (doc_id, s) and the census then re-shuffled the corpus on s
+        // (two 49M-row exchanges at the 500k-doc tier, in every one
+        // of the ~10 shingle-consuming queries).
+        .repartition(col("s"))
         .distinct(),
       maxDf)
 

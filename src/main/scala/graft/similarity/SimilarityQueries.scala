@@ -71,7 +71,10 @@ object SimilarityQueries extends QueryModule {
     */
   private[graft] def shingles(
       s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame =
-    shinglesOf(t(s, dir, "documents").select(col("doc_id"), col("text")), maxDf)
+    // Full-corpus shingles ride the persisted artifact (r16): the
+    // uncapped distinct set is read back bucketed on s, so the DF-cap
+    // census inside capShingleDf runs with ZERO exchange, for any cap.
+    capShingleDf(shingleTable(s, dir), maxDf)
 
   /** [[shingles]] over an arbitrary (doc_id, text) frame — the
     * incremental-dedup path shingles only the NEW batch, so the
@@ -80,31 +83,41 @@ object SimilarityQueries extends QueryModule {
     * shingles; a persisted index was capped within the corpus it
     * indexed). */
   private[similarity] def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame =
-    capShingleDf(
-      docs
-        .select(col("doc_id"), toks(col("text")).as("ws"))
-        .select(
-          col("doc_id"),
-          explode(
-            when(size(col("ws")) >= 3,
-              transform(
-                sequence(lit(0), size(col("ws")) - 3),
-                i => concat_ws(" ",
-                  element_at(col("ws"), i + 1),
-                  element_at(col("ws"), i + 2),
-                  element_at(col("ws"), i + 3))))
-              .otherwise(array().cast("array<string>"))).as("s"))
-        // ONE shingle-keyed exchange serves the whole pipeline (r15):
-        // hash(s) satisfies the per-doc DISTINCT's (doc_id, s)
-        // clustering as a key subset, the DF-cap census groups by s on
-        // the same partitioning, and the anti-join's tiny hot side
-        // broadcasts — where the bare .distinct() shuffled on
-        // (doc_id, s) and the census then re-shuffled the corpus on s
-        // (two 49M-row exchanges at the 500k-doc tier, in every one
-        // of the ~10 shingle-consuming queries).
-        .repartition(col("s"))
-        .distinct(),
-      maxDf)
+    capShingleDf(rawShinglesOf(docs), maxDf)
+
+  /** The UNCAPPED distinct shingle set of a (doc_id, text) frame —
+    * [[shinglesOf]] minus the DF cap, factored out because this is
+    * exactly what the persisted corpus artifact ([[shingleTable]])
+    * stores: the cap is applied at READ (within whatever doc subset a
+    * consumer filters to — full corpus, exact-dup representatives, the
+    * incremental cutoff sides — each counts DF within its own frame,
+    * so persisting pre-cap keeps every consumer's semantics
+    * bit-identical to computing from scratch). */
+  private[similarity] def rawShinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("ws")) >= 3,
+            transform(
+              sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ",
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2),
+                element_at(col("ws"), i + 3))))
+            .otherwise(array().cast("array<string>"))).as("s"))
+      // ONE shingle-keyed exchange serves the whole pipeline (r15):
+      // hash(s) satisfies the per-doc DISTINCT's (doc_id, s)
+      // clustering as a key subset, the DF-cap census groups by s on
+      // the same partitioning, and the anti-join's tiny hot side
+      // broadcasts — where the bare .distinct() shuffled on
+      // (doc_id, s) and the census then re-shuffled the corpus on s
+      // (two 49M-row exchanges at the 500k-doc tier, in every one
+      // of the ~10 shingle-consuming queries). r16 pays it ONCE per
+      // dataset: [[shingleTable]] persists this frame bucketed on s.
+      .repartition(col("s"))
+      .distinct()
 
   /** Drop shingles whose document frequency exceeds `maxDf` (see
     * [[MaxShingleDf]]). Factored out so SimilaritySpec can apply the
@@ -364,8 +377,11 @@ object SimilarityQueries extends QueryModule {
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
   }
 
-  private def minhashFrame(s: SparkSession, dir: String): DataFrame =
-    minhashFrameFrom(shingles(s, dir))
+  private[similarity] def minhashFrame(s: SparkSession, dir: String): DataFrame =
+    // Warm path reads the persisted corpus signature artifact (r16) —
+    // the build inside mhSigFor is the only minhashFrameFrom run the
+    // corpus ever pays per dataset.
+    s.read.parquet(mhSigFor(s, dir))
 
   /** THE banding definition — 4 bands of 2 hashes, `mhAt(k)` supplying
     * the k-th minhash. Single source of truth for every consumer
@@ -477,28 +493,20 @@ object SimilarityQueries extends QueryModule {
   val minhashEst = Q(
     "q_minhash_est",
     (s, dir) => {
-      // ONE shingle pipeline (scan + window + DF cap), checkpointed,
-      // feeds the signatures AND the inverted index. DISK_ONLY (r14
-      // verdict #3): this frame is CORPUS-SIZED (~100 shingle rows per
-      // doc — 49M rows at the 500k-doc tier), and the default
-      // MEMORY_AND_DISK checkpoint parked those deserialized rows in
-      // the unified storage pool, squeezing execution memory to the
-      // point where downstream hash aggregations could not allocate
-      // their first page at the tier's 8g heap ("Unable to acquire
-      // 262144 bytes, got 0" — the tier's one 32g requirement). Spark
-      // re-reads a DISK_ONLY block sequentially; compute-once and the
-      // checkpoint's lineage truncation (plan pinned at 8 exchanges)
-      // are unchanged. Executor sizing rule this encodes: checkpoint
-      // state ∝ corpus shingles must never live in the heap — only
-      // candidate-sized frames may.
-      val shf = shingles(s, dir).localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // The shingle pipeline is now a persisted-artifact READ (r16 —
+      // shingleTable): corpus-sized state lives in the artifact's
+      // parquet, not a checkpoint (the r14 DISK_ONLY rule subsumed:
+      // nothing corpus-sized touches the heap or the storage pool at
+      // all), and the capped frame derives from the bucketed scan with
+      // zero exchange. Signatures come from the shared artifact too
+      // ([[minhashFrame]]) — this query no longer signs the corpus.
+      val shf = shingles(s, dir)
       // The candidate frame is band-collision-bounded (tiny at any
       // corpus size) — checkpoint IT, not the signature frame: the
       // band self-join's two sides share one reused exchange, and the
       // materialized candidates then broadcast into the intersection
       // pipeline below as a semi-join filter.
-      val pairs = pairsFromMhWithMatches(minhashFrameFrom(shf))
+      val pairs = pairsFromMhWithMatches(minhashFrame(s, dir))
         .localCheckpoint(true)
       // Restrict the inverted index to CANDIDATE DOCS before the
       // doc-list aggregation (r14 — the 500k-doc tier measured the
@@ -944,6 +952,138 @@ object SimilarityQueries extends QueryModule {
     f.delete(): Unit
   }
 
+  /** Fenced, STAGED commit of a per-dataset parquet artifact dir (r16,
+    * closing the r15 advice on [[cellAssignFor]]): the corpus-sized
+    * write lands in a `_staging` sibling INSIDE the lease, ownership
+    * re-validates at the commit point, and only then does the staging
+    * dir rename into place — the beam-manifest commit discipline
+    * applied to directory artifacts. A direct write to the final path
+    * (the old cellAssign shape) meant a write outliving the staleness
+    * window could interleave two writers' part files under one
+    * _SUCCESS; with staging, a stale writer's work never reaches the
+    * served path: it aborts at the commit-point [[WriterFence.Lease.check]].
+    * The check→rename gap itself is closed by the same ordering
+    * argument as [[commitBeamManifest]]: a steal AFTER the post-rename
+    * check must re-validate the artifact under ITS lease (getOrBuild
+    * re-checks validity inside the build lock), and a steal BEFORE it
+    * aborts loudly here, deleting the possibly-interleaved result so a
+    * torn artifact is never served (spec: ShingleArtifactSpec).
+    */
+  private[similarity] def stagedArtifactWrite(
+      s: SparkSession, root: java.io.File, what: String)(
+      write: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root.getPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    WriterFence.withLease(fs, s"${root.getPath}_lock", what) { lease =>
+      val staging = new java.io.File(s"${root.getPath}_staging")
+      deleteRecursively(staging)
+      write(staging.getPath) // the corpus pass — the long part
+      lease.check() // fence BEFORE touching the served path
+      stagedCommitTestSeam()
+      deleteRecursively(root)
+      require(staging.renameTo(root),
+        s"$what: staged commit rename failed ($staging -> $root)")
+      try lease.check()
+      catch {
+        case e: WriterFence.ConcurrentWriterException =>
+          deleteRecursively(root) // never serve a possibly-torn artifact
+          throw new WriterFence.ConcurrentWriterException(
+            s"$what at $root was renamed in, but the writer lease was " +
+              "stolen during the commit window — the artifact was deleted " +
+              s"rather than risk serving interleaved state: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Test seam (ShingleArtifactSpec): runs between the commit-point
+    * ownership check and the staging rename — the residual window the
+    * post-rename fence exists to flag. */
+  private[similarity] var stagedCommitTestSeam: () => Unit = () => ()
+
+  /** (dataset, session) → persisted corpus shingle table name. */
+  private val shingleTableCache = new ArtifactCache[String]("shingle-table")
+
+  /** THE persisted corpus shingle artifact (r16 verdict #1) — the
+    * UNCAPPED distinct word-3-gram set ([[rawShinglesOf]]) of the full
+    * documents table, written once per (dataset mtime+length, hash
+    * family) as a parquet table BUCKETED AND SORTED on the shingle.
+    * Before this artifact every query in the shingle family re-ran
+    * scan→tokenize→shingle→distinct per invocation — a 49M-row
+    * exchange at the 500k-doc tier, paid by each of q_minhash_lsh,
+    * q_minhash_est, q_ngram_jaccard, q_dedup_components,
+    * q_dedup_keep_best, q_dedup_funnel and the incremental index
+    * builds. Warm consumers now read the table; because the scan
+    * reports hash(s) bucketing, the DF-cap census, the anti-join probe
+    * and the inverted-index doc-list aggregation all run with ZERO
+    * exchange. Storing PRE-cap is what lets every consumer keep its
+    * exact semantics: the cap counts DF within the consumer's own doc
+    * subset (full corpus, exact-dup representatives, either side of
+    * the incremental cutoff), so it must apply after the subset
+    * filter — [[capShingleDf]] over the filtered read is bit-identical
+    * to the old recompute (pinned in ShingleArtifactSpec). Lifecycle =
+    * [[signatureIndex]]: session-scoped catalog name, per-PID root,
+    * keyed on dataset stamp so a rewritten corpus rebuilds.
+    */
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"shingleTable: $docsFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$HashFamilyVersion@shingles-v1")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
+    val name = s"graft_shingles_${dataKey}_$sessKey"
+    val tbl = shingleTableCache.getOrBuild(s"$dataKey@$sessKey",
+        t => s.catalog.tableExists(t)) {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      rawShinglesOf(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .repartition(32, col("s"))
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .bucketBy(32, "s")
+        .sortBy("s")
+        .saveAsTable(name)
+      name
+    }
+    s.table(tbl)
+  }
+
+  private val mhSigCache = new ArtifactCache[String]("mh-signatures")
+
+  /** Persisted corpus MinHash signature frame (r16 verdict #1) —
+    * [[minhashFrameFrom]] of the corpus-capped [[shingleTable]] read:
+    * (doc_id, mh0..mh7), one row per document with ≥3 tokens. The LSH
+    * family (q_minhash_lsh, q_edit_dist, q_dedup_components,
+    * q_dedup_keep_best, q_minhash_est's sketch side) consumes
+    * signatures through [[minhashFrame]]; each used to pay the full
+    * shingle pipeline PLUS the groupBy(doc_id) signature aggregation
+    * per query — warm queries now pay one small parquet scan
+    * (corpus-cardinality rows of 9 longs). All columns are longs, so
+    * the parquet round-trip is exact and downstream results are
+    * bit-identical to the recomputed form (ShingleArtifactSpec).
+    * Plain parquet dir (no join key to bucket on — band explosion
+    * re-keys anyway), fenced + staged ([[stagedArtifactWrite]]),
+    * validity = _SUCCESS, keyed on dataset stamp + cap + family.
+    */
+  private def mhSigFor(s: SparkSession, dir: String): String = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"mhSigFor: $docsFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$MaxShingleDf@$HashFamilyVersion@mhsig-v1")
+      .take(16)
+    val root = new java.io.File(sigIndexRoot, s"graft_mhsig_$dataKey")
+    mhSigCache.getOrBuild(dataKey,
+        r => new java.io.File(r, "_SUCCESS").exists) {
+      stagedArtifactWrite(s, root, "corpus minhash-signature artifact") {
+        staging =>
+          minhashFrameFrom(shingles(s, dir))
+            .write.mode("overwrite").parquet(staging)
+      }
+      root.getPath
+    }
+  }
+
   /** The PERSISTED dedup signature index — every current dedup query
     * recomputes signatures from the corpus per run; this is the
     * production shape instead: band rows ([[bandsOf]]) for the
@@ -974,10 +1114,14 @@ object SimilarityQueries extends QueryModule {
       val path = new java.io.File(sigIndexRoot, name)
       deleteRecursively(path) // rebuilds overwrite in place, never accumulate
       s.sql(s"DROP TABLE IF EXISTS $name")
-      val corpus = t(s, dir, "documents")
-        .filter(col("doc_id") < IncrementalCutoff)
-        .select(col("doc_id"), col("text"))
-      bandsOf(minhashFrameFrom(shinglesOf(corpus, MaxShingleDf)))
+      // The prior-corpus shingles come from the shared uncapped
+      // artifact filtered to the index side (r16) — the DF cap then
+      // counts within doc_id < cutoff, identical to shingling the
+      // filtered corpus directly (the old build's private pipeline).
+      val corpusSh = capShingleDf(
+        shingleTable(s, dir).filter(col("doc_id") < IncrementalCutoff),
+        MaxShingleDf)
+      bandsOf(minhashFrameFrom(corpusSh))
         .repartition(32, col("band"), col("sig"))
         .write.mode("overwrite")
         .option("path", path.getPath)
@@ -1061,8 +1205,11 @@ object SimilarityQueries extends QueryModule {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val corpus = t(s, dir, "documents")
         .filter(col("doc_id") < IncrementalCutoff)
-      val priorPairs = pairsFromMh(minhashFrameFrom(
-        shinglesOf(corpus.select(col("doc_id"), col("text")), MaxShingleDf)))
+      // Prior-corpus pairs ride the shared shingle artifact, capped
+      // within the cutoff side (r16 — same argument as signatureIndex).
+      val priorPairs = pairsFromMh(minhashFrameFrom(capShingleDf(
+        shingleTable(s, dir).filter(col("doc_id") < IncrementalCutoff),
+        MaxShingleDf)))
         .select(col("id1"), col("id2"))
       labelComponents(corpus.select(col("doc_id")), priorPairs)
         .write.mode("overwrite")
@@ -1073,15 +1220,18 @@ object SimilarityQueries extends QueryModule {
     s.table(tbl)
   }
 
-  /** Band signatures of the incremental batch (doc_id ≥ cutoff) —
-    * the ONLY path that touches the documents table in
-    * [[dedupIncremental]], with the batch predicate pushed to the
-    * parquet scan (plan-pinned). */
+  /** Band signatures of the incremental batch (doc_id ≥ cutoff),
+    * capped within the batch. Rides the shared uncapped shingle
+    * artifact with the batch predicate pushed to its scan (r16):
+    * the batch rows are part of the dataset the artifact indexes, so
+    * re-tokenizing them per query bought nothing — filtering the
+    * artifact to doc_id ≥ cutoff and capping within the filter is
+    * bit-identical to shingling the batch directly. (A production
+    * stream whose batch is NOT yet in any artifact uses
+    * [[bandProjection]] — the stateless per-row form.) */
   private[graft] def newBatchSignatures(s: SparkSession, dir: String): DataFrame =
-    bandsOf(minhashFrameFrom(shinglesOf(
-      t(s, dir, "documents")
-        .filter(col("doc_id") >= IncrementalCutoff)
-        .select(col("doc_id"), col("text")),
+    bandsOf(minhashFrameFrom(capShingleDf(
+      shingleTable(s, dir).filter(col("doc_id") >= IncrementalCutoff),
       MaxShingleDf)))
 
   /** Band-signature rows as a PURE PROJECTION — the same signatures
@@ -1263,8 +1413,20 @@ object SimilarityQueries extends QueryModule {
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mult"))
         .localCheckpoint(true) // feeds the rep filter + both mult joins
-      val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val pairs = pairsFromMh(minhashFrameFrom(shinglesOf(repDocs, MaxShingleDf)))
+      // Representative shingles ride the persisted UNCAPPED corpus
+      // artifact (r16): shingling is per-document, so filtering the
+      // artifact to reps equals shingling repDocs from scratch, and
+      // the DF cap applies AFTER the filter — counted within reps,
+      // exactly the funnel's original semantics (a viral exact-dup's
+      // shingles have rep-DF 1 and must survive banding; a corpus-DF
+      // cap would delete them). The rep-id semi side broadcasts
+      // (doc_ids only), so the read keeps its s-bucketing and the cap
+      // census inside shinglesOf's capShingleDf stays exchange-free.
+      val repSh = capShingleDf(
+        shingleTable(s, dir)
+          .join(broadcast(reps.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
+        MaxShingleDf)
+      val pairs = pairsFromMh(minhashFrameFrom(repSh))
       pairs
         .join(reps.select(col("doc_id").as("id1"), col("mult").as("mult1")), Seq("id1"))
         .join(reps.select(col("doc_id").as("id2"), col("mult").as("mult2")), Seq("id2"))

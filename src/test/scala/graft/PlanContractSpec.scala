@@ -503,19 +503,30 @@ class PlanContractSpec extends AnyFunSuite {
       s"shingle extraction leaked into the incremental plan\n$plan")
   }
 
-  test("q_dedup_incremental: batch predicate is PUSHED to the one documents scan") {
+  test("q_dedup_incremental: batch predicate is PUSHED to the shingle-artifact scan") {
     val plan = graft.similarity.SimilarityQueries
       .newBatchSignatures(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
-    // The shingle pipeline statically re-derives its scan for the
-    // hot-shingle side (AQE exchange reuse collapses it at runtime) —
-    // the contract is that EVERY documents scan pushes the batch
-    // cutoff, so corpus rows never leave the parquet reader.
-    val docScans = plan.linesIterator.filter(l =>
-      l.contains("FileScan") && l.contains("documents")).toSeq
-    assert(docScans.nonEmpty, s"no documents scan found\n$plan")
-    assert(docScans.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
-      s"batch cutoff not pushed to every scan\n${docScans.mkString("\n")}")
+    // r16: the batch signs itself off the persisted shingle artifact —
+    // no documents scan (no re-tokenization) appears at all, EVERY
+    // artifact scan pushes the batch cutoff so corpus shingles never
+    // leave the parquet reader, and the DF-cap census rides the
+    // table's s-bucketing (its aggregation needs no exchange).
+    assert(!plan.contains("documents"),
+      s"batch signing re-read the documents table\n$plan")
+    val shScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("graft_shingles")).toSeq
+    assert(shScans.nonEmpty, s"no shingle-artifact scan found\n$plan")
+    assert(shScans.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
+      s"batch cutoff not pushed to every scan\n${shScans.mkString("\n")}")
+    assert(shScans.forall(_.contains("Bucketed: true")),
+      s"shingle-artifact scan lost its bucketing\n${shScans.mkString("\n")}")
+    // The only exchange is the signature aggregation's doc_id one —
+    // the census groupBy(s) is exchange-free on the bucketed scan.
+    val exchanges = plan.linesIterator.filter(l =>
+      l.dropWhile(c => "+-:| ".contains(c)).startsWith("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("doc_id"),
+      s"expected exactly the one doc_id signature exchange\n$plan")
   }
 
   test("q_dedup_incremental: index side of the candidate join never shuffles (bucketed scan)") {

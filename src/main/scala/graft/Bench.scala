@@ -219,9 +219,11 @@ object Bench {
     // caller's own corpus; never second-guess it.
     tier.foreach { t =>
       if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty &&
-          !new java.io.File(t.sfDir).exists) {
-        System.err.println(s"[bench] tier corpus ${t.sfDir} missing — building " +
-          s"(ScaleSmoke mult=${t.mult}${if (t.docsOnly) ", docs only" else ""})")
+          !ScaleSmoke.corpusComplete(t.sfDir, t.docsOnly)) {
+        // completeness = every table dir carries _SUCCESS (r15 advice:
+        // bare existence silently served a crashed partial build)
+        System.err.println(s"[bench] tier corpus ${t.sfDir} missing/incomplete — " +
+          s"building (ScaleSmoke mult=${t.mult}${if (t.docsOnly) ", docs only" else ""})")
         if (t.docsOnly) ScaleSmoke.buildDocsCorpus(spark, t.mult): Unit
         else ScaleSmoke.buildCorpus(spark, t.mult): Unit
       }

@@ -21,6 +21,25 @@ object ScaleSmoke {
     * bench tier auto-builds a missing one via [[buildDocsCorpus]]). */
   def docsCorpusDir(mult: Int): String = s"/tmp/graft_docs_${mult}x"
 
+  /** Tables a complete corpus dir must hold (docs tier vs full). */
+  private val DocsTables = Seq("documents", "embeddings")
+  private val AllTables = DocsTables ++ Seq("lineitem", "part", "supplier",
+    "region", "events", "orders", "customer", "nation")
+
+  /** Reuse validity (r15 advice): bare dir existence silently served a
+    * crashed/partial previous build — the smoke/bench numbers and the
+    * recall floors computed from it would be quietly wrong. A corpus
+    * is reusable only when EVERY expected table directory carries
+    * Spark's `_SUCCESS` commit marker (an interrupted generator leaves
+    * the marker missing in the table it died in and writes the tables
+    * in a fixed order, so the last table's marker implies the rest —
+    * checked individually anyway, markers are free). */
+  private[graft] def corpusComplete(dir: String, docsOnly: Boolean): Boolean = {
+    val tables = if (docsOnly) DocsTables else AllTables
+    tables.forall(t =>
+      new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists)
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULT", "40").toInt
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
@@ -44,7 +63,7 @@ object ScaleSmoke {
     // bench/tier run over the same corpus).
     val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1")
     def orReuse(canonical: String)(build: => String): String =
-      if (reuse && new java.io.File(canonical).exists) canonical else build
+      if (reuse && corpusComplete(canonical, docsOnly)) canonical else build
     // Targeted A/B of the top-k planner rule at scale (r14 verdict #4):
     // SPARK_GRAFT_TOPK_REWRITE=false times the WindowGroupLimit-only
     // plan; unset/true keeps the default-ON TopKPerKey path.

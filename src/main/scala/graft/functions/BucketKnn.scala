@@ -89,8 +89,18 @@ case class BucketKnn(child: Expression, k: Int)
     def offer(at: Int, sim: Double, id: Long): Unit = {
       val base = at * k
       var pos = cnt(at)
-      while (pos > 0 && (sim > simT(base + pos - 1) ||
-          (sim == simT(base + pos - 1) && id < idT(base + pos - 1)))) pos -= 1
+      // java.lang.Double.compare, NOT primitive >/== (r15 advice):
+      // Spark's `sim DESC` total order puts NaN FIRST (NaN is greatest)
+      // and -0.0 below 0.0, while the primitive ops sink NaN to the
+      // end and conflate the zeros — a zero-norm member (NaN sims)
+      // would silently rank differently from the join+window form this
+      // expression claims bit-identity with. The function is a
+      // registered SQL function, so callers beyond normEmb can feed it
+      // anything.
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(sim, simT(base + pos - 1))
+        c > 0 || (c == 0 && id < idT(base + pos - 1))
+      }) pos -= 1
       if (pos < k) {
         var j = math.min(cnt(at), k - 1)
         while (j > pos) {
@@ -113,7 +123,18 @@ case class BucketKnn(child: Expression, k: Int)
         var dot = 0.0
         var t = 0
         while (t < dim) { dot += va(t) * vb(t); t += 1 }
-        val sim = dot / (na * nrms(b))
+        val den = na * nrms(b)
+        // ANSI parity (r15 advice): the join form's `dot / (na*nb)`
+        // THROWS DIVIDE_BY_ZERO under the session's ANSI mode when a
+        // zero-norm member appears — Java division would silently
+        // yield NaN rankings instead. Fail the same way the join
+        // form does. (NaN from NaN INPUTS divides fine under ANSI
+        // and is ranked NaN-first by the Double.compare in offer.)
+        if (den == 0.0) throw new ArithmeticException(
+          s"graft_bucket_knn: zero-norm member (vec_id ${ids(if (na == 0.0) a else b)}) — " +
+            "division by zero, matching the join form's ANSI error; " +
+            "filter zero vectors upstream")
+        val sim = dot / den
         offer(a, sim, ids(b))
         offer(b, sim, ids(a))
         b += 1
@@ -202,8 +223,21 @@ case class BucketSimPairs(child: Expression, threshold: Double)
         var dot = 0.0
         var t = 0
         while (t < dim) { dot += va(t) * vb(t); t += 1 }
-        val sim = dot / (na * nrms(b))
-        if (sim >= threshold) {
+        val den = na * nrms(b)
+        // ANSI parity — see [[BucketKnn]]: zero divisor throws like
+        // the join form's division would.
+        if (den == 0.0) throw new ArithmeticException(
+          s"graft_bucket_pairs: zero-norm member (vec_id ${ids(if (na == 0.0) a else b)}) — " +
+            "division by zero, matching the join form's ANSI error; " +
+            "filter zero vectors upstream")
+        val sim = dot / den
+        // Double.compare mirrors Spark's `>=` NaN semantics (NaN is
+        // greater than every value, so a NaN sim — possible from NaN
+        // INPUT components, which divide without an ANSI error —
+        // PASSES a finite threshold, exactly as the join form's
+        // filter would); the primitive >= would silently drop it
+        // (r15 advice).
+        if (java.lang.Double.compare(sim, threshold) >= 0) {
           val (lo, hi) =
             if (ids(a) < ids(b)) (ids(a), ids(b)) else (ids(b), ids(a))
           out += InternalRow(lo, hi, sim)

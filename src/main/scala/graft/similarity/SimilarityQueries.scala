@@ -3171,14 +3171,14 @@ object SimilarityQueries extends QueryModule {
     val root = new java.io.File(sigIndexRoot, s"graft_cells_$dataKey")
     cellAssignCache.getOrBuild(dataKey,
         r => new java.io.File(r, "_SUCCESS").exists) {
-      val fs = new org.apache.hadoop.fs.Path(root.getPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      WriterFence.withLease(fs, s"${root.getPath}_lock",
-          "cell-assignment artifact") { lease =>
-        deleteRecursively(root)
-        val staged = cellAssignedCompute(s, dir)
-        lease.check() // the corpus pass above is the long part
-        staged.write.mode("overwrite").parquet(root.getPath)
+      // Staged fenced commit (r16, closing the r15 advice): the
+      // corpus-sized write lands in _staging inside the lease and only
+      // renames into place after a commit-point ownership re-check, so
+      // a write outliving the staleness window can never interleave
+      // two writers' part files under one _SUCCESS at the served path.
+      stagedArtifactWrite(s, root, "cell-assignment artifact") { staging =>
+        cellAssignedCompute(s, dir)
+          .write.mode("overwrite").parquet(staging)
       }
       root.getPath
     }

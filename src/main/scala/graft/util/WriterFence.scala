@@ -93,31 +93,45 @@ object WriterFence {
       try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     }.toOption.filter(_.nonEmpty)
 
-  private def tryClaim(fs: FileSystem, p: Path, token: String): Boolean =
+  private def tryClaim(fs: FileSystem, p: Path, token: String): Boolean = {
+    var created = false
     try {
       fs.mkdirs(p.getParent)
       val out = fs.create(p, false) // overwrite=false: the atomic claim
+      created = true
       try out.write(token.getBytes("UTF-8")) finally out.close()
       true
     } catch {
       // Only a create-exclusive collision MEANS "another writer holds
-      // the lease". A generic IOException is disambiguated by reading
-      // the lease body (r14 advice — the old `if fs.exists(p)` guard
-      // misfiled transient disk faults as writer conflicts, stalling
-      // the caller for the whole staleness window):
-      //  - foreign token → we genuinely lost the race;
-      //  - OUR token → the create succeeded but write/close faulted:
-      //    remove the partial claim and surface the fault;
-      //  - absent/unreadable → transient fault (or a racer mid-claim
-      //    between its create and write — never delete that): rethrow.
+      // the lease". A generic IOException is disambiguated (r14
+      // advice — the old `if fs.exists(p)` guard misfiled transient
+      // disk faults as writer conflicts, stalling the caller for the
+      // whole staleness window):
+      //  - our create SUCCEEDED (r15 advice): whatever the file now
+      //    holds — empty, a partial prefix of our token, the full
+      //    token — is OUR garbage from the faulted write/close. A
+      //    body read would misfile a partial flush as "foreign
+      //    writer" and strand a half-written lock that blocks all
+      //    writers for the staleness window; the create outcome, not
+      //    the body, is the ground truth. Delete and surface the
+      //    fault.
+      //  - create itself faulted: read the body — a foreign token
+      //    means we genuinely lost the race; absent/unreadable means
+      //    a transient fault (or a racer mid-claim between its create
+      //    and write — never delete that): rethrow.
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case e: java.io.IOException =>
+        if (created) {
+          scala.util.Try(fs.delete(p, false))
+          throw e
+        }
         readToken(fs, p) match {
           case Some(t) if t != token => false
           case Some(_) => fs.delete(p, false); throw e
           case None => throw e
         }
     }
+  }
 
   /** Run `body` holding the single-writer lease for `root`. Throws
     * [[ConcurrentWriterException]] if another live writer holds it.

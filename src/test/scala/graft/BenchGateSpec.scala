@@ -80,6 +80,32 @@ class BenchGateSpec extends AnyFunSuite {
     assert(merged.head == ("q_b" -> 1.5))
   }
 
+  test("corpus reuse requires every table's _SUCCESS marker (r15 advice: no partial-build serve)") {
+    val dir = Files.createTempDirectory("corpus").toString
+    def mark(table: String): Unit = {
+      val d = new java.io.File(s"$dir/$table.parquet")
+      d.mkdirs()
+      new java.io.File(d, "_SUCCESS").createNewFile(): Unit
+    }
+    assert(!ScaleSmoke.corpusComplete(dir, docsOnly = true),
+      "an empty dir must not be reusable")
+    mark("documents")
+    // a crashed generator: documents committed, embeddings absent
+    assert(!ScaleSmoke.corpusComplete(dir, docsOnly = true),
+      "a partial build (missing embeddings) must not be reusable")
+    // present but UNCOMMITTED table (no _SUCCESS — the mid-write crash)
+    new java.io.File(s"$dir/embeddings.parquet").mkdirs()
+    assert(!ScaleSmoke.corpusComplete(dir, docsOnly = true),
+      "an uncommitted table dir must not be reusable")
+    mark("embeddings")
+    assert(ScaleSmoke.corpusComplete(dir, docsOnly = true))
+    // the full-corpus check needs the relational tables too
+    assert(!ScaleSmoke.corpusComplete(dir, docsOnly = false))
+    Seq("lineitem", "part", "supplier", "region", "events", "orders",
+      "customer", "nation").foreach(mark)
+    assert(ScaleSmoke.corpusComplete(dir, docsOnly = false))
+  }
+
   test("tier presets are the one-command scale gates (r13 #6)") {
     // sf40: the heavy tail at the 40x corpus, min-of-2, persisted+gated
     // against bench_sf40.json

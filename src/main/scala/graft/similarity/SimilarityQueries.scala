@@ -1874,10 +1874,78 @@ object SimilarityQueries extends QueryModule {
     * the presentation sort. */
   private def knnEdgesPlan(
       s: SparkSession, dir: String, planeCount: Int): DataFrame =
-    signBuckets(normEmb(s, dir), planeCount)
+    bucketKnnEdges(signBuckets(normEmb(s, dir), planeCount), 3)
+      .select(col("e"))
+
+  /** Per-bucket member cap for the grouped expressions (r16 verdict
+    * #2 / r15 advice): [[autoPlaneCount]] targets the AVERAGE bucket
+    * (~400), but width scaling cannot split a genuinely DENSE
+    * cluster — many near-identical vectors share one sign pattern
+    * (exactly the population dedup targets) or one k-means cell — so
+    * a hot bucket would land as ONE ~m×520 B `collect_list` row and
+    * one serial O(m²) task. Buckets above the cap fall back to the
+    * JOIN form, which computes the SAME exact pair mass distributed
+    * across tasks (grouped ≡ join is pinned bit-for-bit in
+    * BucketKnnSpec, so results and oracles are unchanged — the
+    * MaxBasketItems idiom). 4096 members ≈ 2 MB collected row and
+    * ~8M pairs per bucket call — comfortably inside one task — while
+    * every organically-sized bucket stays on the single-row fast
+    * path. */
+  private[graft] val MaxBucketMembers = 4096
+
+  /** Grouped per-bucket kNN with the dense-bucket fallback: a census
+    * window (count over bucket) rides the SAME hash(bucket) exchange
+    * the grouped aggregation needs, so routing adds no shuffle; the
+    * two branches' shared exchange is reused at runtime. Input
+    * (bucket, vec_id, v, nrm); output (bucket, e) with e =
+    * struct(vec_id, nbr_id, sim, rn), rn ≤ k. */
+  private[similarity] def bucketKnnEdges(
+      b: DataFrame, k: Int, cap: Int = MaxBucketMembers): DataFrame = {
+    val sized = b.withColumn("m",
+      count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    val small = sized.filter(col("m") <= cap)
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-      .select(explode(call_function("graft_bucket_knn", col("ms"), lit(3))).as("e"))
+      .select(col("bucket"),
+        explode(call_function("graft_bucket_knn", col("ms"), lit(k))).as("e"))
+    val big = sized.filter(col("m") > cap)
+    val nbrs = big.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"), col("nrm").as("nnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val bigEdges = big.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("bucket"),
+        struct(col("vec_id"), col("nbr_id"), col("sim"), col("rn")).as("e"))
+    small.union(bigEdges)
+  }
+
+  /** Grouped per-bucket threshold pairs with the same dense-bucket
+    * fallback as [[bucketKnnEdges]]. Output (bucket, e) with e =
+    * struct(id1, id2, sim), id1 < id2, unrounded sim ≥ thr. */
+  private[similarity] def bucketPairsRows(
+      b: DataFrame, thr: Double, cap: Int = MaxBucketMembers): DataFrame = {
+    val sized = b.withColumn("m",
+      count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    val small = sized.filter(col("m") <= cap)
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+      .select(col("bucket"),
+        explode(call_function("graft_bucket_pairs", col("ms"), lit(thr))).as("e"))
+    val big = sized.filter(col("m") > cap)
+    val right = big.select(col("bucket"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val bigPairs = big.join(right, Seq("bucket"))
+      .filter(col("vec_id") < col("id2"))
+      .withColumn("sim", expr("graft_dot(v, v2)") / (col("nrm") * col("n2")))
+      .filter(col("sim") >= thr)
+      .select(col("bucket"),
+        struct(col("vec_id").as("id1"), col("id2"), col("sim")).as("e"))
+    small.union(bigPairs)
+  }
 
   private[graft] def knnGraphPlan(
       s: SparkSession, dir: String, planeCount: Int = 4): DataFrame =
@@ -2359,11 +2427,9 @@ object SimilarityQueries extends QueryModule {
     * bucket as the partition column of the persisted edge table. */
   private def knRowsOf(b: DataFrame): DataFrame =
     // same grouped per-bucket kNN as [[knnGraphPlan]] (r15) — one
-    // exchange, pair scoring inside graft_bucket_knn, edge rows out
-    b.groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-      .select(col("bucket"),
-        explode(call_function("graft_bucket_knn", col("ms"), lit(3))).as("e"))
+    // exchange, pair scoring inside graft_bucket_knn, edge rows out,
+    // dense buckets routed to the join fallback (r16)
+    bucketKnnEdges(b, 3)
       .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
         col("bucket"))
 
@@ -3334,12 +3400,12 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
       // grouped per-cell pair scoring (r15): the in-cell pair mass is
       // scored inside graft_bucket_pairs over primitive arrays; only
-      // the ≥-threshold pairs' (cell, id2) survive to the distinct
-      val pruned = a.groupBy(col("cell"))
-        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-        .select(col("cell"), explode(
-          call_function("graft_bucket_pairs", col("ms"), lit(0.4))).as("e"))
-        .select(col("cell"), col("e.id2").as("id2"))
+      // the ≥-threshold pairs' (cell, id2) survive to the distinct.
+      // A degenerate (dense) cell routes to the join fallback (r16).
+      val pruned = bucketPairsRows(
+          a.select(col("cell").as("bucket"), col("vec_id"), col("v"), col("nrm")),
+          0.4)
+        .select(col("bucket").as("cell"), col("e.id2").as("id2"))
         .distinct()
       val perCell = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       val perPruned = pruned.groupBy(col("cell"))
@@ -3397,12 +3463,10 @@ object SimilarityQueries extends QueryModule {
     // unrounded-sim threshold, ascending-index dot) bit-match the
     // former self-join and the oracle's p CTE.
     (s, dir) =>
-      signBuckets(normEmb(s, dir),
-          autoPlaneCount(t(s, dir, "embeddings").count()))
-        .groupBy(col("bucket"))
-        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-        .select(explode(
-          call_function("graft_bucket_pairs", col("ms"), lit(0.4))).as("e"))
+      bucketPairsRows(
+          signBuckets(normEmb(s, dir),
+            autoPlaneCount(t(s, dir, "embeddings").count())),
+          0.4)
         .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
           round(col("e.sim"), 6).as("sim_r"))
         .orderBy(col("id1"), col("id2")),

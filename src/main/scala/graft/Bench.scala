@@ -340,6 +340,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
     println(line)
+    // Docs-tier ACCURACY floors (r16 verdict #3): the tier gate fails
+    // on a planted-recall/completeness drop — not just a time
+    // regression — so a change that narrows LSH width or breaks
+    // candidate generation cannot pass the one command by being fast.
+    // Floor failures also block the min-merge persist below (a wrong-
+    // but-fast run must not ratchet the budget).
+    val floorErrs = if (tier.exists(_.docsOnly)) {
+      val errs =
+        try ScaleSmoke.docsFloors(spark, sfDir)
+        catch { case e: Throwable => Seq(s"floor check crashed: ${e.getMessage}") }
+      errs.foreach(m => System.err.println(s"[bench] FLOOR FAILED: $m"))
+      errs
+    } else Nil
     spark.stop()
 
     // Per-query budget gate vs a previous same-harness round, e.g.
@@ -374,7 +387,9 @@ object Bench {
         new java.io.File("bench_local.json").getCanonicalFile)
     if (only.isEmpty || !isBudgetFile) {
       val out = outEnv.getOrElse("bench_local.json")
-      val target = if (failed.isEmpty && regressed.isEmpty) out else out + ".rejected"
+      val target =
+        if (failed.isEmpty && regressed.isEmpty && floorErrs.isEmpty) out
+        else out + ".rejected"
       // Scale-factor guard on the min-merge (also pre-flighted in
       // main(), before the timing run).
       requireSameSf(new java.io.File(out), sfDir)
@@ -405,5 +420,6 @@ object Bench {
     }
     if (failed.nonEmpty) sys.exit(1)
     if (regressed.nonEmpty) sys.exit(2)
+    if (floorErrs.nonEmpty) sys.exit(3)
   }
 }

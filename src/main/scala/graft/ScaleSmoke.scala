@@ -75,6 +75,81 @@ object ScaleSmoke {
     runSmoke(spark, mult, only, dir)
   }
 
+  /** Planted-structure ACCURACY floors for a [[buildDocsCorpus]]
+    * corpus, returned as failure messages (empty = all floors hold) so
+    * the docs1000 bench tier can gate on accuracy as well as time (r16
+    * verdict #3): before this, the tier's one command only caught TIME
+    * regressions — a change that silently narrowed LSH width or broke
+    * candidate generation would pass (probably faster). Three floors,
+    * each through the OPERATOR under test, kept in sync with the
+    * generator's planted structure:
+    *
+    *  1. kNN recall — each planted cos ≈ 0.9999 twin must rank FIRST
+    *     for its probe in the auto-width kNN graph (≥ 4/5, one
+    *     plane-straddling twin is within tolerance — the ScaleSmoke
+    *     floor, now tier-gated).
+    *  2. Exact-dedup completeness — q_dedup must collapse EVERY
+    *     planted exact copy (id ≡ 0 mod 97 whose successor is not
+    *     itself mutated): collapsed-doc mass equals the planted count
+    *     exactly (md5 grouping has no tolerance to give).
+    *  3. Near-dup pair completeness — ≥ 90% of planted mutated copies
+    *     (id ≡ 0 mod 89, first token replaced, shingle Jaccard ≈ 0.94)
+    *     must surface as MinHash-LSH candidate pairs; 4-band/2-hash
+    *     banding at that similarity misses ~2e-4 of pairs, so a
+    *     sub-0.9 hit rate means candidate generation regressed, not
+    *     luck.
+    */
+  def docsFloors(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.select(count(lit(1))).collect()(0).getLong(0)
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val knnHits = graft.similarity.SimilarityQueries.knnGraphPlanAuto(spark, dir)
+      .filter(col("vec_id") < 5 && col("rn") === 1L &&
+        col("nbr_id") === col("vec_id") + nDocs / 2)
+      .count()
+    System.err.println(s"[floors] knn_recall: $knnHits/5 planted twins ranked first")
+    if (knnHits < 4)
+      errs += s"knn recall floor: $knnHits/5 planted twins ranked first (need >= 4)"
+
+    // exact pairs: id ≡ 0 (mod 97) copies id+1's tokens VERBATIM unless
+    // doc id+1 is itself a mutated copy ((id+1) ≡ 0 mod 89 — then the
+    // copied tokens differ from id+1's actual text and no group forms)
+    val plantedExact = spark.range(nDocs)
+      .filter(col("id") % 97 === 0 && col("id") + 1 < nDocs &&
+        (col("id") + 1) % 89 =!= 0)
+      .count()
+    val collapsed = graft.text.TextQueries.dedup.run(spark, dir)
+      .filter(col("n_copies") >= 2)
+      .agg(coalesce(sum(col("n_copies") - 1), lit(0L)))
+      .collect()(0).getLong(0)
+    System.err.println(
+      s"[floors] exact_dedup: $collapsed collapsed of $plantedExact planted copies")
+    if (collapsed != plantedExact)
+      errs += s"exact-dedup completeness floor: q_dedup collapsed $collapsed docs, " +
+        s"planted $plantedExact exact copies"
+
+    // near-dup pairs: (id, id+1) for mutated copies whose successor is
+    // itself neither an exact copy nor another mutated copy
+    val plantedNear = spark.range(nDocs)
+      .filter(col("id") % 89 === 0 && col("id") % 97 =!= 0 &&
+        col("id") + 1 < nDocs &&
+        (col("id") + 1) % 97 =!= 0 && (col("id") + 1) % 89 =!= 0)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val nearTotal = plantedNear.count()
+    val nearHits = graft.similarity.SimilarityQueries.minhashLsh.run(spark, dir)
+      .join(plantedNear, Seq("id1", "id2"), "left_semi")
+      .count()
+    System.err.println(
+      s"[floors] neardup_pairs: $nearHits/$nearTotal planted LSH candidates found")
+    if (nearTotal > 0 && nearHits.toDouble / nearTotal < 0.9)
+      errs += s"near-dup pair completeness floor: $nearHits/$nearTotal planted " +
+        "mutated copies surfaced as LSH candidates (need >= 90%)"
+
+    errs.toSeq
+  }
+
   /** Distributed documents+embeddings generator for the docs-scaled
     * tier at `/tmp/graft_docs_<mult>x`. Content is hash-derived (no
     * driver-side Seq — the committed 40×/100× corpora keep their
@@ -88,8 +163,9 @@ object ScaleSmoke {
     *    [n/2, n/2+5) are probe (id − n/2)'s vector + 1% noise — the
     *    recall-floor gates (knn/ivf/beam) work unchanged. */
   def buildDocsCorpus(
-      spark: org.apache.spark.sql.SparkSession, mult: Int): String = {
-    val dir = docsCorpusDir(mult)
+      spark: org.apache.spark.sql.SparkSession, mult: Int,
+      dirOverride: Option[String] = None): String = {
+    val dir = dirOverride.getOrElse(docsCorpusDir(mult))
     val nDocs = 500L * mult
     // doc id ≡ 0 mod 97 → copy of id+1; mod 89 → near-dup of id+1
     val src = spark.range(nDocs).select(

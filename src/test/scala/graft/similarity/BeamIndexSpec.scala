@@ -383,6 +383,14 @@ class BeamIndexSpec extends AnyFunSuite {
     // because the manifest chain is still parseable
     java.nio.file.Files.delete(lock)
     assert(SimilarityQueries.beamManifest(spark, root).gen >= 0L)
+    // and the flagged state is RECOVERABLE (r15 verdict #6): with the
+    // thief's lease cleared, a legitimate writer resolves the current
+    // manifest inside ITS lease (whichever generation survived the
+    // flagged window), appends on top, and the index carries every
+    // vector — the loud abort never strands the artifact.
+    SimilarityQueries.beamIndexAppend(spark, neOf(0L until 48L), root)
+    assert(SimilarityQueries.beamMeta(spark, root)._2 === 48L,
+      "post-recovery append lost vectors after the flagged commit window")
   }
 
   test("vacuum: a lease stolen mid-run aborts before any delete (r14 advice)") {

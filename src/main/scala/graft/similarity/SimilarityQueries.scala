@@ -736,6 +736,10 @@ object SimilarityQueries extends QueryModule {
     require(converged,
       "labelComponents: did not converge within 20 shortcutted rounds " +
         "(diameter > ~2^16?) — refusing to return split components")
+    // Round census for the scale audits (SCALE.md): each round is one
+    // checkpointed job, so rounds × per-round exchange volume is the
+    // query's iterative cost model at any corpus size.
+    System.err.println(s"[labelComponents] converged in $round rounds")
     // Singletons come back as their own label; edge-incident nodes take
     // the converged cluster label. The distinct restores the one-row-
     // per-node invariant the old identity seed got for free from its

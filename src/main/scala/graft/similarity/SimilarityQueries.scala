@@ -1877,9 +1877,14 @@ object SimilarityQueries extends QueryModule {
     * rn) — unordered, for consumers (q_knn_classify) that don't need
     * the presentation sort. */
   private def knnEdgesPlan(
-      s: SparkSession, dir: String, planeCount: Int): DataFrame =
-    bucketKnnEdges(signBuckets(normEmb(s, dir), planeCount), 3)
+      s: SparkSession, dir: String, planeCount: Int): DataFrame = {
+    val b = signBuckets(normEmb(s, dir), planeCount)
+    // dataset-derived frame: the dense census is session-cached per
+    // (embeddings stamp, width) so warm plan builds pay nothing
+    bucketKnnEdges(b, 3, denseIds = Some(denseBucketsCached(
+        s, embStamp(dir, s"planes$planeCount"), b, MaxBucketMembers)))
       .select(col("e"))
+  }
 
   /** Per-bucket member cap for the grouped expressions (r16 verdict
     * #2 / r15 advice): [[autoPlaneCount]] targets the AVERAGE bucket
@@ -1891,64 +1896,135 @@ object SimilarityQueries extends QueryModule {
     * JOIN form, which computes the SAME exact pair mass distributed
     * across tasks (grouped ≡ join is pinned bit-for-bit in
     * BucketKnnSpec, so results and oracles are unchanged — the
-    * MaxBasketItems idiom). 4096 members ≈ 2 MB collected row and
-    * ~8M pairs per bucket call — comfortably inside one task — while
-    * every organically-sized bucket stays on the single-row fast
-    * path. */
-  private[graft] val MaxBucketMembers = 4096
+    * MaxBasketItems idiom).
+    *
+    * The cap value is calibrated from the MEASURED skew, not the
+    * average: at the 500k tier the sign-bucket histogram is 813
+    * buckets, median 162 but max 13,776 — an 85× max/median skew on
+    * "uniform" embeddings (the anisotropy the r15 advice predicted).
+    * The grouped expression handles a 13.8k bucket comfortably
+    * (~7 MB row, a few seconds of JIT'd loop — r15's committed 23s
+    * q_knn_graph was measured WITH it), while routing those rows to
+    * the join form costs ~3× the whole query (measured 23s → 83-104s:
+    * 30% of the corpus sat in 16 over-4096 buckets). 32768 ≈ 17 MB
+    * collected row and a 10-15 s serial pair loop — the largest
+    * single-task grain worth trading against the join's m² row
+    * traffic — keeps every bucket observed through the 1M-doc stretch
+    * on the fast path while still bounding a genuine monster. */
+  private[graft] val MaxBucketMembers = 32768
 
-  /** Grouped per-bucket kNN with the dense-bucket fallback: a census
-    * window (count over bucket) rides the SAME hash(bucket) exchange
-    * the grouped aggregation needs, so routing adds no shuffle; the
-    * two branches' shared exchange is reused at runtime. Input
+  /** Dense-bucket ids for the routing decision — the bucket census
+    * aggregated to the driver. This is a BOUNDED read (≤ 2^planes or
+    * ≤ k-cells rows in, usually ZERO rows out) in the audited
+    * trained-artifact-collect class, and the cheapest correct design
+    * measured at the 500k tier: a census WINDOW carried the full
+    * 520 B vector rows through Exchange→Sort per consuming branch
+    * (q_knn_graph 23s→83s), and a census-aggregate broadcast-JOIN
+    * still made every union branch re-derive the normEmb+signBuckets
+    * projection — ~6 corpus passes, 23s→104s. Collecting the
+    * (usually empty) dense id list instead costs ONE extra census
+    * pass, and when the list is empty — every organic corpus — the
+    * consumer's plan is IDENTICAL to the r15 single-aggregation form.
+    */
+  private def denseBucketsOf(b: DataFrame, cap: Int): Seq[Any] = {
+    val dense = b.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > cap)
+      .select(col("bucket")).collect().map(_.get(0)).toSeq
+    // the literal IN-set below must stay driver-sized; 100k dense
+    // buckets means the corpus (or the width rule) is broken, not big
+    require(dense.size < 100000,
+      s"dense-bucket routing found ${dense.size} buckets over $cap members - " +
+        "width scaling is not engaging; refusing to build a 100k-literal plan")
+    dense
+  }
+
+  /** Session cache for the dense id lists of DATASET-derived bucketed
+    * frames: the census pass re-runs the normEmb+signBuckets (or
+    * cell-assignment read) projection, which is most of a consumer
+    * query's scan-side cost — paying it on every plan BUILD erased
+    * the r15 wins (q_embed_dedup 30s → 84s measured with an uncached
+    * per-build census). The list is a few ints, keyed on
+    * (dataset stamp, planes/cells tag, cap, session), so a rewritten
+    * dataset re-censuses and warm plan builds are free. */
+  private val denseBucketCache = new ArtifactCache[Seq[Any]]("dense-buckets")
+
+  private def denseBucketsCached(
+      s: SparkSession, tag: String, b: => DataFrame, cap: Int): Seq[Any] =
+    denseBucketCache.getOrBuild(
+      s"$tag@$cap@${ArtifactCache.sessionKey(s)}", _ => true) {
+      denseBucketsOf(b, cap)
+    }
+
+  /** Census key for a frame derived from this dataset's embeddings. */
+  private def embStamp(dir: String, salt: String): String =
+    ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(s"$dir/embeddings.parquet")}@$salt")
+
+  /** Grouped per-bucket kNN with the dense-bucket fallback (r16
+    * verdict #2): buckets at or under `cap` members collect into one
+    * aggregation row for `graft_bucket_knn`; larger (genuinely dense)
+    * buckets route to the bit-identical join form, which distributes
+    * the same pair mass across tasks. Runs a bounded census job at
+    * plan build ([[denseBucketsOf]]); with no dense bucket the
+    * returned plan is exactly the r15 single-aggregation form. Input
     * (bucket, vec_id, v, nrm); output (bucket, e) with e =
     * struct(vec_id, nbr_id, sim, rn), rn ≤ k. */
   private[similarity] def bucketKnnEdges(
-      b: DataFrame, k: Int, cap: Int = MaxBucketMembers): DataFrame = {
-    val sized = b.withColumn("m",
-      count(lit(1)).over(Window.partitionBy(col("bucket"))))
-    val small = sized.filter(col("m") <= cap)
+      b: DataFrame, k: Int, cap: Int = MaxBucketMembers,
+      denseIds: Option[Seq[Any]] = None): DataFrame = {
+    val dense = denseIds.getOrElse(denseBucketsOf(b, cap))
+    val smallSide =
+      if (dense.isEmpty) b else b.filter(!col("bucket").isInCollection(dense))
+    val small = smallSide
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
       .select(col("bucket"),
         explode(call_function("graft_bucket_knn", col("ms"), lit(k))).as("e"))
-    val big = sized.filter(col("m") > cap)
-    val nbrs = big.select(col("bucket"), col("vec_id").as("nbr_id"),
-      col("v").as("nv"), col("nrm").as("nnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    val bigEdges = big.join(nbrs, Seq("bucket"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("sim", expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("bucket"),
-        struct(col("vec_id"), col("nbr_id"), col("sim"), col("rn")).as("e"))
-    small.union(bigEdges)
+    if (dense.isEmpty) small
+    else {
+      val big = b.filter(col("bucket").isInCollection(dense))
+      val nbrs = big.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nrm").as("nnrm"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      val bigEdges = big.join(nbrs, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", expr("graft_dot(v, nv)") / (col("nrm") * col("nnrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("bucket"),
+          struct(col("vec_id"), col("nbr_id"), col("sim"), col("rn")).as("e"))
+      small.union(bigEdges)
+    }
   }
 
   /** Grouped per-bucket threshold pairs with the same dense-bucket
     * fallback as [[bucketKnnEdges]]. Output (bucket, e) with e =
     * struct(id1, id2, sim), id1 < id2, unrounded sim ≥ thr. */
   private[similarity] def bucketPairsRows(
-      b: DataFrame, thr: Double, cap: Int = MaxBucketMembers): DataFrame = {
-    val sized = b.withColumn("m",
-      count(lit(1)).over(Window.partitionBy(col("bucket"))))
-    val small = sized.filter(col("m") <= cap)
+      b: DataFrame, thr: Double, cap: Int = MaxBucketMembers,
+      denseIds: Option[Seq[Any]] = None): DataFrame = {
+    val dense = denseIds.getOrElse(denseBucketsOf(b, cap))
+    val smallSide =
+      if (dense.isEmpty) b else b.filter(!col("bucket").isInCollection(dense))
+    val small = smallSide
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
       .select(col("bucket"),
         explode(call_function("graft_bucket_pairs", col("ms"), lit(thr))).as("e"))
-    val big = sized.filter(col("m") > cap)
-    val right = big.select(col("bucket"), col("vec_id").as("id2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    val bigPairs = big.join(right, Seq("bucket"))
-      .filter(col("vec_id") < col("id2"))
-      .withColumn("sim", expr("graft_dot(v, v2)") / (col("nrm") * col("n2")))
-      .filter(col("sim") >= thr)
-      .select(col("bucket"),
-        struct(col("vec_id").as("id1"), col("id2"), col("sim")).as("e"))
-    small.union(bigPairs)
+    if (dense.isEmpty) small
+    else {
+      val big = b.filter(col("bucket").isInCollection(dense))
+      val right = big.select(col("bucket"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+      val bigPairs = big.join(right, Seq("bucket"))
+        .filter(col("vec_id") < col("id2"))
+        .withColumn("sim", expr("graft_dot(v, v2)") / (col("nrm") * col("n2")))
+        .filter(col("sim") >= thr)
+        .select(col("bucket"),
+          struct(col("vec_id").as("id1"), col("id2"), col("sim")).as("e"))
+      small.union(bigPairs)
+    }
   }
 
   private[graft] def knnGraphPlan(
@@ -3406,9 +3482,11 @@ object SimilarityQueries extends QueryModule {
       // scored inside graft_bucket_pairs over primitive arrays; only
       // the ≥-threshold pairs' (cell, id2) survive to the distinct.
       // A degenerate (dense) cell routes to the join fallback (r16).
-      val pruned = bucketPairsRows(
-          a.select(col("cell").as("bucket"), col("vec_id"), col("v"), col("nrm")),
-          0.4)
+      val cellFrame = a.select(
+        col("cell").as("bucket"), col("vec_id"), col("v"), col("nrm"))
+      val pruned = bucketPairsRows(cellFrame, 0.4,
+          denseIds = Some(denseBucketsCached(
+            s, embStamp(dir, "cells"), cellFrame, MaxBucketMembers)))
         .select(col("bucket").as("cell"), col("e.id2").as("id2"))
         .distinct()
       val perCell = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
@@ -3466,14 +3544,15 @@ object SimilarityQueries extends QueryModule {
     // no ordered-pair row materialization. Semantics (vec_id < id2,
     // unrounded-sim threshold, ascending-index dot) bit-match the
     // former self-join and the oracle's p CTE.
-    (s, dir) =>
-      bucketPairsRows(
-          signBuckets(normEmb(s, dir),
-            autoPlaneCount(t(s, dir, "embeddings").count())),
-          0.4)
+    (s, dir) => {
+      val planes = autoPlaneCount(t(s, dir, "embeddings").count())
+      val b = signBuckets(normEmb(s, dir), planes)
+      bucketPairsRows(b, 0.4, denseIds = Some(denseBucketsCached(
+          s, embStamp(dir, s"planes$planes"), b, MaxBucketMembers)))
         .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
           round(col("e.sim"), 6).as("sim_r"))
-        .orderBy(col("id1"), col("id2")),
+        .orderBy(col("id1"), col("id2"))
+    },
     Some(s"""
       WITH $normEmbSql,
       $knnBucketSql,

@@ -86,16 +86,13 @@ class PlanContractSpec extends AnyFunSuite {
     "q_substr_dedup" -> 3,     // gram agg + islands window (run agg reuses it) + sort
     "q_pack" -> 2,             // per-shard cumsum window + final sort
     "q_kmeans_cluster" -> 2,   // map-side cell assignment; one (cell) agg + sort
-    "q_semantic_dedup" -> 5,   // r15: ONE cell-grouped exchange (pairs scored
+    "q_semantic_dedup" -> 3,   // r15: ONE cell-grouped exchange (pairs scored
                                // inside graft_bucket_pairs) + pair distinct
                                // + per-cell census; final join/sort ride them.
-                               // r16: +2 STATIC copies of the cell census
-                               // exchange from the dense-bucket fallback's
-                               // branches — at runtime AQE reuses the census
-                               // stage and folds the whole join branch to
-                               // EmptyRelation unless a cell exceeds
-                               // MaxBucketMembers (verified on the final
-                               // adaptive plan)
+                               // r16: the dense-cell guard runs as a separate
+                               // bounded census JOB at plan build
+                               // (denseBucketsOf) — with no dense cell the
+                               // visible plan is unchanged
     "q_mix_sample" -> 2,       // broadcast weights dim + one (source) agg + sort
     "q_tfidf" -> 4,            // ONE term exchange serves tf agg + df window (r14:
                                // the df agg + join and their exchanges are gone) +
@@ -129,17 +126,15 @@ class PlanContractSpec extends AnyFunSuite {
                                // joins; TakeOrdered final (no sort exchange)
     "q_countmin" -> 3,         // sketch agg + exact top-20 agg + final sort; the
                                // 512-row sketch broadcasts back, no join shuffle
-    "q_knn_graph" -> 5,        // ONE bucket-grouped exchange (graft_bucket_knn
+    "q_knn_graph" -> 2,        // ONE bucket-grouped exchange (graft_bucket_knn
                                // scores pairs inside the aggregate's buckets,
                                // r15 — no self-join, no window) + final sort.
-                               // r16: +3 STATIC exchanges from the dense-bucket
-                               // fallback — two more copies of the bucket census
-                               // and the fallback's per-vec window. At runtime
-                               // AQE reuses the census stage and folds the whole
-                               // join branch to EmptyRelation unless a bucket
-                               // exceeds MaxBucketMembers (verified on the
-                               // final adaptive plan: ONE census shuffle, empty
-                               // residual stages)
+                               // r16: the dense-bucket guard is a separate
+                               // bounded census job at plan build; this pin
+                               // ALSO proves the no-dense-bucket plan stayed
+                               // the r15 single-aggregation shape (both
+                               // in-plan routing designs measured 3.6-4.5x
+                               // slower at 500k — see denseBucketsOf scaladoc)
     "q_triangles" -> 8,        // checkpointed edge list; 3 census aggs (each ends in a
                                // single-partition exchange) + 2-hop join pair — AQE
                                // broadcasts the tiny sides at runtime
@@ -221,15 +216,14 @@ class PlanContractSpec extends AnyFunSuite {
     "q_linreg" -> 2,           // daily census agg + ONE global moment agg
     "q_sql_q18" -> 3,          // HAVING key-set agg + semi join (AQE broadcasts
                                // the selective side) + detail agg; TakeOrdered
-    "q_knn_classify" -> 7,     // r15: the kNN bucket-group exchange is now
+    "q_knn_classify" -> 4,     // r15: the kNN bucket-group exchange is now
                                // plan-VISIBLE (was hidden behind knnGraph's
                                // eager checkpoint job — a full materialization
                                // this plan no longer pays); votes agg + top-1
                                // window share one vec_id exchange; + final
-                               // agg + sort (labels broadcast). r16: +3 static
-                               // dense-fallback exchanges (see q_knn_graph) —
-                               // AQE folds the join branch to EmptyRelation
-                               // at runtime, one census shuffle survives
+                               // agg + sort (labels broadcast); the r16
+                               // dense-bucket guard adds no plan nodes (see
+                               // q_knn_graph)
     "q_sql_corr" -> 2,         // decorrelated: ONE per-customer max agg + equi-join
                                // back to orders + final sort — never a per-row re-scan
     "q_conv_time" -> 4,        // first-view agg + first-purchase-after agg + ONE

@@ -1032,7 +1032,7 @@ object SimilarityQueries extends QueryModule {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     require(docsFile.exists(), s"shingleTable: $docsFile does not exist")
     val dataKey = ArtifactCache.stamp(
-      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$HashFamilyVersion@shingles-v1")
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$HashFamilyVersion@shingles-v2-b64")
       .take(16)
     val sessKey = ArtifactCache.sessionKey(s)
     val name = s"graft_shingles_${dataKey}_$sessKey"
@@ -1041,11 +1041,17 @@ object SimilarityQueries extends QueryModule {
       val path = new java.io.File(sigIndexRoot, name)
       deleteRecursively(path)
       s.sql(s"DROP TABLE IF EXISTS $name")
+      // 64 buckets (not the session's 32 shuffle width): the DF-cap
+      // census aggregates each bucket's DISTINCT shingles in ONE
+      // zero-exchange hash-agg task, so bucket count directly sets
+      // peak per-task aggregation state (~35M distinct shingles / B).
+      // 64 halves it vs 32 — two task waves on 32 cores, same wall
+      // time, half the concurrent heap (the 8g-fit margin).
       rawShinglesOf(t(s, dir, "documents").select(col("doc_id"), col("text")))
-        .repartition(32, col("s"))
+        .repartition(64, col("s"))
         .write.mode("overwrite")
         .option("path", path.getPath)
-        .bucketBy(32, "s")
+        .bucketBy(64, "s")
         .sortBy("s")
         .saveAsTable(name)
       name
@@ -1304,7 +1310,12 @@ object SimilarityQueries extends QueryModule {
     * Returns (id1, id2, n_bands) with id1 < id2 by construction. */
   private[graft] def incrementalPairs(s: SparkSession, dir: String): DataFrame = {
     val idx = signatureIndex(s, dir)
-    val newSigs = newBatchSignatures(s, dir).localCheckpoint(true)
+    // DISK_ONLY (the r15 checkpoint rule, applied after an 8g-heap
+    // OOM at the 500k tier with cumulative session state): the batch
+    // signature frame is corpus-scale (4 band rows per batch doc) and
+    // must never park deserialized in the unified storage pool.
+    val newSigs = newBatchSignatures(s, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val newNew = newSigs.as("a")
       .join(newSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -1416,7 +1427,9 @@ object SimilarityQueries extends QueryModule {
       val reps = docs
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mult"))
-        .localCheckpoint(true) // feeds the rep filter + both mult joins
+        // feeds the rep filter + both mult joins; DISK_ONLY — reps are
+        // corpus-cardinality (one row per distinct text)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // Representative shingles ride the persisted UNCAPPED corpus
       // artifact (r16): shingling is per-document, so filtering the
       // artifact to reps equals shingling repDocs from scratch, and
@@ -2183,7 +2196,10 @@ object SimilarityQueries extends QueryModule {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val byRange = df.repartitionByRange(parts, col(key))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      // DISK_ONLY: the ranked frame is input-sized (corpus-scale for
+      // q_percentile) and is read twice (census + join) — disk re-read
+      // beats locking it in the storage pool (r15 checkpoint rule)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val offsets = byRange.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_off",
         coalesce(sum(col("_cnt")).over(
@@ -2739,7 +2755,10 @@ object SimilarityQueries extends QueryModule {
     beamIndexCache.getOrBuild(dataKey,
         r => Option(new java.io.File(r, "_gen").list()).exists(_.nonEmpty)) {
       deleteRecursively(root)
-      val ne = normEmb(s, dir).localCheckpoint(true)
+      // DISK_ONLY: 500k x 64 doubles ~ 260 MB of deserialized rows
+      // otherwise locked in the storage pool for the build's lifetime
+      val ne = normEmb(s, dir).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       beamIndexCreate(s, ne, autoPlaneCount(ne.count()), root.getPath)
       root.getPath
     }
@@ -2835,8 +2854,13 @@ object SimilarityQueries extends QueryModule {
       // checkpointed plans (and blocks) for the JVM's lifetime
       beamWarmCache.sweep(v =>
         ArtifactCache.sessionDead(v._1.sparkSession))
-      (normEmb(s, dir).localCheckpoint(true),
-        beamEdgesFrame(s, idxRoot).localCheckpoint(true))
+      // DISK_ONLY both: the warm cache pins these for the SESSION —
+      // ~400 MB of corpus vectors + edges must live on disk, not in
+      // the storage pool every later query competes with
+      (normEmb(s, dir).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY),
+        beamEdgesFrame(s, idxRoot).localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
     beamSearchPlan(s, idxRoot, ne, Some(edges))
   }

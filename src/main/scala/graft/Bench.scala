@@ -95,6 +95,29 @@ object Bench {
     }.sortBy(_._1)
   }
 
+  /** Aggregate-creep soft warning (r15 verdict #5): the per-query gate
+    * only fires at >2× per query, so a run where MANY queries drift
+    * 10-50% passes silently while the tier total climbs round over
+    * round (observed: sf1 249.4s → 267.3s with zero per-query flags).
+    * When the measured total over the gated queries exceeds the
+    * committed baseline total by `factor`, surface it loudly — a
+    * WARNING, not an exit code: totals are noisier than per-query
+    * minimums and the min-merge ratchet already protects the budget.
+    */
+  private[graft] def totalCreepWarning(
+      now: Seq[(String, Double)], base: Map[String, Double],
+      factor: Double = 1.15): Option[String] = {
+    val shared = now.filter { case (n, t) => t >= 0 && base.get(n).exists(_ > 0) }
+    val nowTotal = shared.map(_._2).sum
+    val baseTotal = shared.map { case (n, _) => base(n) }.sum
+    if (baseTotal > 0 && nowTotal > baseTotal * factor)
+      Some(f"[bench] WARNING aggregate creep: ${shared.size} gated queries " +
+        f"total $nowTotal%.1fs vs committed $baseTotal%.1fs " +
+        f"(${nowTotal / baseTotal}%.2fx > $factor%.2fx soft threshold, " +
+        "no per-query >2x flags) — many small drifts, inspect before they compound")
+    else None
+  }
+
   /** On a FULL run the registry is authoritative: prior baseline
     * entries whose query no longer exists (renamed/deleted) would
     * otherwise persist in the artifact forever — mergeBaseline
@@ -365,6 +388,9 @@ object Bench {
         System.err.println(
           f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x, confirmed isolated)")
       }
+      // aggregate-creep soft warning (r15 verdict #5) — visible even
+      // when no individual query trips the 2x gate
+      totalCreepWarning(results, base).foreach(System.err.println)
       r
     }
     // Persist the builder's own COMPLETE per-query result in-repo so the

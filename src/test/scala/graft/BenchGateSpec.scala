@@ -80,6 +80,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(merged.head == ("q_b" -> 1.5))
   }
 
+  test("totalCreepWarning fires on many small drifts, not on healthy or per-query-flagged runs") {
+    val base = Map("q_a" -> 10.0, "q_b" -> 10.0, "q_c" -> 10.0)
+    // healthy: under the 1.15x soft threshold
+    assert(Bench.totalCreepWarning(
+      Seq("q_a" -> 10.5, "q_b" -> 11.0, "q_c" -> 10.0), base).isEmpty)
+    // creep: every query +20-30%, none near the 2x per-query gate
+    val w = Bench.totalCreepWarning(
+      Seq("q_a" -> 12.5, "q_b" -> 13.0, "q_c" -> 12.0), base)
+    assert(w.exists(_.contains("aggregate creep")), s"expected warning, got $w")
+    // failed entries and baseline-missing queries are excluded
+    assert(Bench.totalCreepWarning(
+      Seq("q_a" -> -1.0, "q_new" -> 100.0, "q_b" -> 10.0), base).isEmpty)
+  }
+
   test("corpus reuse requires every table's _SUCCESS marker (r15 advice: no partial-build serve)") {
     val dir = Files.createTempDirectory("corpus").toString
     def mark(table: String): Unit = {

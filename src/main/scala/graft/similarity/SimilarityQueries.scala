@@ -22,6 +22,15 @@ object SimilarityQueries extends QueryModule {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Scale-audit telemetry (SCALE.md round censuses): stderr ONLY when
+    * SPARK_GRAFT_AUDIT is set — an unconditional print in a hot shared
+    * code path is noise in every unit test and timed bench query
+    * (ADVICE r16). One-time per-dataset events (artifact builds, the
+    * bucket-census histogram) stay unconditional; per-INVOCATION
+    * signals route through here. */
+  private def auditLog(msg: => String): Unit =
+    if (sys.env.contains("SPARK_GRAFT_AUDIT")) System.err.println(msg)
+
   /** Normalized-embeddings prelude shared by every vector query
     * (cosine baseline, both LSH variants, IVF, embedding dedup):
     * float→double cast + L2 norm via the native graft_dot. One
@@ -29,7 +38,7 @@ object SimilarityQueries extends QueryModule {
     * everywhere at once. Declared BEFORE any Q val that interpolates
     * it (vals initialize in declaration order).
     */
-  private def normEmb(s: SparkSession, dir: String): DataFrame =
+  private[similarity] def normEmb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(
         col("vec_id"),
@@ -167,7 +176,7 @@ object SimilarityQueries extends QueryModule {
     // graft_dot: fused native expression (functions.DotProduct) —
     // same ascending-index accumulation as zip_with+aggregate, one
     // pass, no intermediate array.
-    val emb = normEmb(s, dir)
+    val emb = normEmbArtifact(s, dir)
     val q = emb.select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .filter(col("q_id") < 5)
@@ -738,8 +747,10 @@ object SimilarityQueries extends QueryModule {
         "(diameter > ~2^16?) — refusing to return split components")
     // Round census for the scale audits (SCALE.md): each round is one
     // checkpointed job, so rounds × per-round exchange volume is the
-    // query's iterative cost model at any corpus size.
-    System.err.println(s"[labelComponents] converged in $round rounds")
+    // query's iterative cost model at any corpus size. Audit-gated:
+    // this runs per INVOCATION (every unit test, every timed bench
+    // query), not once per dataset.
+    auditLog(s"[labelComponents] converged in $round rounds")
     // Singletons come back as their own label; edge-incident nodes take
     // the converged cluster label. The distinct restores the one-row-
     // per-node invariant the old identity seed got for free from its
@@ -958,14 +969,17 @@ object SimilarityQueries extends QueryModule {
 
   /** Fenced, STAGED commit of a per-dataset parquet artifact dir (r16,
     * closing the r15 advice on [[cellAssignFor]]): the corpus-sized
-    * write lands in a `_staging` sibling INSIDE the lease, ownership
-    * re-validates at the commit point, and only then does the staging
-    * dir rename into place — the beam-manifest commit discipline
-    * applied to directory artifacts. A direct write to the final path
-    * (the old cellAssign shape) meant a write outliving the staleness
-    * window could interleave two writers' part files under one
-    * _SUCCESS; with staging, a stale writer's work never reaches the
-    * served path: it aborts at the commit-point [[WriterFence.Lease.check]].
+    * write lands in a PER-ATTEMPT `_staging_<lease-token>` sibling
+    * INSIDE the lease, ownership re-validates at the commit point, and
+    * only then does the staging dir rename into place — the
+    * beam-manifest commit discipline applied to directory artifacts. A
+    * direct write to the final path (the old cellAssign shape) meant a
+    * write outliving the staleness window could interleave two
+    * writers' part files under one _SUCCESS; with per-attempt staging,
+    * a stale writer's work never reaches the served path: its
+    * committer can only write into its OWN (already-swept) staging
+    * dir, and its commit aborts at the commit-point
+    * [[WriterFence.Lease.check]].
     * The check→rename gap itself is closed by the same ordering
     * argument as [[commitBeamManifest]]: a steal AFTER the post-rename
     * check must re-validate the artifact under ITS lease (getOrBuild
@@ -979,8 +993,24 @@ object SimilarityQueries extends QueryModule {
     val fs = new org.apache.hadoop.fs.Path(root.getPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     WriterFence.withLease(fs, s"${root.getPath}_lock", what) { lease =>
-      val staging = new java.io.File(s"${root.getPath}_staging")
-      deleteRecursively(staging)
+      // Staging dir UNIQUE per attempt (ADVICE r16): a fixed shared
+      // `_staging` path let a presumed-stale writer outliving the
+      // staleness window have its output committer rename late part
+      // files into a STEALER's freshly rebuilt staging dir (after the
+      // stealer's delete, before its rename) — the stealer would then
+      // commit an interleaved artifact under a valid lease, and the
+      // post-rename fence only detects steals of the stealer's OWN
+      // lease. Suffixing with the lease token means a stale writer's
+      // committer can only ever touch ITS OWN staging dir, which the
+      // claim-time sweep below has deleted — its files land in a
+      // garbage dir nothing renames, and its commit still aborts at
+      // the lease check. The sweep also reaps those garbage dirs.
+      Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(s"${root.getName}_staging"))
+          deleteRecursively(f)
+      })
+      val staging =
+        new java.io.File(s"${root.getPath}_staging_${lease.token.take(8)}")
       write(staging.getPath) // the corpus pass — the long part
       lease.check() // fence BEFORE touching the served path
       stagedCommitTestSeam()
@@ -1041,7 +1071,7 @@ object SimilarityQueries extends QueryModule {
       val path = new java.io.File(sigIndexRoot, name)
       deleteRecursively(path)
       s.sql(s"DROP TABLE IF EXISTS $name")
-      // 64 buckets (not the session's 32 shuffle width): the DF-cap
+      // 64 file buckets (not the session's 32 shuffle width): the DF-cap
       // census aggregates each bucket's DISTINCT shingles in ONE
       // zero-exchange hash-agg task, so bucket count directly sets
       // peak per-task aggregation state (~35M distinct shingles / B).
@@ -1660,9 +1690,138 @@ object SimilarityQueries extends QueryModule {
         .reduce(_ + _))
   }
 
+  /** (dataset, session) → persisted corpus embedding-bucket table name. */
+  private val embBucketCache = new ArtifactCache[String]("emb-buckets")
+
+  /** Corpus embedding count per dataset stamp: ONE metadata-cheap
+    * columnar count sizes the LSH width ([[autoPlaneCount]]), cached
+    * so the several consumers that derive the width per plan build
+    * don't each re-run the count job. */
+  private val embCountCache = new ArtifactCache[Long]("emb-count")
+
+  private[similarity] def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.getOrBuild(
+        ArtifactCache.datasetStamp(s"$dir/embeddings.parquet"), _ => true) {
+      t(s, dir, "embeddings").count()
+    }
+
+  /** The corpus's native sign-LSH width — [[autoPlaneCount]] of the
+    * cached corpus count; also the width [[embBucketTable]] persists. */
+  private[similarity] def embAutoWidth(s: SparkSession, dir: String): Int =
+    autoPlaneCount(embCount(s, dir))
+
+  /** THE persisted corpus embedding artifact (r17 — the r16 verdict's
+    * #1: the [[shingleTable]] pattern applied to the embedding
+    * family): the [[normEmb]] projection PLUS the native-width
+    * [[signBuckets]] assignment — (vec_id, v, nrm, bucket) — written
+    * once per (dataset mtime+length, width) as a parquet table
+    * BUCKETED on the LSH bucket. Before this artifact every vector
+    * query re-ran the embeddings scan → float→double cast → L2 norm →
+    * w hyperplane dots per invocation, and [[denseBucketsOf]]'s census
+    * re-derived the same projection on first plan build — at the
+    * 500k-doc tier that projection was most of q_embed_dedup's 28.7s
+    * and q_knn_graph's 23.1s (the docs1000 ceiling after r16 fixed the
+    * shingle twin of this). Warm consumers read the table; because the
+    * scan reports hash(bucket) bucketing, the per-bucket collect_list
+    * aggregations ([[bucketKnnEdges]], [[bucketPairsRows]]) and the
+    * dense census all run with ZERO exchange at the native width.
+    * Narrower widths (the ANN family's fixed demo width 4) come from
+    * the SAME table via shiftright — widths NEST: [[signBuckets]]
+    * assigns bit j to plane j and [[planesFor]] extends one family, so
+    * bucket(W) >> (W−w) == bucket(w) (the prefix property pinned in
+    * SimilaritySpec). A WIDER request (ScaleSmoke's widened runs)
+    * recomputes the dots over the table's (vec_id, v, nrm), still
+    * skipping the scan + norm. Doubles round-trip parquet exactly, so
+    * every artifact-backed result is bit-identical to the recompute
+    * (EmbBucketArtifactSpec). Lifecycle = [[shingleTable]]:
+    * session-scoped catalog name, per-PID root (no cross-process
+    * writer to fence — see the SCALE.md §r17 staged-write audit),
+    * keyed on dataset stamp + width so a rewritten corpus (or a count
+    * change shifting the width) rebuilds. */
+  private[graft] def embBucketTable(s: SparkSession, dir: String): DataFrame = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    require(embFile.exists(), s"embBucketTable: $embFile does not exist")
+    val w = embAutoWidth(s, dir)
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(embFile.getPath)}@planes$w@embbkt-v1")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
+    val name = s"graft_embbkt_${dataKey}_$sessKey"
+    val tbl = embBucketCache.getOrBuild(s"$dataKey@$sessKey",
+        tn => s.catalog.tableExists(tn)) {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      // 64 file buckets (the shingleTable sizing rule): consumers'
+      // per-LSH-bucket collect_list aggregations run one zero-exchange
+      // hash-agg task per file bucket, so the file-bucket count
+      // directly sets peak per-task collected state (~corpus/64 rows
+      // of ~520 B — the 8g-fit margin at the 500k tier).
+      signBuckets(normEmb(s, dir), w)
+        .repartition(64, col("bucket"))
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .bucketBy(64, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(name)
+      name
+    }
+    s.table(tbl)
+  }
+
+  /** Artifact-backed [[normEmb]]: the (vec_id, v, nrm) columns of
+    * [[embBucketTable]] — the scan side of every vector query on the
+    * warm path (column pruning keeps the bucket column out of the
+    * parquet read). */
+  private[similarity] def normEmbArtifact(s: SparkSession, dir: String): DataFrame =
+    embBucketTable(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+
+  /** Artifact-backed [[signBuckets]] ∘ [[normEmb]] at width `w`:
+    * native width reads straight through (keeping the zero-exchange
+    * bucketing); narrower derives by shift (widths nest); wider
+    * recomputes the dots over the artifact's vectors. */
+  private[similarity] def embBucketsAt(
+      s: SparkSession, dir: String, w: Int): DataFrame = {
+    val native = embAutoWidth(s, dir)
+    if (w == native) embBucketTable(s, dir)
+    else if (w < native)
+      embBucketTable(s, dir)
+        .withColumn("bucket", shiftright(col("bucket"), native - w))
+    else signBuckets(normEmbArtifact(s, dir), w)
+  }
+
+  /** Native-width bucket audit for planted twin pairs (r16 verdict
+    * #5 — "name the straddler"): for each (probe, twin) pair, the two
+    * LSH buckets and their Hamming distance in plane space. The docs
+    * tier's knn floor tolerates a twin that misses rank-1 ONLY when
+    * this audit shows its bucket genuinely split from the probe's
+    * (Hamming ≥ 1): a same-bucket miss means in-bucket scoring broke,
+    * which no recall tolerance should forgive. Driver-sized: one
+    * broadcast-filtered read of ≤ 2·pairs rows. */
+  private[graft] def twinBucketAudit(
+      s: SparkSession, dir: String,
+      pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Int, Double)] = {
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val rows = embBucketsAt(s, dir, embAutoWidth(s, dir))
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2),
+          r.get(3).toString.toLong))
+      .toMap
+    pairs.map { case (q, tw) =>
+      val ((vq, nq, bq), (vt, nt, bt)) = (rows(q), rows(tw))
+      var dot = 0.0
+      var i = 0
+      while (i < vq.length) { dot += vq(i) * vt(i); i += 1 }
+      (q, tw, bq, bt, java.lang.Long.bitCount(bq ^ bt), dot / (nq * nt))
+    }
+  }
+
   private def annPlan(
       s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
-    val bucketed = signBuckets(normEmb(s, dir))
+    val bucketed = embBucketsAt(s, dir, 4)
     val q0 = bucketed
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1891,7 +2050,7 @@ object SimilarityQueries extends QueryModule {
     * the presentation sort. */
   private def knnEdgesPlan(
       s: SparkSession, dir: String, planeCount: Int): DataFrame = {
-    val b = signBuckets(normEmb(s, dir), planeCount)
+    val b = embBucketsAt(s, dir, planeCount)
     // dataset-derived frame: the dense census is session-cached per
     // (embeddings stamp, width) so warm plan builds pay nothing
     bucketKnnEdges(b, 3, denseIds = Some(denseBucketsCached(
@@ -1939,16 +2098,33 @@ object SimilarityQueries extends QueryModule {
     * pass, and when the list is empty — every organic corpus — the
     * consumer's plan is IDENTICAL to the r15 single-aggregation form.
     */
-  private def denseBucketsOf(b: DataFrame, cap: Int): Seq[Any] = {
-    val dense = b.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
-      .filter(col("m") > cap)
-      .select(col("bucket")).collect().map(_.get(0)).toSeq
+  private def denseBucketsOf(b: DataFrame, cap: Int): Seq[Any] =
+    denseCensusOf(b, cap)._1
+
+  /** The census with its skew histogram (r16 verdict #8): ONE bounded
+    * aggregation yields both the dense id list and the stats line
+    * (bucket count, median, max, over-cap count) that tracks the
+    * measured bucket anisotropy (85× max/median at the 500k tier,
+    * SCALE.md §r16) round-over-round instead of remeasuring ad hoc.
+    * collect_list skips the nulls the `when` leaves on under-cap
+    * buckets, so the collected list IS the dense id set. */
+  private def denseCensusOf(b: DataFrame, cap: Int): (Seq[Any], String) = {
+    val r = b.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("m")).as("max_m"),
+        expr("percentile_approx(m, 0.5, 10000)").as("med_m"),
+        collect_list(when(col("m") > cap, col("bucket"))).as("dense"))
+      .collect()(0)
+    val dense = r.getSeq[Any](3)
     // the literal IN-set below must stay driver-sized; 100k dense
     // buckets means the corpus (or the width rule) is broken, not big
     require(dense.size < 100000,
       s"dense-bucket routing found ${dense.size} buckets over $cap members - " +
         "width scaling is not engaging; refusing to build a 100k-literal plan")
-    dense
+    val stats = s"buckets=${r.get(0)} median=${Option(r.get(2)).getOrElse(0)} " +
+      s"max=${Option(r.get(1)).getOrElse(0)} over_cap=${dense.size} cap=$cap"
+    (dense, stats)
   }
 
   /** Session cache for the dense id lists of DATASET-derived bucketed
@@ -1965,7 +2141,12 @@ object SimilarityQueries extends QueryModule {
       s: SparkSession, tag: String, b: => DataFrame, cap: Int): Seq[Any] =
     denseBucketCache.getOrBuild(
       s"$tag@$cap@${ArtifactCache.sessionKey(s)}", _ => true) {
-      denseBucketsOf(b, cap)
+      val (dense, stats) = denseCensusOf(b, cap)
+      // once per (dataset, width, session) — the tier-log skew
+      // telemetry SCALE.md tracks round-over-round (r16 verdict #8);
+      // dataset-derived builds only, so unit specs stay quiet
+      System.err.println(s"[bucket-census] $tag: $stats")
+      dense
     }
 
   /** Census key for a frame derived from this dataset's embeddings. */
@@ -2045,6 +2226,15 @@ object SimilarityQueries extends QueryModule {
     knnEdgesPlan(s, dir, planeCount)
       .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
         round(col("e.sim"), 6).as("sim_r"), col("e.rn").cast(LongType).as("rn"))
+      // SORT BARRIER (r17 — measured at the 500k tier): the global
+      // orderBy's range exchange SAMPLES its child, and with the
+      // bucketed-artifact scan the whole pipeline below is
+      // zero-exchange — so the sampling job re-ran the O(Σm²) pair
+      // loop end-to-end (34.4s vs 11.9s with the barrier). One hash
+      // exchange of the k-BOUNDED edge rows (n·k rows, no vectors)
+      // gives AQE a materialized stage the range sampler reads
+      // instead; output order is unchanged (sort keys are unique).
+      .repartition(col("vec_id"))
       .orderBy(col("vec_id"), col("rn"))
 
   /** Auto-width for the sign-LSH plane count: planes =
@@ -2107,8 +2297,7 @@ object SimilarityQueries extends QueryModule {
     * every ANN index build pays) sizes the LSH width, then the
     * [[knnGraphPlan]] dataflow runs at that width. */
   private[graft] def knnGraphPlanAuto(s: SparkSession, dir: String): DataFrame =
-    knnGraphPlan(s, dir,
-      autoPlaneCount(t(s, dir, "embeddings").count()))
+    knnGraphPlan(s, dir, embAutoWidth(s, dir))
 
   val knnGraph = Q(
     "q_knn_graph",
@@ -2583,9 +2772,12 @@ object SimilarityQueries extends QueryModule {
       s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit =
     WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
       beamFs(s, root).delete(beamGenPath(root), true)
+      // DISK_ONLY: corpus-scale vectors, build-lifetime pin (r17 —
+      // the streaming/serving sweep of the r16 storage-pool rule)
       val b = signBuckets(ne, planeCount)
         .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
       writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root,
         gen = 0L, knDirs = knLeafDirs(s, root, 0L), lease = Some(lease))
@@ -2755,11 +2947,11 @@ object SimilarityQueries extends QueryModule {
     beamIndexCache.getOrBuild(dataKey,
         r => Option(new java.io.File(r, "_gen").list()).exists(_.nonEmpty)) {
       deleteRecursively(root)
-      // DISK_ONLY: 500k x 64 doubles ~ 260 MB of deserialized rows
-      // otherwise locked in the storage pool for the build's lifetime
-      val ne = normEmb(s, dir).localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      beamIndexCreate(s, ne, autoPlaneCount(ne.count()), root.getPath)
+      // the persisted embedding artifact replaces the r16 DISK_ONLY
+      // checkpoint (r17): the build's repeated ne reads are pruned
+      // parquet scans of the artifact, parking nothing in the session
+      beamIndexCreate(s, normEmbArtifact(s, dir), embAutoWidth(s, dir),
+        root.getPath)
       root.getPath
     }
   }
@@ -2854,11 +3046,12 @@ object SimilarityQueries extends QueryModule {
       // checkpointed plans (and blocks) for the JVM's lifetime
       beamWarmCache.sweep(v =>
         ArtifactCache.sessionDead(v._1.sparkSession))
-      // DISK_ONLY both: the warm cache pins these for the SESSION —
-      // ~400 MB of corpus vectors + edges must live on disk, not in
-      // the storage pool every later query competes with
-      (normEmb(s, dir).localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      // vectors ride the persisted embedding artifact (r17 — nothing
+      // to checkpoint, parquet-backed already); edges keep the r16
+      // DISK_ONLY checkpoint: the warm cache pins them for the
+      // SESSION, and they must live on disk, not in the storage pool
+      // every later query competes with
+      (normEmbArtifact(s, dir),
         beamEdgesFrame(s, idxRoot).localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
@@ -2956,7 +3149,9 @@ object SimilarityQueries extends QueryModule {
       edgesOpt: Option[DataFrame]): DataFrame = {
     val nVecs = m.n
     val stride = annBeamHubStride(nVecs)
-    val edges = edgesOpt.getOrElse(beamEdgesOf(s, idxRoot, m).localCheckpoint(true))
+    val edges = edgesOpt.getOrElse(beamEdgesOf(s, idxRoot, m)
+      .localCheckpoint(true, // DISK_ONLY: corpus-cardinality edge rows
+        org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // exact cosine for a (q_id, cand) pair set — vectors join in here,
     // AFTER the candidate set is bounded
     def score(cands: DataFrame): DataFrame =
@@ -3157,7 +3352,7 @@ object SimilarityQueries extends QueryModule {
     * trained-artifact collect every ANN index build does.
     */
   private[similarity] def trainIvfCentroids(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
-    val n = t(s, dir, "embeddings").count()
+    val n = embCount(s, dir)
     val k = ivfCellCount(n)
     val vi = t(s, dir, "embeddings")
       .select(
@@ -3281,7 +3476,9 @@ object SimilarityQueries extends QueryModule {
     * by the oracle's cn CTE ([[ivfAssignSql]]).
     */
   private def cellAssignedCompute(s: SparkSession, dir: String): DataFrame = {
-    val emb = normEmb(s, dir)
+    // rides the persisted embedding artifact (r17): the cell build's
+    // scan+norm is the same projection the bucket family persists
+    val emb = normEmbArtifact(s, dir)
     val cents: Array[(Long, Array[Double], Double)] =
       centroidCache.getOrBuild(centroidCacheKey(dir), _ => true) {
         trainIvfCentroids(s, dir).map { case (id, ci) =>
@@ -3569,12 +3766,15 @@ object SimilarityQueries extends QueryModule {
     // unrounded-sim threshold, ascending-index dot) bit-match the
     // former self-join and the oracle's p CTE.
     (s, dir) => {
-      val planes = autoPlaneCount(t(s, dir, "embeddings").count())
-      val b = signBuckets(normEmb(s, dir), planes)
+      val planes = embAutoWidth(s, dir)
+      val b = embBucketsAt(s, dir, planes)
       bucketPairsRows(b, 0.4, denseIds = Some(denseBucketsCached(
           s, embStamp(dir, s"planes$planes"), b, MaxBucketMembers)))
         .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
           round(col("e.sim"), 6).as("sim_r"))
+        // sort barrier (r17): see knnGraphPlan — without a shuffle
+        // below it, the orderBy's range sampling re-runs the pair loop
+        .repartition(col("id1"))
         .orderBy(col("id1"), col("id2"))
     },
     Some(s"""
@@ -3656,8 +3856,7 @@ object SimilarityQueries extends QueryModule {
       val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
       // unordered edges at the auto width — skips knnGraph's
       // presentation sort (meaningless under the joins below)
-      val kn = knnEdgesPlan(s, dir,
-          autoPlaneCount(t(s, dir, "embeddings").count()))
+      val kn = knnEdgesPlan(s, dir, embAutoWidth(s, dir))
         .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"))
       val votes = kn
         .join(lab.select(col("vec_id").as("nbr_id"),
@@ -3726,7 +3925,7 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("score_r").desc, col("doc_id")).limit(50)
         .withColumn("rk", row_number().over(wK).cast(LongType))
         .select(col("doc_id"), col("rk"))
-      val emb = normEmb(s, dir)
+      val emb = normEmbArtifact(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qnrm"))
       val wD = Window.orderBy(col("sim").desc, col("vec_id"))
@@ -3925,7 +4124,7 @@ object SimilarityQueries extends QueryModule {
     */
   private[similarity] def trainPqCodebooks(
       s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
-    val n = t(s, dir, "embeddings").count()
+    val n = embCount(s, dir)
     val pqK = pqCodebookSize(n)
     val sv = fixedVi(s, dir)
       .select(col("vec_id"),

@@ -106,9 +106,13 @@ object AnnIndexStream {
       else lit(false)
     val dels = b.filter(isDelete).select(col("vec_id")).distinct()
     if (!dels.isEmpty) {
+      // DISK_ONLY: corpus-scale rows must not park in the storage
+      // pool the session's queries compete with (the r16 rule the
+      // query path already follows; r17 closes the streaming helpers)
       val survivors = spark.read.parquet(corpusPath)
         .join(broadcast(dels), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // the rewrite replaces the whole corpus dir — carry the replay
       // watermark across it (the Compaction sidecar lesson)
       val wm = ClusterMaintenanceStream.lastAppliedBatch(spark, corpusPath)
@@ -135,7 +139,9 @@ object AnnIndexStream {
     * reads between appends. */
   def search(spark: SparkSession, corpusPath: String, indexRoot: String): DataFrame =
     SimilarityQueries.beamSearchPlan(
-      spark, indexRoot, neOf(spark.read.parquet(corpusPath)).localCheckpoint(true))
+      spark, indexRoot, neOf(spark.read.parquet(corpusPath))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
   /** Start the maintenance stream over an NDJSON vector directory.
     * `corpusPath` and `indexRoot` must be seeded with the prior

@@ -88,10 +88,17 @@ object AnnServeStream {
     // partially: nodes/n/stride re-resolved per batch against pinned
     // edges would match NEITHER generation)
     val m = SimilarityQueries.beamManifest(spark, indexRoot)
+    // DISK_ONLY both: these pin corpus-scale frames for the stream's
+    // LIFETIME (~260 MB of deserialized vectors at a 500k×64 corpus) —
+    // the exact storage-pool class that OOM'd the docs tier at 8g
+    // before the query path was fixed (r16); r17 closes the serving
+    // helpers too.
     val ne = AnnIndexStream.normEmbOf(spark.read.parquet(corpusPath), "vec_id")
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val edges = SimilarityQueries.beamEdgesFrame(spark, indexRoot, m)
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     spark.readStream
       .schema(probeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -98,6 +98,32 @@ class ShingleArtifactSpec extends AnyFunSuite {
       "stale shingle/signature artifact served after a corpus rewrite")
   }
 
+  test("staging is per-attempt and claim-time sweep reaps leftover staging dirs") {
+    val tmp = Files.createTempDirectory("stageduniq").toFile
+    val root = new java.io.File(tmp, "artifact")
+    // debris a crashed prior attempt (old fixed-path form AND a
+    // token-suffixed one) could have left behind
+    val fixed = new java.io.File(tmp, "artifact_staging")
+    val stale = new java.io.File(tmp, "artifact_staging_deadbeef")
+    Seq(fixed, stale).foreach { d =>
+      assert(d.mkdirs())
+      assert(new java.io.File(d, "part-junk").createNewFile())
+    }
+    var seen: String = null
+    SimilarityQueries.stagedArtifactWrite(spark, root, "spec artifact") {
+      staging =>
+        seen = staging
+        spark.range(3).write.parquet(staging)
+    }
+    assert(seen.matches(".*artifact_staging_[0-9a-f]{8}"),
+      s"staging path '$seen' is not per-attempt token-suffixed")
+    assert(!fixed.exists && !stale.exists,
+      "claim-time sweep left prior attempts' staging debris behind")
+    assert(new java.io.File(root, "_SUCCESS").exists,
+      "staged commit did not land the artifact")
+    assert(spark.read.parquet(root.getPath).count() === 3)
+  }
+
   test("staged commit: a steal in the check-to-rename window aborts loudly, serves nothing") {
     val tmp = Files.createTempDirectory("stagedsteal").toFile
     val root = new java.io.File(tmp, "artifact")

@@ -933,39 +933,12 @@ object SimilarityQueries extends QueryModule {
     * artifact caches (r12 verdict #7). */
   private val sigIndexCache = new ArtifactCache[String]("sig-index")
 
-  /** All index tables live under ONE tmp root, deterministic per
-    * (dataset, session) so rebuilds overwrite in place instead of
-    * accumulating copies, and the whole root is swept on JVM exit —
-    * the index is a CACHE of a pure function of the dataset, never
-    * durable state this sandbox must keep. */
-  private lazy val sigIndexRoot: java.io.File = {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    val pid = ProcessHandle.current().pid()
-    // PER-JVM root (r13): the old shared root's exit sweep deleted
-    // SIBLING JVMs' live index files mid-query (observed: a Verify
-    // JVM's shutdown hook swept a concurrently-running test JVM's
-    // bucketed table out from under its registered catalog entry).
-    // Each JVM owns graft_sig_idx_<pid> and sweeps only that; roots
-    // left by DEAD pids (a crashed JVM never runs its hook) are
-    // reaped opportunistically at first use.
-    Option(tmp.listFiles()).foreach(_.foreach { f =>
-      val n = f.getName
-      if (f.isDirectory && n.startsWith("graft_sig_idx_")) {
-        val owner = n.stripPrefix("graft_sig_idx_").toLongOption
-        if (owner.exists(p => p != pid && !ProcessHandle.of(p).isPresent))
-          deleteRecursively(f)
-      }
-    })
-    val root = new java.io.File(tmp, s"graft_sig_idx_$pid")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      deleteRecursively(root)))
-    root
-  }
+  /** The shared per-PID artifact root ([[ArtifactCache.artifactRoot]]
+    * since r17 — the text module's gram inventory shares it). */
+  private lazy val sigIndexRoot: java.io.File = ArtifactCache.artifactRoot
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    ArtifactCache.deleteRecursively(f)
 
   /** Fenced, STAGED commit of a per-dataset parquet artifact dir (r16,
     * closing the r15 advice on [[cellAssignFor]]): the corpus-sized

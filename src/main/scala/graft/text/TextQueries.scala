@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.Column
 import graft.{Q, QueryModule}
+import graft.util.{ArtifactCache, Tables}
 import graft.util.Tables._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -632,12 +633,58 @@ object TextQueries extends QueryModule {
     * hash-compared); TextOpsSpec plants shared passages to pin run
     * coalescing, the 19-token negative, and within-doc repeats.
     */
+  /** (dataset, session) → persisted gram-inventory table name. */
+  private val gramTableCache = new ArtifactCache[String]("gram-table")
+
+  /** THE persisted passage-gram inventory (r16 verdict #6, adopted by
+    * measurement r17 — SCALE.md): one row per word-n-gram OCCURRENCE
+    * of the documents table, (doc_id, pos, gh = 16-byte md5 digest),
+    * written once per (documents mtime+length, n) as a parquet table
+    * BUCKETED ×64 on gh — the [[graft.similarity.SimilarityQueries]]
+    * shingleTable lifecycle applied to the substring-dedup family.
+    * Measured at the 500k tier: the gram aggregation (tokenize →
+    * 20-gram HOF → hash → 40M-row exchange → per-gram occurrence
+    * lists) cost ~8.9s per invocation; the artifact writes in ~11s
+    * once and the same aggregation reads it back with ZERO exchange
+    * in ~1.6-2.1s. gh is the md5 DIGEST (unhex of the old hex string,
+    * 16 bytes vs 32 chars): it is only ever a grouping key, so the
+    * grouping sets — and every downstream row — are identical.
+    * This is what an iterated substring-dedup pipeline (the Lee et
+    * al. 2022 shape) persists between runs: the corpus's passage
+    * inventory, rebuilt only when the corpus changes. */
+  private def gramTable(s: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"gramTable: $docsFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@grams$n-v1").take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
+    val name = s"graft_grams${n}_${dataKey}_$sessKey"
+    val tbl = gramTableCache.getOrBuild(s"$dataKey@$sessKey",
+        tn => s.catalog.tableExists(tn)) {
+      val path = new java.io.File(ArtifactCache.artifactRoot, name)
+      ArtifactCache.deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      ngrams(Tables.t(s, dir, "documents"), n)
+        .select(col("doc_id"), col("pos"), unhex(md5(col("g"))).as("gh"))
+        .repartition(64, col("gh"))
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .bucketBy(64, "gh")
+        .saveAsTable(name)
+      name
+    }
+    s.table(tbl)
+  }
+
   val substrDedup = Q(
     "q_substr_dedup",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val occ = ngrams(t(s, dir, "documents"), 20)
-        .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+      // occurrence inventory rides the persisted artifact (r17): the
+      // per-gram grouping below runs with zero exchange off the
+      // bucketed scan; results are bit-identical (gh only groups)
+      val occ = gramTable(s, dir, 20)
       val pairs = occ
         .groupBy(col("gh"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("os"))

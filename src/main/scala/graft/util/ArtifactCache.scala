@@ -88,4 +88,39 @@ object ArtifactCache {
 
   /** The standard liveness predicate for session-owned DataFrames. */
   def sessionDead(s: SparkSession): Boolean = s.sparkContext.isStopped
+
+  /** All persisted per-dataset artifact dirs and catalog-table paths
+    * live under ONE tmp root, deterministic per (JVM pid) so rebuilds
+    * overwrite in place instead of accumulating copies, and the whole
+    * root is swept on JVM exit — artifacts are CACHES of pure
+    * functions of a dataset, never durable state this sandbox must
+    * keep. PER-JVM (r13): a shared root's exit sweep once deleted a
+    * sibling JVM's live index files mid-query; each JVM owns
+    * `graft_sig_idx_<pid>` and sweeps only that. Roots left by DEAD
+    * pids (a crashed JVM never runs its hook) are reaped
+    * opportunistically at first use. Moved here from SimilarityQueries
+    * (r17) so every module's artifact writers — the shingle/embedding
+    * tables, the signature/label indexes, the text module's gram
+    * inventory — share one lifecycle. */
+  lazy val artifactRoot: java.io.File = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("graft_sig_idx_")) {
+        val owner = n.stripPrefix("graft_sig_idx_").toLongOption
+        if (owner.exists(p => p != pid && !ProcessHandle.of(p).isPresent))
+          deleteRecursively(f)
+      }
+    })
+    val root = new java.io.File(tmp, s"graft_sig_idx_$pid")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(root)))
+    root
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -132,6 +132,27 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, 4L, 1L, 1L, 25L), (2L, 4L, 1L, 27L, 25L)))
   }
 
+  test("q_substr_dedup's gram artifact: warm serve is stable, rewritten corpus rebuilds") {
+    val P = (1 to 22).map(i => s"p$i").mkString(" ")
+    def write(dir: String, extra: String): Unit =
+      Seq((1L, s"x1 $P"), (2L, s"$P y1 $extra"))
+        .map { case (i, t) => (i, t, "xx", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = Files.createTempDirectory("substrart").toString
+    write(dir, "")
+    val first = TextQueries.substrDedup.run(spark, dir).collect().toSet
+    assert(TextQueries.substrDedup.run(spark, dir).collect().toSet === first,
+      "warm gram-artifact serve changed the result")
+    // rewrite: doc 2 loses the shared passage (different mtime+length)
+    Seq((1L, s"x1 $P"), (2L, "y1 y2 y3"))
+      .map { case (i, t) => (i, t, "xx", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TextQueries.substrDedup.run(spark, dir).collect().isEmpty,
+      "stale gram artifact served after a corpus rewrite")
+  }
+
   test("q_pack: per-shard greedy concatenation packing matches a JVM replica") {
     val dir = docsDir((0 until 200).map(i => Seq.fill(i % 40 + 1)("tok").mkString(" ")))
     val got = TextQueries.pack.run(spark, dir)

@@ -2031,6 +2031,48 @@ object SimilarityQueries extends QueryModule {
       .select(col("e"))
   }
 
+  private val knnEdgeCache = new ArtifactCache[String]("knn-edges")
+
+  /** THE persisted corpus kNN graph (r17) — [[knnEdgesPlan]]'s edge
+    * rows at the native auto width, (vec_id, nbr_id, sim, rn) with
+    * rn ≤ 3, written once per (embeddings mtime+length, width) via
+    * the fenced staged commit. The kNN graph is the shared data
+    * structure under SemDeDup-style dedup, label propagation, kNN
+    * classification and graph-ANN construction (it is literally the
+    * beam index's base layer — [[beamIndexCreate]] computes the SAME
+    * rows for its kn leaves); computing the O(Σ bucket²) pair loop per
+    * CONSUMING QUERY was the last sign-once-read-many violation in
+    * the family. Build = one grouped pair pass over
+    * [[embBucketTable]] (~10s at the 500k tier); warm consumers
+    * (q_knn_graph, q_knn_classify) read n·k edge rows (~2s). sim is
+    * the unrounded double and doubles round-trip parquet exactly, so
+    * artifact-backed results are bit-identical to the recompute
+    * (EmbBucketArtifactSpec). */
+  private def knnEdgesFor(s: SparkSession, dir: String): String = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    require(embFile.exists(), s"knnEdgesFor: $embFile does not exist")
+    val w = embAutoWidth(s, dir)
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(embFile.getPath)}@planes$w@knn3-v1")
+      .take(16)
+    val root = new java.io.File(sigIndexRoot, s"graft_knn_$dataKey")
+    knnEdgeCache.getOrBuild(dataKey,
+        r => new java.io.File(r, "_SUCCESS").exists) {
+      stagedArtifactWrite(s, root, "corpus knn-edge artifact") { staging =>
+        knnEdgesPlan(s, dir, w)
+          .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+            col("e.sim").as("sim"), col("e.rn").as("rn"))
+          .write.mode("overwrite").parquet(staging)
+      }
+      root.getPath
+    }
+  }
+
+  /** Artifact-backed kNN edges at the native width — what the
+    * consuming queries read on the warm path. */
+  private def knnEdgesAuto(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(knnEdgesFor(s, dir))
+
   /** Per-bucket member cap for the grouped expressions (r16 verdict
     * #2 / r15 advice): [[autoPlaneCount]] targets the AVERAGE bucket
     * (~400), but width scaling cannot split a genuinely DENSE
@@ -2270,7 +2312,15 @@ object SimilarityQueries extends QueryModule {
     * every ANN index build pays) sizes the LSH width, then the
     * [[knnGraphPlan]] dataflow runs at that width. */
   private[graft] def knnGraphPlanAuto(s: SparkSession, dir: String): DataFrame =
-    knnGraphPlan(s, dir, embAutoWidth(s, dir))
+    // the persisted kNN-edge artifact (r17): warm queries read the
+    // n·k edge rows instead of re-running the in-bucket pair loop;
+    // sampling under the sort re-reads a cheap parquet scan, so no
+    // barrier is needed here (explicit-width callers keep the
+    // compute path via knnGraphPlan)
+    knnEdgesAuto(s, dir)
+      .select(col("vec_id"), col("nbr_id"), round(col("sim"), 6).as("sim_r"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("vec_id"), col("rn"))
 
   val knnGraph = Q(
     "q_knn_graph",
@@ -3829,8 +3879,8 @@ object SimilarityQueries extends QueryModule {
       val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
       // unordered edges at the auto width — skips knnGraph's
       // presentation sort (meaningless under the joins below)
-      val kn = knnEdgesPlan(s, dir, embAutoWidth(s, dir))
-        .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"))
+      val kn = knnEdgesAuto(s, dir)
+        .select(col("vec_id"), col("nbr_id"))
       val votes = kn
         .join(lab.select(col("vec_id").as("nbr_id"),
           col("label").as("nbr_label")), Seq("nbr_id"))

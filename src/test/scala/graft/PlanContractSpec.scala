@@ -126,15 +126,14 @@ class PlanContractSpec extends AnyFunSuite {
                                // joins; TakeOrdered final (no sort exchange)
     "q_countmin" -> 3,         // sketch agg + exact top-20 agg + final sort; the
                                // 512-row sketch broadcasts back, no join shuffle
-    "q_knn_graph" -> 2,        // ONE bucket-grouped exchange (graft_bucket_knn
-                               // scores pairs inside the aggregate's buckets,
-                               // r15 — no self-join, no window) + final sort.
-                               // r16: the dense-bucket guard is a separate
-                               // bounded census job at plan build; this pin
-                               // ALSO proves the no-dense-bucket plan stayed
-                               // the r15 single-aggregation shape (both
+    "q_knn_graph" -> 2,        // r17: warm path reads the persisted kNN-edge
+                               // artifact — one parquet scan of n·k edge rows
+                               // + final sort (the in-bucket pair loop runs
+                               // once at ARTIFACT BUILD, where the r15 grouped
+                               // shape and the r16 dense-bucket routing live
+                               // on — see knnEdgesFor/bucketKnnEdges; both
                                // in-plan routing designs measured 3.6-4.5x
-                               // slower at 500k — see denseBucketsOf scaladoc)
+                               // slower at 500k, denseBucketsOf scaladoc)
     "q_triangles" -> 8,        // checkpointed edge list; 3 census aggs (each ends in a
                                // single-partition exchange) + 2-hop join pair — AQE
                                // broadcasts the tiny sides at runtime

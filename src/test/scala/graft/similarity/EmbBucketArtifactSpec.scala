@@ -67,6 +67,18 @@ class EmbBucketArtifactSpec extends AnyFunSuite {
       s"bucketed-table groupBy(bucket) should plan no exchange:\n$plan")
   }
 
+  test("the persisted kNN-edge artifact is bit-identical to the compute path") {
+    val dir = Files.createTempDirectory("knnart").toString
+    writeEmb(dir, 600, salt = 7)
+    val viaArtifact = SimilarityQueries.knnGraphPlanAuto(spark, dir)
+    val viaCompute = SimilarityQueries.knnGraphPlan(spark, dir,
+      SimilarityQueries.embAutoWidth(spark, dir))
+    assert(rows(viaArtifact) === rows(viaCompute),
+      "artifact-backed kNN graph diverges from the in-bucket recompute")
+    assert(rows(SimilarityQueries.knnGraphPlanAuto(spark, dir)) ===
+      rows(viaCompute), "warm artifact serve changed the result")
+  }
+
   test("rewritten corpus rebuilds; identical corpus in a clean dir serves identical results") {
     val dir = Files.createTempDirectory("embart3").toString
     writeEmb(dir, 500, salt = 3)

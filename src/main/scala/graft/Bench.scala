@@ -216,6 +216,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER").map(tierOf)
+    // A tier run IS a scale-audit run: imply the round-census telemetry
+    // (labelComponents convergence etc.) that SCALE.md's workflow
+    // records, instead of silently losing it to a forgotten
+    // SPARK_GRAFT_AUDIT (ADVICE r17 — see SimilarityQueries.auditLog).
+    tier.foreach(_ => sys.props.getOrElseUpdate("graft.audit", "1"): Unit)
     val sfDir = sys.env.get("SPARK_GRAFT_SF_DIR")
       .orElse(tier.map(_.sfDir)).getOrElse("/root/testdata/sf0.1")
     val iters = sys.env.get("BENCH_ITERS")
@@ -370,16 +375,25 @@ object Bench {
     // Floor failures also block the min-merge persist below (a wrong-
     // but-fast run must not ratchet the budget). The floors assume the
     // GENERATOR's planted mod-97/89/twin structure, so they only run
-    // on the tier's own auto-built corpus: an explicit
-    // SPARK_GRAFT_SF_DIR is the caller's corpus ("never second-guess
-    // it", same rule as the corpus-build skip above) and would
-    // spuriously exit 3 without the plants (ADVICE r16).
+    // on the tier's own generator-built corpus. Identity is decided by
+    // CANONICAL PATH against tier.sfDir, not by whether the env var is
+    // set (ADVICE r17 medium: SPARK_GRAFT_SF_DIR pointed at the tier's
+    // own dir used to skip the floors while requireSameSf still let the
+    // run ratchet the committed budget — the wrong-but-fast loophole).
+    // A genuinely foreign corpus still skips (the plants don't exist
+    // there), but a skipped-floors docs run is NON-PERSISTING: the
+    // merge routes to the .rejected side path below, so the committed
+    // budget can only ratchet under a floor-checked run.
+    val floorsSkipped = tier.exists(t => t.docsOnly &&
+      new java.io.File(sfDir).getCanonicalFile !=
+        new java.io.File(t.sfDir).getCanonicalFile)
     val floorErrs = if (tier.exists(_.docsOnly)) {
-      if (sys.env.contains("SPARK_GRAFT_SF_DIR")) {
+      if (floorsSkipped) {
         System.err.println(
           "[bench] WARNING: docs-tier accuracy floors SKIPPED — " +
-            "SPARK_GRAFT_SF_DIR overrides the tier corpus and the floors " +
-            "assume the generator's planted structure")
+            "SPARK_GRAFT_SF_DIR points away from the tier corpus and the " +
+            "floors assume the generator's planted structure; this run " +
+            "will NOT ratchet the committed tier budget")
         Nil
       } else {
         val errs =
@@ -427,7 +441,8 @@ object Bench {
     if (only.isEmpty || !isBudgetFile) {
       val out = outEnv.getOrElse("bench_local.json")
       val target =
-        if (failed.isEmpty && regressed.isEmpty && floorErrs.isEmpty) out
+        if (failed.isEmpty && regressed.isEmpty && floorErrs.isEmpty &&
+          !floorsSkipped) out
         else out + ".rejected"
       // Scale-factor guard on the min-merge (also pre-flighted in
       // main(), before the timing run).

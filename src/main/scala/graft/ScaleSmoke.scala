@@ -41,6 +41,10 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    // A smoke run IS a scale-audit run: imply the round-census
+    // telemetry SCALE.md's workflow records (ADVICE r17 — see
+    // SimilarityQueries.auditLog).
+    sys.props.getOrElseUpdate("graft.audit", "1"): Unit
     val mult = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULT", "40").toInt
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -124,17 +128,22 @@ object ScaleSmoke {
     if (missing.nonEmpty) {
       val audit = graft.similarity.SimilarityQueries
         .twinBucketAudit(spark, dir, missing)
-      audit.foreach { case (q, tw, bq, bt, hd, cos) =>
-        System.err.println(
-          f"[floors] knn miss audit: probe $q (bucket $bq) vs twin $tw " +
-            f"(bucket $bt), plane Hamming distance $hd, cosine $cos%.6f")
-        // cos ≥ 0.999 confirms the pair really is a planted twin (a
-        // DESTROYED twin — the knn-floor count's job — may share a
-        // bucket by chance and legitimately lose rank-1)
-        if (hd == 0 && cos >= 0.999)
-          errs += s"knn floor: probe $q's genuine twin $tw shares bucket " +
-            s"$bq but did not rank first — in-bucket scoring regressed " +
-            "(not a plane straddle)"
+      audit.foreach {
+        case Right((q, tw, bq, bt, hd, cos)) =>
+          System.err.println(
+            f"[floors] knn miss audit: probe $q (bucket $bq) vs twin $tw " +
+              f"(bucket $bt), plane Hamming distance $hd, cosine $cos%.6f")
+          // cos ≥ 0.999 confirms the pair really is a planted twin (a
+          // DESTROYED twin — the knn-floor count's job — may share a
+          // bucket by chance and legitimately lose rank-1)
+          if (hd == 0 && cos >= 0.999)
+            errs += s"knn floor: probe $q's genuine twin $tw shares bucket " +
+              s"$bq but did not rank first — in-bucket scoring regressed " +
+              "(not a plane straddle)"
+        // a planted id absent from the embeddings table is itself a
+        // floor failure (truncated corpus), named instead of thrown
+        // (ADVICE r17)
+        case Left(msg) => errs += s"knn floor: $msg"
       }
     }
 
@@ -154,6 +163,60 @@ object ScaleSmoke {
     if (collapsed != plantedExact)
       errs += s"exact-dedup completeness floor: q_dedup collapsed $collapsed docs, " +
         s"planted $plantedExact exact copies"
+
+    // semantic-dedup twin prune floor (r18, gating the constant-
+    // population block rule): each planted cos ≈ 0.9999 twin
+    // (vec n/2+q for probe q) must be PRUNED by q_semantic_dedup's
+    // blocked pair pass — threshold 0.4 is far below twin similarity,
+    // so a miss means the twin never met a smaller-id neighbor in its
+    // block. Tolerance shape = the kNN floor's: ≥ 4/5, and a miss is
+    // forgiven ONLY when the audit shows the twin's block genuinely
+    // split from its probe's (IVF cell or sub-plane straddle — the
+    // documented recall trade of eb ≥ 1); a same-block survivor means
+    // in-block scoring broke, which no tolerance forgives.
+    val twinPairs = (0L until 5L).map(q => (q, q + nDocs / 2))
+    val prunedTwins = graft.similarity.SimilarityQueries
+      .semanticPrunedIds(spark, dir)
+      .filter(col("id2").isInCollection(twinPairs.map(_._2)))
+      .select(col("id2")).collect().map(_.getLong(0)).toSet
+    System.err.println(
+      s"[floors] semdedup_prune: ${prunedTwins.size}/5 planted twins pruned")
+    if (prunedTwins.size < 4)
+      errs += s"semantic-dedup prune floor: ${prunedTwins.size}/5 planted " +
+        "twins pruned (need >= 4)"
+    val unpruned = twinPairs.filterNot(t => prunedTwins(t._2))
+    if (unpruned.nonEmpty) {
+      val rows = graft.similarity.SimilarityQueries
+        .semanticBlocked(spark, dir)
+        .filter(col("vec_id").isInCollection(
+          unpruned.flatMap(t => Seq(t._1, t._2))))
+        .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3))).toMap
+      unpruned.foreach { case (q, tw) =>
+        (rows.get(q), rows.get(tw)) match {
+          case (Some((bq, vq, nq)), Some((bt, vt, nt))) =>
+            var dot = 0.0
+            var i = 0
+            while (i < vq.length) { dot += vq(i) * vt(i); i += 1 }
+            val cos = dot / (nq * nt)
+            System.err.println(
+              f"[floors] semdedup miss audit: probe $q (block $bq) vs " +
+                f"twin $tw (block $bt), cosine $cos%.6f")
+            // cos ≥ 0.999 confirms a genuine twin (the kNN floor's
+            // rule): a DESTROYED twin sharing a block by chance is
+            // below the 0.4 threshold and legitimately unpruned — the
+            // 4/5 count above is what catches destroyed plants.
+            if (bq == bt && cos >= 0.999)
+              errs += s"semantic-dedup floor: genuine twin $tw shares " +
+                s"probe $q's block $bq but was not pruned — in-block " +
+                "scoring regressed (not a block straddle)"
+          case _ =>
+            errs += s"semantic-dedup floor: audit: vec_id $q or $tw absent " +
+              "from embeddings (truncated or partial corpus?)"
+        }
+      }
+    }
 
     // near-dup pairs: (id, id+1) for mutated copies whose successor is
     // itself neither an exact copy nor another mutated copy

@@ -23,13 +23,21 @@ object SimilarityQueries extends QueryModule {
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
   /** Scale-audit telemetry (SCALE.md round censuses): stderr ONLY when
-    * SPARK_GRAFT_AUDIT is set — an unconditional print in a hot shared
-    * code path is noise in every unit test and timed bench query
-    * (ADVICE r16). One-time per-dataset events (artifact builds, the
-    * bucket-census histogram) stay unconditional; per-INVOCATION
-    * signals route through here. */
-  private def auditLog(msg: => String): Unit =
-    if (sys.env.contains("SPARK_GRAFT_AUDIT")) System.err.println(msg)
+    * auditing is on — an unconditional print in a hot shared code path
+    * is noise in every unit test and timed bench query (ADVICE r16).
+    * One-time per-dataset events (artifact builds, the bucket-census
+    * histogram) stay unconditional; per-INVOCATION signals route
+    * through here. ON via the SPARK_GRAFT_AUDIT env var, or via the
+    * `graft.audit` system property the tier-driven entry points (Bench
+    * under SPARK_GRAFT_BENCH_TIER, ScaleSmoke) set themselves — the
+    * SCALE.md round-census workflow relies on this signal, so a scale
+    * run must not silently lose it to a forgotten env var (ADVICE
+    * r17). Driver-side only (these prints run in the driver loop; the
+    * property is JVM-local, which is exactly the scope tier runs
+    * have). */
+  private[graft] def auditLog(msg: => String): Unit =
+    if (sys.env.contains("SPARK_GRAFT_AUDIT") ||
+      sys.props.contains("graft.audit")) System.err.println(msg)
 
   /** Normalized-embeddings prelude shared by every vector query
     * (cosine baseline, both LSH variants, IVF, embedding dedup):
@@ -232,7 +240,7 @@ object SimilarityQueries extends QueryModule {
   /** Per-shingle sorted doc lists — the inverted index behind the
     * Jaccard pair expansion; shared by q_ngram_jaccard and
     * q_minhash_est. */
-  private def shingleDocListsFrom(sh: DataFrame): DataFrame =
+  private[similarity] def shingleDocListsFrom(sh: DataFrame): DataFrame =
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
 
@@ -251,7 +259,7 @@ object SimilarityQueries extends QueryModule {
     * doc lists (q_minhash_est) aggregate their own filtered frame via
     * [[shingleDocListsFrom]], where the restriction must apply BEFORE
     * list building. */
-  private def shingleDocLists(s: SparkSession, dir: String): DataFrame = {
+  private[similarity] def shingleDocLists(s: SparkSession, dir: String): DataFrame = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     require(docsFile.exists(), s"shingleDocLists: $docsFile does not exist")
     val dataKey = ArtifactCache.stamp(
@@ -1801,10 +1809,14 @@ object SimilarityQueries extends QueryModule {
     * this audit shows its bucket genuinely split from the probe's
     * (Hamming ≥ 1): a same-bucket miss means in-bucket scoring broke,
     * which no recall tolerance should forgive. Driver-sized: one
-    * broadcast-filtered read of ≤ 2·pairs rows. */
+    * broadcast-filtered read of ≤ 2·pairs rows. A pair whose vec_id is
+    * absent from the embeddings table (truncated/partial corpus) comes
+    * back as a Left with a descriptive message instead of throwing an
+    * opaque NoSuchElementException the floor harness would report as
+    * "floor check crashed" (ADVICE r17). */
   private[graft] def twinBucketAudit(
-      s: SparkSession, dir: String,
-      pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Int, Double)] = {
+      s: SparkSession, dir: String, pairs: Seq[(Long, Long)])
+      : Seq[Either[String, (Long, Long, Long, Long, Int, Double)]] = {
     val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val rows = embBucketsAt(s, dir, embAutoWidth(s, dir))
       .filter(col("vec_id").isInCollection(ids))
@@ -1815,11 +1827,18 @@ object SimilarityQueries extends QueryModule {
           r.get(3).toString.toLong))
       .toMap
     pairs.map { case (q, tw) =>
-      val ((vq, nq, bq), (vt, nt, bt)) = (rows(q), rows(tw))
-      var dot = 0.0
-      var i = 0
-      while (i < vq.length) { dot += vq(i) * vt(i); i += 1 }
-      (q, tw, bq, bt, java.lang.Long.bitCount(bq ^ bt), dot / (nq * nt))
+      (rows.get(q), rows.get(tw)) match {
+        case (Some((vq, nq, bq)), Some((vt, nt, bt))) =>
+          var dot = 0.0
+          var i = 0
+          while (i < vq.length) { dot += vq(i) * vt(i); i += 1 }
+          Right((q, tw, bq, bt, java.lang.Long.bitCount(bq ^ bt), dot / (nq * nt)))
+        case (qr, twr) =>
+          val absent = Seq(q -> qr, tw -> twr)
+            .collect { case (id, None) => id }.mkString(", ")
+          Left(s"audit: vec_id $absent absent from embeddings " +
+            "(truncated or partial corpus?)")
+      }
     }
   }
 
@@ -2331,6 +2350,31 @@ object SimilarityQueries extends QueryModule {
   private[graft] def ivfCellCount(n: Long): Int =
     1 << math.max(3L, math.round(
       math.log(math.sqrt(n / 32.0)) / math.log(2.0))).toInt
+
+  /** SemDeDup dedup-pass refinement width (r18 — the r17 1M stretch's
+    * Θ(n^1.5) fix): [[ivfCellCount]]'s √n rule balances SEARCH cost
+    * (probe-cells × cell-size), but per-cell DEDUP pair mass is
+    * (n/k)²·k = n²/k — superlinear by design (measured 4.5× at 2×
+    * corpus, SCALE.md §r17). The dedup pair pass therefore refines
+    * each trained cell with `eb` extra sign-LSH bits so TOTAL block
+    * count is k·2^eb ≈ n/400 — the [[autoPlaneCount]] constant-
+    * population rule — and pair mass is Θ(n) at any corpus size,
+    * while assignment stays a pure map-side expression (eb hyperplane
+    * dots per row; re-training a k ∝ n quantizer would make
+    * assignment itself n·k·d — quadratic). Blocks only REFINE cells
+    * (two vectors in different cells never met before either), so the
+    * only semantic change is the documented recall trade at eb ≥ 1:
+    * a within-cell pair straddling a sub-plane is no longer compared
+    * — the docs-tier planted-twin prune floor gates it, exactly the
+    * kNN floor's shape. Every oracle corpus (n = 500, k = 8) derives
+    * eb = 0, so demo results are bit-identical to the pure-cell
+    * blocking; the SQL twin derives the same eb and generates the
+    * same [[planesFor]] weights in SQL ([[semanticDedup]]'s oracle —
+    * the [[knnBucketSql]] machinery, same round()-at-.5 log2-ulp
+    * caveat, corpus sizes sit well off the boundaries). */
+  private[graft] def semDedupExtraBits(n: Long): Int =
+    math.max(0L, math.round(
+      math.log(n.toDouble / (ivfCellCount(n) * 400.0)) / math.log(2.0))).toInt
   private[graft] def pqCodebookSize(n: Long): Int =
     1 << math.max(2L, math.round(
       math.log(math.sqrt(n / 128.0)) / math.log(2.0))).toInt
@@ -2823,7 +2867,8 @@ object SimilarityQueries extends QueryModule {
     * manifest history at generation 0 (any stale history under a
     * recycled root is discarded first — create means create). */
   private[graft] def beamIndexCreate(
-      s: SparkSession, ne: DataFrame, planeCount: Int, root: String): Unit =
+      s: SparkSession, ne: DataFrame, planeCount: Int, root: String,
+      kn: Option[DataFrame] = None): Unit =
     WriterFence.withLease(beamFs(s, root), root, "beam index") { lease =>
       beamFs(s, root).delete(beamGenPath(root), true)
       // DISK_ONLY: corpus-scale vectors, build-lifetime pin (r17 —
@@ -2832,7 +2877,13 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      knRowsOf(b).write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
+      // kn: optionally precomputed (vec_id, nbr_id, bucket) edge rows —
+      // the corpus build ([[beamIndexFor]]) passes the persisted kNN
+      // artifact so the O(Σ bucket²) pair loop runs once per dataset,
+      // not once per consumer (r17 verdict #7); ad-hoc/streaming
+      // callers compute their own frame's edges as before.
+      kn.getOrElse(knRowsOf(b))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/g0/kn")
       writeTopology(s, b.select(col("vec_id"), col("bucket")), planeCount, root,
         gen = 0L, knDirs = knLeafDirs(s, root, 0L), lease = Some(lease))
     }
@@ -3003,9 +3054,18 @@ object SimilarityQueries extends QueryModule {
       deleteRecursively(root)
       // the persisted embedding artifact replaces the r16 DISK_ONLY
       // checkpoint (r17): the build's repeated ne reads are pruned
-      // parquet scans of the artifact, parking nothing in the session
+      // parquet scans of the artifact, parking nothing in the session.
+      // The kn leaves read the persisted kNN-edge artifact (same rows
+      // as knRowsOf at the native width — EmbBucketArtifactSpec pins
+      // the grouped/artifact bit-identity) joined back to the bucket
+      // column: an n·k skinny-row join instead of re-running the
+      // in-bucket pair loop per index build (r17 verdict #7).
       beamIndexCreate(s, normEmbArtifact(s, dir), embAutoWidth(s, dir),
-        root.getPath)
+        root.getPath,
+        kn = Some(knnEdgesAuto(s, dir)
+          .join(embBucketTable(s, dir).select(col("vec_id"), col("bucket")),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("nbr_id"), col("bucket"))))
       root.getPath
     }
   }
@@ -3740,30 +3800,72 @@ object SimilarityQueries extends QueryModule {
     * ([[ngramJaccard]]/[[minhashLsh]]) and hyperplane buckets
     * ([[embedDedup]]): data-adaptive cells concentrate true semantic
     * neighbors, which is why SemDeDup prunes better than random-plane
-    * LSH at equal candidate budget. 100 TB shape: cost is Σ cell² —
-    * bounded by TARGET CELL SIZE, not corpus size, because k scales
-    * with N (k ≈ N / target size; the paper uses ~11k cells for LAION).
-    * k=8 here is the demo quantizer; the dataflow is k-agnostic.
+    * LSH at equal candidate budget. 100 TB shape (r18): cost is
+    * Σ block² — bounded by TARGET BLOCK SIZE, not corpus size,
+    * because the pair pass blocks on the trained cell REFINED by
+    * [[semDedupExtraBits]] sign bits so total blocks ≈ n/400 (the
+    * paper's k ≈ N/target, e.g. ~11k cells for LAION, realized here
+    * as coarse-cell × sub-bucket so assignment stays map-side —
+    * [[semanticBlocked]]). The r17 1M stretch measured the pure-cell
+    * form at Θ(n^1.5) (SCALE.md §r17); eb derives to 0 at every demo
+    * corpus, so oracle results there are unchanged.
     * Threshold compares unrounded cosines — exact cross-engine because
     * both sides sum the dot product in array order (graft_dot vs
     * list_sum), the [[embedDedup]] precedent.
     */
+  /** The SemDeDup dedup-pass blocking frame (r18 — the constant-
+    * population fix, see [[semDedupExtraBits]]): every corpus vector
+    * with its composite block id, `cell·2^eb + sub` where `cell` is
+    * the trained IVF cell ([[cellAssigned]]) and `sub` is the vector's
+    * [[semDedupExtraBits]]-bit sign-LSH bucket — a pure map-side
+    * refinement over the persisted cell artifact (eb hyperplane dots
+    * per row, no shuffle, no re-training). eb = 0 (every oracle demo
+    * corpus) makes the block id the cell id itself, bit-identical to
+    * the pre-r18 pure-cell blocking. */
+  private[graft] def semanticBlocked(s: SparkSession, dir: String): DataFrame = {
+    val a = cellAssigned(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
+    val eb = semDedupExtraBits(embCount(s, dir))
+    if (eb == 0) a.withColumn("bucket", col("cell"))
+    else signBuckets(a, eb)
+      .withColumn("bucket", col("cell") * lit(1L << eb) + col("bucket"))
+  }
+
+  /** Pruned (cell, id2) rows — the SemDeDup greedy keep-lowest-id rule
+    * over the blocked pair pass; shared by [[semanticDedup]] and the
+    * docs-tier planted-twin prune floor (ScaleSmoke.docsFloors). */
+  private[graft] def semanticPrunedIds(s: SparkSession, dir: String): DataFrame = {
+    val eb = semDedupExtraBits(embCount(s, dir))
+    // grouped per-block pair scoring (r15): the in-block pair mass is
+    // scored inside graft_bucket_pairs over primitive arrays; only
+    // the ≥-threshold pairs' (block, id2) survive to the distinct.
+    // A degenerate (dense) block routes to the join fallback (r16).
+    val bf = semanticBlocked(s, dir)
+      .select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
+    // distinct on (bucket, id2) FIRST: all pairs naming id2 live in
+    // id2's own (unique) block, so it equals distinct on (cell, id2)
+    // row-for-row — and hashpartitioning(bucket) from the pair
+    // aggregation satisfies its clustering as a key subset, keeping
+    // the pair pass on ONE exchange (the r15 chain; shiftright before
+    // the distinct broke the subset match and re-shuffled twice).
+    val pruned = bucketPairsRows(bf, 0.4,
+        denseIds = Some(denseBucketsCached(
+          s, embStamp(dir, s"cells-sd$eb"), bf, MaxBucketMembers)))
+      .select(col("bucket"), col("e.id2").as("id2"))
+      .distinct()
+    // block = cell·2^eb + sub, so the report's coarse cell is the
+    // block shifted back down (eb = 0: a bare rename, so the
+    // downstream per-cell count still rides the same exchange)
+    if (eb == 0) pruned.select(col("bucket").as("cell"), col("id2"))
+    else pruned.select(shiftright(col("bucket"), eb).as("cell"), col("id2"))
+  }
+
   val semanticDedup = Q(
     "q_semantic_dedup",
     (s, dir) => {
       val a = cellAssigned(s, dir)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell1").as("cell"))
-      // grouped per-cell pair scoring (r15): the in-cell pair mass is
-      // scored inside graft_bucket_pairs over primitive arrays; only
-      // the ≥-threshold pairs' (cell, id2) survive to the distinct.
-      // A degenerate (dense) cell routes to the join fallback (r16).
-      val cellFrame = a.select(
-        col("cell").as("bucket"), col("vec_id"), col("v"), col("nrm"))
-      val pruned = bucketPairsRows(cellFrame, 0.4,
-          denseIds = Some(denseBucketsCached(
-            s, embStamp(dir, "cells"), cellFrame, MaxBucketMembers)))
-        .select(col("bucket").as("cell"), col("e.id2").as("id2"))
-        .distinct()
+        .select(col("vec_id"), col("cell1").as("cell"))
+      val pruned = semanticPrunedIds(s, dir)
       val perCell = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       val perPruned = pruned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_pruned"), sum(col("id2")).as("pruned_id_sum"))
@@ -3773,12 +3875,51 @@ object SimilarityQueries extends QueryModule {
           coalesce(col("pruned_id_sum"), lit(0L)).as("pruned_id_sum"))
         .orderBy(col("cell"))
     },
+    // The oracle derives the SAME eb = greatest(0, round(log2(n/(k·400))))
+    // and generates the same planesFor weights in SQL (the knnBucketSql
+    // machinery): spl/svx/sdotj/sbk compute each vector's eb-bit sign
+    // sub-bucket with the identical exact-integer hyperplane dots, blk
+    // composes cell·2^eb + sub (eb = 0 → spl is empty, sbk is empty,
+    // COALESCE keeps bucket = cell — the demo corpora), and the pair
+    // CTE joins on the composite block instead of the bare cell.
     Some(s"""
       WITH $ivfAssignSql,
+      sdeb AS (
+        SELECT CAST(greatest(0, round(log2(
+                 (SELECT count(*) FROM embeddings) / (ivfk.k * 400.0))))
+               AS INT) AS eb
+        FROM ivfk),
+      spl AS (
+        SELECT pj.j, pi.i,
+               ((pi.i * 31 + pj.j * 17
+                 + (pj.j // 7) * ((pi.i * pi.i) % 7) * 3
+                 + (pj.j // 7) * 5) % 7) - 3 AS wgt
+        FROM (SELECT unnest(range(26)) AS j) pj
+        CROSS JOIN (SELECT unnest(range(64)) AS i) pi
+        CROSS JOIN sdeb WHERE pj.j < sdeb.eb),
+      svx AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+               CAST(round(unnest(v) * 1000000) AS BIGINT) AS xi
+        FROM assigned),
+      sdotj AS (
+        SELECT svx.vec_id, spl.j, sum(svx.xi * spl.wgt) AS dot
+        FROM svx JOIN spl ON svx.i = spl.i GROUP BY 1, 2),
+      sbk AS (
+        SELECT d.vec_id,
+               CAST(sum(CASE WHEN d.dot >= 0
+                        THEN CAST(power(2, sdeb.eb - 1 - d.j) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS sub
+        FROM sdotj d CROSS JOIN sdeb GROUP BY d.vec_id),
+      blk AS (
+        SELECT a.vec_id, a.v, a.nrm, a.cell,
+               a.cell * CAST(power(2, sdeb.eb) AS BIGINT)
+                 + COALESCE(sbk.sub, 0) AS bucket
+        FROM assigned a CROSS JOIN sdeb
+        LEFT JOIN sbk ON a.vec_id = sbk.vec_id),
       pr AS (
         SELECT DISTINCT a.cell, c.vec_id AS id2
-        FROM assigned a JOIN assigned c
-          ON a.cell = c.cell AND a.vec_id < c.vec_id
+        FROM blk a JOIN blk c
+          ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE list_sum(list_transform(list_zip(a.v, c.v),
                 z -> struct_extract(z, 1) * struct_extract(z, 2)))
               / (a.nrm * c.nrm) >= 0.4),

@@ -5,7 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Plan-shape regression contracts — the tests real engines keep so a
   * refactor can't silently turn a broadcast join into a cartesian
   * product or add a shuffle to a projection-only query. Plans are
-  * BUILT, not executed (sf0.001 inputs, sub-second per query).
+  * BUILT, not executed (sf0.001 inputs) — with one cost caveat
+  * (ADVICE r17): artifact-backed queries (q_knn_graph, q_substr_dedup,
+  * the cell/bucket families) MATERIALIZE their per-dataset artifacts
+  * (counts, bucket/gram/edge tables, centroid training) as a side
+  * effect of the first plan build, so those queries' first build runs
+  * real jobs; at sf0.001 that is still fast, and the contracts below
+  * hold either way.
   *
   * Two contracts:
   *  1. Global: no query plans a `CartesianProduct` (the non-broadcast

@@ -163,8 +163,14 @@ object Bench {
     // three r14 scale cliffs, now a one-command gated artifact.
     case "docs1000" => Tier(1000, ScaleSmoke.docsCorpusDir(1000),
       "bench_docs1000.json", 1, Some("docs"), docsOnly = true)
+    // docs2000: the 1M-doc tier (r18, gating the r17 stretch once the
+    // q_semantic_dedup n^1.5 fix landed) — same mechanics as docs1000,
+    // so an n^1.5-class regression in the dedup/ANN families can never
+    // re-enter silently between rounds.
+    case "docs2000" => Tier(2000, ScaleSmoke.docsCorpusDir(2000),
+      "bench_docs2000.json", 1, Some("docs"), docsOnly = true)
     case other => throw new IllegalArgumentException(
-      s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1, docs1000)")
+      s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1, docs1000, docs2000)")
   }
 
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
@@ -221,6 +227,11 @@ object Bench {
     // records, instead of silently losing it to a forgotten
     // SPARK_GRAFT_AUDIT (ADVICE r17 — see SimilarityQueries.auditLog).
     tier.foreach(_ => sys.props.getOrElseUpdate("graft.audit", "1"): Unit)
+    // Docs tiers also append each dataset's bucket-census histogram to
+    // the committed census log (r17 verdict #8), so skew growth is
+    // tracked in-repo round-over-round.
+    tier.filter(_.docsOnly).foreach(_ =>
+      sys.props.getOrElseUpdate("graft.census.log", "docs/census_log.md"): Unit)
     val sfDir = sys.env.get("SPARK_GRAFT_SF_DIR")
       .orElse(tier.map(_.sfDir)).getOrElse("/root/testdata/sf0.1")
     val iters = sys.env.get("BENCH_ITERS")

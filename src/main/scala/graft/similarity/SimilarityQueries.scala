@@ -2211,6 +2211,14 @@ object SimilarityQueries extends QueryModule {
       // telemetry SCALE.md tracks round-over-round (r16 verdict #8);
       // dataset-derived builds only, so unit specs stay quiet
       System.err.println(s"[bucket-census] $tag: $stats")
+      // gated tier runs ALSO append to the committed census log
+      // (r17 verdict #8): Bench sets `graft.census.log` under a
+      // docs tier, so anisotropy growth (85×→130× max/median at 1M)
+      // is tracked in-repo round-over-round, not re-measured ad hoc
+      sys.props.get("graft.census.log").foreach { p =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(s"[bucket-census] $tag: $stats\n") finally w.close()
+      }
       dense
     }
 

@@ -137,6 +137,11 @@ class BenchGateSpec extends AnyFunSuite {
     val td = Bench.tierOf("docs1000")
     assert(td == Bench.Tier(1000, "/tmp/graft_docs_1000x",
       "bench_docs1000.json", 1, Some("docs"), docsOnly = true))
+    // docs2000: the 1M-doc tier gating the r17 stretch size (r18) —
+    // docs1000 mechanics verbatim at mult 2000
+    val td2 = Bench.tierOf("docs2000")
+    assert(td2 == Bench.Tier(2000, "/tmp/graft_docs_2000x",
+      "bench_docs2000.json", 1, Some("docs"), docsOnly = true))
     // each tier's family must exist for its preset to select anything
     assert(Bench.tierOf("sf40").family.forall(SparkEntry.families.contains))
     assert(td.family.forall(SparkEntry.families.contains))

@@ -67,7 +67,9 @@ case class BucketKnn(child: Expression, k: Int)
     if (m <= 1) return new GenericArrayData(Array.empty[Any])
     val ids = new Array[Long](m)
     val nrms = new Array[Double](m)
-    val vecs = new Array[Array[Double]](m)
+    // PACKED layout — see [[BucketSimPairs.nullSafeEval]] (r18): flat
+    // m×dim doubles, ascending-order single-accumulator dot unchanged.
+    var flat: Array[Double] = null
     var dim = -1
     var i = 0
     while (i < m) {
@@ -75,10 +77,12 @@ case class BucketKnn(child: Expression, k: Int)
       require(row != null, "graft_bucket_knn: null member struct")
       ids(i) = row.getLong(0)
       val v = row.getArray(1)
-      if (dim < 0) dim = v.numElements()
+      if (dim < 0) { dim = v.numElements(); flat = new Array[Double](m * dim) }
       else require(v.numElements() == dim,
         s"graft_bucket_knn: mixed vector dims ${v.numElements()} vs $dim")
-      vecs(i) = v.toDoubleArray()
+      var t = 0
+      val base = i * dim
+      while (t < dim) { flat(base + t) = v.getDouble(t); t += 1 }
       nrms(i) = row.getDouble(2)
       i += 1
     }
@@ -115,14 +119,14 @@ case class BucketKnn(child: Expression, k: Int)
     }
     var a = 0
     while (a < m) {
-      val va = vecs(a)
+      val pa = a * dim
       val na = nrms(a)
       var b = a + 1
       while (b < m) {
-        val vb = vecs(b)
+        val pb = b * dim
         var dot = 0.0
         var t = 0
-        while (t < dim) { dot += va(t) * vb(t); t += 1 }
+        while (t < dim) { dot += flat(pa + t) * flat(pb + t); t += 1 }
         val den = na * nrms(b)
         // ANSI parity (r15 advice): the join form's `dot / (na*nb)`
         // THROWS DIVIDE_BY_ZERO under the session's ANSI mode when a
@@ -197,7 +201,15 @@ case class BucketSimPairs(child: Expression, threshold: Double)
     if (m <= 1) return new GenericArrayData(Array.empty[Any])
     val ids = new Array[Long](m)
     val nrms = new Array[Double](m)
-    val vecs = new Array[Array[Double]](m)
+    // PACKED layout (r18 — the measured-or-rejected SIMD-shaped
+    // scorer): one flat m×dim double array instead of m boxed arrays.
+    // The dot still accumulates in ascending index order with a single
+    // accumulator — bit-identical to graft_dot and the oracle's
+    // list_sum (multi-accumulator unrolling or FMA would reorder FP
+    // adds and break the cross-engine exactness contract) — but the
+    // pair loop walks contiguous memory with no per-member pointer
+    // chase, which is all the auto-vectorizer legally gets.
+    var flat: Array[Double] = null
     var dim = -1
     var i = 0
     while (i < m) {
@@ -205,24 +217,26 @@ case class BucketSimPairs(child: Expression, threshold: Double)
       require(row != null, "graft_bucket_pairs: null member struct")
       ids(i) = row.getLong(0)
       val v = row.getArray(1)
-      if (dim < 0) dim = v.numElements()
+      if (dim < 0) { dim = v.numElements(); flat = new Array[Double](m * dim) }
       else require(v.numElements() == dim,
         s"graft_bucket_pairs: mixed vector dims ${v.numElements()} vs $dim")
-      vecs(i) = v.toDoubleArray()
+      var t = 0
+      val base = i * dim
+      while (t < dim) { flat(base + t) = v.getDouble(t); t += 1 }
       nrms(i) = row.getDouble(2)
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var a = 0
     while (a < m) {
-      val va = vecs(a)
+      val pa = a * dim
       val na = nrms(a)
       var b = a + 1
       while (b < m) {
-        val vb = vecs(b)
+        val pb = b * dim
         var dot = 0.0
         var t = 0
-        while (t < dim) { dot += va(t) * vb(t); t += 1 }
+        while (t < dim) { dot += flat(pa + t) * flat(pb + t); t += 1 }
         val den = na * nrms(b)
         // ANSI parity — see [[BucketKnn]]: zero divisor throws like
         // the join form's division would.

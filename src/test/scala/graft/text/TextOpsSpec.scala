@@ -153,6 +153,38 @@ class TextOpsSpec extends AnyFunSuite {
       "stale gram artifact served after a corpus rewrite")
   }
 
+  test("q_line_dedup's span artifact: read equals recompute, warm serve stable, rewrite rebuilds") {
+    // 3 docs share the same first 8-token span (df >= 3 -> boilerplate,
+    // dropped from all three); doc 4 is clean.
+    val B = (1 to 8).map(i => s"b$i").mkString(" ")
+    def write(dir: String, tail: String): Unit =
+      Seq((1L, s"$B u1 u2"), (2L, s"$B v1"), (3L, s"$B w1 w2 w3"),
+        (4L, s"clean only doc $tail"))
+        .map { case (i, t) => (i, t, "xx", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = Files.createTempDirectory("spanart").toString
+    write(dir, "x")
+    // artifact read is bit-identical to the inline projection
+    assert(TextQueries.lineDedupSpans(spark, dir).collect().map(_.toString).toSet
+      === TextQueries.spansOf(spark, dir).collect().map(_.toString).toSet)
+    val first = TextQueries.lineDedup.run(spark, dir).collect().toSet
+    // the shared span is dropped from docs 1-3 (their kept counts lose
+    // one span each); doc 4 keeps everything
+    val kept = TextQueries.lineDedup.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2 - r._3)).toMap
+    assert(kept(1L) === 1 && kept(2L) === 1 && kept(3L) === 1 && kept(4L) === 0,
+      s"boilerplate span must be dropped from exactly docs 1-3: $kept")
+    assert(TextQueries.lineDedup.run(spark, dir).collect().toSet === first,
+      "warm span-artifact serve changed the result")
+    write(dir, "different tail y z") // rewrite: new mtime AND length
+    val second = TextQueries.lineDedup.run(spark, dir).collect().toSet
+    val clean = Files.createTempDirectory("spanart2").toString
+    write(clean, "different tail y z")
+    assert(TextQueries.lineDedup.run(spark, clean).collect().toSet === second,
+      "stale span artifact served after a corpus rewrite")
+  }
+
   test("q_pack: per-shard greedy concatenation packing matches a JVM replica") {
     val dir = docsDir((0 until 200).map(i => Seq.fill(i % 40 + 1)("tok").mkString(" ")))
     val got = TextQueries.pack.run(spark, dir)

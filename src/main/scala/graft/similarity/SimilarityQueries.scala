@@ -1462,33 +1462,84 @@ object SimilarityQueries extends QueryModule {
     * Oracle: the same funnel in CTEs (the parameterized shingle
     * pipeline filtered to representatives by subquery predicate).
     */
-  val dedupFunnel = Q(
-    "q_dedup_funnel",
-    (s, dir) => {
+  /** (dataset, session) → persisted funnel rep-band table name. */
+  private val funnelBandCache = new ArtifactCache[String]("funnel-rep-bands")
+
+  /** Persisted funnel REP-BAND index (r18 — the measure-adopt pattern
+    * applied to the funnel's per-invocation pipeline): the exact-dup
+    * representative set with its LSH band rows — (doc_id, mult, band,
+    * sig), 4 rows per representative — written once per (documents
+    * stamp, DF cap, hash family) as a parquet table BUCKETED ×64 on
+    * sig. Before this the funnel re-ran its whole front half per
+    * invocation: the corpus md5 rep aggregation, the rep-scoped DF cap
+    * census, and the 8-min signature aggregation over the rep shingle
+    * set (nearly the full corpus — exact dups are the small part).
+    * All of that is a pure function of the corpus, so it is signed
+    * once; the warm query is the band self-join (ZERO exchange — both
+    * sides read the same sig-bucketed table, and hashpartitioning(sig)
+    * satisfies the (band, sig) join clustering as a key subset) plus
+    * the candidate-sized pair aggregation. mult rides the band rows,
+    * so the two per-invocation rep joins are gone (first() in the pair
+    * agg is sound — mult is functionally dependent on doc_id). The
+    * rep-scoped cap semantics are baked at build exactly as the inline
+    * form computed them (cap AFTER the rep filter — a viral exact-dup's
+    * shingles have rep-DF 1 and must survive banding); doc ids, mults
+    * and sig strings round-trip parquet exactly, so warm results are
+    * bit-identical (SimilaritySpec's funnel fixtures re-run green). */
+  private def funnelRepBands(s: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"funnelRepBands: $docsFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$MaxShingleDf@$HashFamilyVersion@funnel-v1")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
+    val name = s"graft_funnel_${dataKey}_$sessKey"
+    val tbl = funnelBandCache.getOrBuild(s"$dataKey@$sessKey",
+        tn => s.catalog.tableExists(tn)) {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val reps = docs
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mult"))
-        // feeds the rep filter + both mult joins; DISK_ONLY — reps are
+        // feeds the rep filter + the mult attach; DISK_ONLY — reps are
         // corpus-cardinality (one row per distinct text)
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // Representative shingles ride the persisted UNCAPPED corpus
       // artifact (r16): shingling is per-document, so filtering the
       // artifact to reps equals shingling repDocs from scratch, and
-      // the DF cap applies AFTER the filter — counted within reps,
-      // exactly the funnel's original semantics (a viral exact-dup's
-      // shingles have rep-DF 1 and must survive banding; a corpus-DF
-      // cap would delete them). The rep-id semi side broadcasts
-      // (doc_ids only), so the read keeps its s-bucketing and the cap
-      // census inside shinglesOf's capShingleDf stays exchange-free.
+      // the DF cap applies AFTER the filter — counted within reps.
+      // The rep-id semi side broadcasts (doc_ids only), so the read
+      // keeps its s-bucketing and the cap census stays exchange-free.
       val repSh = capShingleDf(
         shingleTable(s, dir)
           .join(broadcast(reps.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
         MaxShingleDf)
-      val pairs = pairsFromMh(minhashFrameFrom(repSh))
-      pairs
-        .join(reps.select(col("doc_id").as("id1"), col("mult").as("mult1")), Seq("id1"))
-        .join(reps.select(col("doc_id").as("id2"), col("mult").as("mult2")), Seq("id2"))
+      bandsOf(minhashFrameFrom(repSh))
+        .join(reps.select(col("doc_id"), col("mult")), Seq("doc_id"))
+        .repartition(64, col("sig"))
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .bucketBy(64, "sig")
+        .sortBy("sig")
+        .saveAsTable(name)
+      name
+    }
+    s.table(tbl)
+  }
+
+  val dedupFunnel = Q(
+    "q_dedup_funnel",
+    (s, dir) => {
+      val bands = funnelRepBands(s, dir)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_bands"),
+          first(col("a.mult")).as("mult1"), first(col("b.mult")).as("mult2"))
         .select(col("id1"), col("id2"), col("n_bands"), col("mult1"), col("mult2"))
         .orderBy(col("id1"), col("id2"))
     },

@@ -90,12 +90,18 @@ class ShingleArtifactSpec extends AnyFunSuite {
     val first = rows(SimilarityQueries.minhashLsh.run(spark, dir))
     assert(rows(SimilarityQueries.minhashLsh.run(spark, dir)) === first,
       "warm artifact serve changed the result")
+    val firstFunnel = rows(SimilarityQueries.dedupFunnel.run(spark, dir))
+    assert(rows(SimilarityQueries.dedupFunnel.run(spark, dir)) === firstFunnel,
+      "warm funnel rep-band artifact serve changed the result")
     writeDocs(dir, 136, salt = 4) // rewrite: new mtime AND length
     val second = rows(SimilarityQueries.minhashLsh.run(spark, dir))
+    val secondFunnel = rows(SimilarityQueries.dedupFunnel.run(spark, dir))
     val clean = Files.createTempDirectory("shingleart3").toString
     writeDocs(clean, 136, salt = 4)
     assert(rows(SimilarityQueries.minhashLsh.run(spark, clean)) === second,
       "stale shingle/signature artifact served after a corpus rewrite")
+    assert(rows(SimilarityQueries.dedupFunnel.run(spark, clean)) === secondFunnel,
+      "stale funnel rep-band artifact served after a corpus rewrite")
   }
 
   test("staging is per-attempt and claim-time sweep reaps leftover staging dirs") {

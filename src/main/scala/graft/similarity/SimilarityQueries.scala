@@ -86,12 +86,46 @@ object SimilarityQueries extends QueryModule {
     * same shingle set with unnest + lead — different algorithm, same
     * output.)
     */
+  /** Session cache for the corpus HOT-shingle set (r18): the DF-cap
+    * census inside [[capShingleDf]] re-aggregated the full artifact
+    * (49M rows at the 500k tier) on EVERY invocation of a
+    * corpus-capped consumer, even though the hot set is a pure
+    * function of (dataset, cap). The set itself is boilerplate-bounded
+    * (shingles with DF > cap are the corpus's repeated chrome — the
+    * [[denseBucketsCached]] driver-census class, guarded by the same
+    * loud require), so it collects once per (dataset, cap, session)
+    * and the capped view becomes a pure filter — no census job, no
+    * anti-join, bit-identical rows (s is never null, so NOT-IN on a
+    * literal set ≡ the left-anti join). */
+  private val hotShingleCache = new ArtifactCache[Seq[String]]("hot-shingles")
+
   private[graft] def shingles(
-      s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame =
+      s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame = {
     // Full-corpus shingles ride the persisted artifact (r16): the
-    // uncapped distinct set is read back bucketed on s, so the DF-cap
-    // census inside capShingleDf runs with ZERO exchange, for any cap.
-    capShingleDf(shingleTable(s, dir), maxDf)
+    // uncapped distinct set is read back bucketed on s, so the one
+    // census the dataset ever pays runs with ZERO exchange.
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"shingles: $docsFile does not exist")
+    val key = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@hot$maxDf") +
+      "@" + ArtifactCache.sessionKey(s)
+    val hot = hotShingleCache.getOrBuild(key, _ => true) {
+      val h = shingleTable(s, dir)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("s"))
+        .collect().map(_.getString(0)).toSeq
+      require(h.size < 100000,
+        s"hot-shingle census found ${h.size} shingles over DF $maxDf — " +
+          "boilerplate should be template-bounded; refusing a 100k-literal filter")
+      h
+    }
+    // column order (s, doc_id) matches the old anti-join's output
+    // (join on Seq("s") led with the key) — consumers are name-based,
+    // but the artifact specs compare exact rows
+    val tbl = shingleTable(s, dir).select(col("s"), col("doc_id"))
+    if (hot.isEmpty) tbl else tbl.filter(!col("s").isInCollection(hot))
+  }
 
   /** [[shingles]] over an arbitrary (doc_id, text) frame — the
     * incremental-dedup path shingles only the NEW batch, so the

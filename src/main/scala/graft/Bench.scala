@@ -118,6 +118,52 @@ object Bench {
     else None
   }
 
+  /** Host-speed control queries (r18 verdict #4): the bimodal bench
+    * host cost three sf1 attempts and two docs-tier attempts across
+    * r16-r18, each diagnosed by HAND-timing an unchanged-code query
+    * (the judge's q_distinct-at-2.24x call). This pins that evidence
+    * into the harness: before the main pass, Bench times the first 3
+    * preference-listed controls that exist in the registry AND have a
+    * committed budget in the gate reference, and prints a host-speed
+    * factor (median of now/committed). The factor ANNOTATES regression
+    * flags — it never excuses them (a flagged query still exits 2; the
+    * human reads the factor when deciding whether to re-run in a
+    * quieter window). Preference order favors stable, rarely-edited
+    * queries with entries in every tier artifact (docs tiers lack the
+    * relational tables, so q_distinct falls through to the dedup-family
+    * controls there) and SPANS SIZES — the bimodal host hits sub-second
+    * queries hardest (fixed per-job latency), so an all-tiny control
+    * set would read a representative window as catastrophic; mixing a
+    * sub-second control with multi-second ones makes the median track
+    * what the gated queries actually experience.
+    */
+  private[graft] val ControlPreference: Seq[String] = Seq(
+    "q_distinct", "q_simhash", "q_ngram_jaccard", "q_dedup",
+    "q_minhash_lsh", "q_cosine_topk", "q_topk")
+
+  /** Median of now/committed over the control timings (upper-middle
+    * for even counts — conservative on a 2-entry set). None when no
+    * control has both a positive timing and a committed budget. */
+  private[graft] def hostFactor(
+      controls: Seq[(String, Double)],
+      base: Map[String, Double]): Option[Double] = {
+    val ratios = controls.collect {
+      case (n, t) if t > 0 && base.get(n).exists(_ > 0) => t / base(n)
+    }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Append one line to a telemetry log, dropping it (with a stderr
+    * note) on IO failure — telemetry must never fail a run. */
+  private def appendLog(path: String, line: String): Unit =
+    try {
+      val w = new java.io.FileWriter(path, true)
+      try w.write(line + "\n") finally w.close()
+    } catch {
+      case e: java.io.IOException => System.err.println(
+        s"[bench] WARNING: log $path unwritable (${e.getMessage}) — entry dropped")
+    }
+
   /** On a FULL run the registry is authoritative: prior baseline
     * entries whose query no longer exists (renamed/deleted) would
     * otherwise persist in the artifact forever — mergeBaseline
@@ -227,13 +273,19 @@ object Bench {
     // records, instead of silently losing it to a forgotten
     // SPARK_GRAFT_AUDIT (ADVICE r17 — see SimilarityQueries.auditLog).
     tier.foreach(_ => sys.props.getOrElseUpdate("graft.audit", "1"): Unit)
-    // Docs tiers also append each dataset's bucket-census histogram to
-    // the committed census log (r17 verdict #8), so skew growth is
-    // tracked in-repo round-over-round.
-    tier.filter(_.docsOnly).foreach(_ =>
-      sys.props.getOrElseUpdate("graft.census.log", "docs/census_log.md"): Unit)
     val sfDir = sys.env.get("SPARK_GRAFT_SF_DIR")
       .orElse(tier.map(_.sfDir)).getOrElse("/root/testdata/sf0.1")
+    // Docs tiers also append each dataset's bucket-census histogram to
+    // the committed census log (r17 verdict #8), so skew growth is
+    // tracked in-repo round-over-round. Only for the tier's OWN
+    // generator-built corpus (same canonical-path test as the floors,
+    // ADVICE r18): a foreign SPARK_GRAFT_SF_DIR run is non-persisting
+    // and must not pollute the committed skew telemetry either.
+    tier.filter(t => t.docsOnly &&
+        new java.io.File(sfDir).getCanonicalFile ==
+          new java.io.File(t.sfDir).getCanonicalFile)
+      .foreach(_ =>
+        sys.props.getOrElseUpdate("graft.census.log", "docs/census_log.md"): Unit)
     val iters = sys.env.get("BENCH_ITERS")
       .map(_.toInt).getOrElse(tier.fold(3)(_.iters))
     // Local-iteration subsets: SPARK_GRAFT_BENCH_ONLY=q_lang_id,q_setops
@@ -334,6 +386,48 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // Host-speed control pre-pass (r18 verdict #4) — see
+    // [[ControlPreference]]. Runs against the same corpus with the same
+    // harness, so the factor is committed-budget-relative, not an
+    // absolute clock. min-of-2 regardless of tier iters: controls are
+    // an indicator, not a budget.
+    val hostInfo: Option[(Double, String)] = retryRef.flatMap { ref =>
+      val names = ControlPreference
+        .filter(n => SparkEntry.queries.contains(n) && ref.get(n).exists(_ > 0))
+        .take(3)
+      val times = names.map { n =>
+        n -> (try {
+          // 3 untimed warms, min of 3: controls are sub-second queries
+          // whose committed minimums come from deep-warm sessions — a
+          // shallow-warm control would read session-cold codegen/JIT
+          // as "slow host" on an idle machine
+          (1 to 3).foreach(_ => force(SparkEntry.queries(n)(spark, sfDir)))
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            force(SparkEntry.queries(n)(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] CONTROL $n failed: ${e.getMessage}")
+            -1.0
+        })
+      }
+      hostFactor(times, ref).map { f =>
+        val detail = times.map { case (n, t) =>
+          f"$n $t%.2fs/${ref(n)}%.2fs" }.mkString(", ")
+        (f, detail)
+      }
+    }
+    hostInfo.foreach { case (f, detail) =>
+      val line = f"[bench] host-speed factor $f%.2fx vs committed " +
+        f"(controls: $detail)" + (if (f > 1.3)
+          " — SLOW HOST WINDOW: timings below will read inflated; " +
+            "flags are annotated, never excused" else "")
+      System.err.println(line)
+      sys.props.get("graft.census.log").foreach(p =>
+        appendLog(p, f"[host-speed] factor $f%.2fx ($detail) sf=$sfDir"))
+    }
     val firstPass = selected.map { case (name, fn) =>
       try name -> time(fn)
       catch {
@@ -424,7 +518,8 @@ object Bench {
       val r = regressions(results, base)
       r.foreach { case (name, now, b) =>
         System.err.println(
-          f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x, confirmed isolated)")
+          f"[bench] REGRESSION $name: $now%.2fs vs baseline $b%.2fs (>2x, confirmed isolated)" +
+            hostInfo.fold("")(h => f" [host-speed ${h._1}%.2fx]"))
       }
       // aggregate-creep soft warning (r15 verdict #5) — visible even
       // when no individual query trips the 2x gate

@@ -97,7 +97,16 @@ object SimilarityQueries extends QueryModule {
     * and the capped view becomes a pure filter — no census job, no
     * anti-join, bit-identical rows (s is never null, so NOT-IN on a
     * literal set ≡ the left-anti join). */
-  private val hotShingleCache = new ArtifactCache[Seq[String]]("hot-shingles")
+  private val hotShingleCache =
+    new ArtifactCache[Option[Seq[String]]]("hot-shingles")
+
+  /** Ceiling on the driver-collected hot-shingle set. Above it the
+    * capped view falls back to the [[capShingleDf]] anti-join (same
+    * rows, one extra census job per query) instead of refusing to run
+    * (ADVICE r18 — a boilerplate-heavy corpus or a tiny caller maxDf
+    * must degrade to the slower plan, not crash). */
+  private[similarity] def maxHotShingles: Int =
+    sys.props.get("graft.test.maxHotShingles").map(_.toInt).getOrElse(100000)
 
   private[graft] def shingles(
       s: SparkSession, dir: String, maxDf: Int = MaxShingleDf): DataFrame = {
@@ -110,21 +119,32 @@ object SimilarityQueries extends QueryModule {
       s"${ArtifactCache.datasetStamp(docsFile.getPath)}@hot$maxDf") +
       "@" + ArtifactCache.sessionKey(s)
     val hot = hotShingleCache.getOrBuild(key, _ => true) {
+      // collect one past the cap so overflow is detected without
+      // pulling an unbounded set onto the driver; None = overflow,
+      // cached so warm calls skip straight to the anti-join plan
       val h = shingleTable(s, dir)
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select(col("s"))
+        .limit(maxHotShingles + 1)
         .collect().map(_.getString(0)).toSeq
-      require(h.size < 100000,
-        s"hot-shingle census found ${h.size} shingles over DF $maxDf — " +
-          "boilerplate should be template-bounded; refusing a 100k-literal filter")
-      h
+      if (h.size > maxHotShingles) {
+        System.err.println(
+          s"[hot-shingles] WARNING: census exceeds $maxHotShingles entries " +
+            s"over DF $maxDf — falling back to the anti-join cap (slower, " +
+            "same rows); boilerplate is usually template-bounded")
+        None
+      } else Some(h)
     }
     // column order (s, doc_id) matches the old anti-join's output
     // (join on Seq("s") led with the key) — consumers are name-based,
     // but the artifact specs compare exact rows
     val tbl = shingleTable(s, dir).select(col("s"), col("doc_id"))
-    if (hot.isEmpty) tbl else tbl.filter(!col("s").isInCollection(hot))
+    hot match {
+      case Some(h) if h.isEmpty => tbl
+      case Some(h) => tbl.filter(!col("s").isInCollection(h))
+      case None => capShingleDf(tbl, maxDf)
+    }
   }
 
   /** [[shingles]] over an arbitrary (doc_id, text) frame — the
@@ -2300,9 +2320,17 @@ object SimilarityQueries extends QueryModule {
       // (r17 verdict #8): Bench sets `graft.census.log` under a
       // docs tier, so anisotropy growth (85×→130× max/median at 1M)
       // is tracked in-repo round-over-round, not re-measured ad hoc
+      // telemetry only — a missing/unwritable log (e.g. Bench launched
+      // from outside the repo root) must not fail the tier query that
+      // happened to trigger the census (ADVICE r18)
       sys.props.get("graft.census.log").foreach { p =>
-        val w = new java.io.FileWriter(p, true)
-        try w.write(s"[bucket-census] $tag: $stats\n") finally w.close()
+        try {
+          val w = new java.io.FileWriter(p, true)
+          try w.write(s"[bucket-census] $tag: $stats\n") finally w.close()
+        } catch {
+          case e: java.io.IOException => System.err.println(
+            s"[bucket-census] WARNING: census log $p unwritable (${e.getMessage}) — entry dropped")
+        }
       }
       dense
     }

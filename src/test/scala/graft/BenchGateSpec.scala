@@ -38,6 +38,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(base == Map("q_dedup" -> 0.32, "q_distinct" -> 0.57))
   }
 
+  test("hostFactor is the median now/committed ratio over usable controls") {
+    val base = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.5, "q_dead" -> 0.0)
+    // q_fail (negative timing) and q_dead (no positive budget) are
+    // excluded; ratios 1.5, 1.0, 2.0 -> sorted (1.0, 1.5, 2.0), median 1.5
+    val controls = Seq(
+      "q_a" -> 1.5, "q_b" -> 2.0, "q_c" -> 1.0,
+      "q_fail" -> -1.0, "q_dead" -> 3.0)
+    assert(Bench.hostFactor(controls, base).contains(1.5))
+    // even count takes the upper-middle (conservative)
+    assert(Bench.hostFactor(
+      Seq("q_a" -> 1.0, "q_b" -> 4.0), base).contains(2.0))
+    // nothing usable -> None (first recording, no gate reference)
+    assert(Bench.hostFactor(Seq("q_fail" -> -1.0), base).isEmpty)
+    assert(Bench.hostFactor(Seq.empty, base).isEmpty)
+  }
+
+  test("ControlPreference names exist in the registry and cover every tier artifact") {
+    val registry = SparkEntry.queries.keySet
+    assert(Bench.ControlPreference.forall(registry.contains))
+    // each tier family must yield at least 2 controls after the
+    // preference filter, or the factor degenerates to one noisy query
+    val docs = SparkEntry.families("docs")
+    val heavy = SparkEntry.families("heavy")
+    assert(Bench.ControlPreference.count(docs.contains) >= 2)
+    assert(Bench.ControlPreference.count(heavy.contains) >= 2)
+  }
+
   test("regressions flags >2x above the floor, ignores sub-floor and improvements") {
     val base = Map("q_slow" -> 1.0, "q_tiny" -> 0.05, "q_fast" -> 1.0)
     val now = Seq(

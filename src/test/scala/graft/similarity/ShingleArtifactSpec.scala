@@ -84,6 +84,29 @@ class ShingleArtifactSpec extends AnyFunSuite {
         SimilarityQueries.minhashFrameFrom(batchDirect))))
   }
 
+  test("hot-shingle census overflow degrades to the anti-join cap, bit-identical (ADVICE r18)") {
+    val dir = Files.createTempDirectory("shingleartof").toString
+    writeDocs(dir, 60, salt = 9)
+    // force the overflow branch: with the driver-collect ceiling at 0,
+    // ANY hot shingle overflows the census and shingles() must fall
+    // back to the capShingleDf anti-join instead of crashing — same
+    // rows as the literal-filter fast path it replaces
+    sys.props("graft.test.maxHotShingles") = "0"
+    try {
+      val viaFallback = rows(SimilarityQueries.shingles(spark, dir))
+      sys.props.remove("graft.test.maxHotShingles")
+      // fresh threshold, but the overflow verdict was CACHED per
+      // (dataset, cap, session) — a second call must still serve the
+      // anti-join plan without a new census, and stay bit-identical
+      val cachedVerdict = rows(SimilarityQueries.shingles(spark, dir))
+      assert(viaFallback === cachedVerdict)
+      val direct = rows(SimilarityQueries.shinglesOf(
+        docsFrame(dir), SimilarityQueries.MaxShingleDf))
+      assert(viaFallback === direct,
+        "overflow fallback rows diverge from the direct capped pipeline")
+    } finally sys.props.remove("graft.test.maxHotShingles"): Unit
+  }
+
   test("rewritten corpus rebuilds both artifacts; identical corpus reuses them") {
     val dir = Files.createTempDirectory("shingleart2").toString
     writeDocs(dir, 120, salt = 3)

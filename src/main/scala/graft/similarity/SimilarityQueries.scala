@@ -1334,11 +1334,57 @@ object SimilarityQueries extends QueryModule {
     * artifact to doc_id ≥ cutoff and capping within the filter is
     * bit-identical to shingling the batch directly. (A production
     * stream whose batch is NOT yet in any artifact uses
-    * [[bandProjection]] — the stateless per-row form.) */
+    * [[bandProjection]] — the stateless per-row form.) This is the
+    * BUILD pipeline; warm consumers read [[batchSignatures]]. */
   private[graft] def newBatchSignatures(s: SparkSession, dir: String): DataFrame =
     bandsOf(minhashFrameFrom(capShingleDf(
       shingleTable(s, dir).filter(col("doc_id") >= IncrementalCutoff),
       MaxShingleDf)))
+
+  /** (dataset, session) → persisted batch-signature table name. */
+  private val batchSigCache = new ArtifactCache[String]("batch-sigs")
+
+  /** The PERSISTED batch band signatures — [[newBatchSignatures]]
+    * written once per (documents stamp, cutoff, hash family) as a
+    * parquet table bucketed AND sorted on (band, sig) ×32, the exact
+    * [[signatureIndex]] layout. The r19 probe at the 500k tier put the
+    * per-invocation batch signing at 11.2s of q_cluster_incremental's
+    * 15.5s warm cost (and the same signing inside q_dedup_incremental)
+    * — but a batch is signed ONCE when it arrives in production, and
+    * both its consumers (pair dedup, cluster maintenance) read the
+    * signed rows. Persisting makes the warm plan all-bucketed: the
+    * corpus-vs-batch candidate join reads index and batch from
+    * IDENTICAL (band, sig) ×32 layouts (zero exchange, zero sort on
+    * BOTH sides), and the batch-vs-batch self-join is a same-table
+    * bucketed SMJ — only the candidate-pair aggregations re-key. doc
+    * ids are longs and sigs round-trip parquet exactly, so the read is
+    * bit-identical to the recompute (pinned in IncrementalIndexSpec,
+    * with staleness rebuild). Same catalog idiom as [[signatureIndex]]:
+    * per-PID sigIndexRoot, ArtifactCache build lock, rebuild-in-place. */
+  private[graft] def batchSignatures(s: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    require(docsFile.exists(), s"batchSignatures: $docsFile does not exist")
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(docsFile.getPath)}@$IncrementalCutoff@$HashFamilyVersion@bsig-v1")
+      .take(16)
+    val sessKey = ArtifactCache.sessionKey(s)
+    val name = s"graft_bsig_${dataKey}_$sessKey"
+    val tbl = batchSigCache.getOrBuild(s"$dataKey@$sessKey",
+        t => s.catalog.tableExists(t)) {
+      val path = new java.io.File(sigIndexRoot, name)
+      deleteRecursively(path)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      newBatchSignatures(s, dir)
+        .repartition(32, col("band"), col("sig"))
+        .write.mode("overwrite")
+        .option("path", path.getPath)
+        .bucketBy(32, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(name)
+      name
+    }
+    s.table(tbl)
+  }
 
   /** Band-signature rows as a PURE PROJECTION — the same signatures
     * [[bandsOf]]∘[[minhashFrameFrom]] builds with explode + groupBy,
@@ -1406,12 +1452,13 @@ object SimilarityQueries extends QueryModule {
     * Returns (id1, id2, n_bands) with id1 < id2 by construction. */
   private[graft] def incrementalPairs(s: SparkSession, dir: String): DataFrame = {
     val idx = signatureIndex(s, dir)
-    // DISK_ONLY (the r15 checkpoint rule, applied after an 8g-heap
-    // OOM at the 500k tier with cumulative session state): the batch
-    // signature frame is corpus-scale (4 band rows per batch doc) and
-    // must never park deserialized in the unified storage pool.
-    val newSigs = newBatchSignatures(s, dir).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // The batch reads its persisted signature table (r19 — signed once
+    // on arrival, consumed by dedup AND cluster maintenance): both
+    // joins below ride the shared (band, sig) ×32 bucketing, so the
+    // warm plan's only exchanges are the candidate-pair aggregations.
+    // (The r15-era per-invocation DISK_ONLY checkpoint of the signing
+    // pipeline is gone with the signing itself.)
+    val newSigs = batchSignatures(s, dir)
     val newNew = newSigs.as("a")
       .join(newSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -1467,6 +1514,11 @@ object SimilarityQueries extends QueryModule {
       incrementalLabels(prior, newNodes,
           incrementalPairs(s, dir).select(col("id1"), col("id2")))
         .select(col("n").as("doc_id"), col("lbl").as("component"))
+        // sort barrier (r17 idiom, measured r19: the remap child is
+        // zero-exchange — label-table scan ∪ batch scan + broadcast
+        // relabel — so the orderBy's range sampling re-ran it whole,
+        // +3.5s of the 15.5s warm probe at 500k)
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id"))
     },
     Some(s"""

@@ -190,10 +190,10 @@ class PlanContractSpec extends AnyFunSuite {
                                // frame + final sort
     "q_diff_snapshot" -> 3,    // ONE scan, both snapshots as conditional aggs
                                // + status census + sort
-    "q_dedup_incremental" -> 3, // index bucketed scan (no exchange) + checkpointed
-                               // batch sigs; the two pair aggs re-key on (id1,id2)
-                               // and the union sorts — 3 exchanges, none of them
-                               // ever carrying the corpus
+    "q_dedup_incremental" -> 3, // index AND batch-signature tables read from the
+                               // shared (band,sig) bucketing (no exchange, r19);
+                               // the two pair aggs re-key on (id1,id2) and the
+                               // union sorts — 3 exchanges, none carrying the corpus
     "q_bloom_prune" -> 7,      // bloom build (scalar subquery, single-partition) ×
                                // inlined twice statically + pair agg + final sort;
                                // the fact side prunes map-side BELOW its exchange
@@ -485,17 +485,45 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q_dedup_incremental: the corpus is NEVER read on the incremental path") {
-    // The existing corpus lives only in the persisted signature index:
-    // the full query plan must contain ZERO documents scans (the new
-    // batch signs itself pre-plan via checkpoint; the index is a
-    // bucketed table scan) and exactly ONE index table scan.
+    // The existing corpus lives only in the persisted signature index
+    // and the arriving batch only in its persisted signature table
+    // (r19): the full query plan must contain ZERO documents scans,
+    // exactly ONE index table scan, and every batch-signature scan
+    // must keep its (band, sig) bucketing — the layout both candidate
+    // joins ride exchange-free.
     val plan = planOf("q_dedup_incremental")
     val docScans = plan.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("documents"))
     assert(docScans == 0, s"incremental path re-reads documents\n$plan")
+    // match on the catalog table name, not the bare prefix: every
+    // artifact table's PATH lives under /tmp/graft_sig_idx_<pid>/, so
+    // a path substring would count the batch-signature scans too
     val idxScans = plan.linesIterator.count(l =>
-      l.contains("FileScan") && l.contains("graft_sig_idx"))
+      l.contains("FileScan") && l.contains("default.graft_sig_idx"))
     assert(idxScans == 1, s"expected exactly one index scan, got $idxScans\n$plan")
+    val bsigScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("default.graft_bsig")).toSeq
+    assert(bsigScans.nonEmpty, s"batch side no longer reads its signature table\n$plan")
+  }
+
+  test("q_dedup_incremental: NEITHER candidate-join side shuffles on the band key (r19)") {
+    // Broadcast disabled so the static plan shows the at-scale join:
+    // index and batch-signature tables share the (band, sig) ×32
+    // bucketed+sorted layout, so the corpus-vs-batch join AND the
+    // batch self-join are exchange-free, sort-free SMJs — the only
+    // shuffles left in the whole query are the candidate-pair
+    // aggregations and the final sort.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q_dedup_incremental")
+      val bandExchanges = plan.linesIterator.count(l =>
+        l.dropWhile(c => "+-:| ".contains(c)).startsWith("Exchange hashpartitioning(band"))
+      assert(bandExchanges == 0,
+        s"candidate joins must ride the shared bucketing (found $bandExchanges band exchanges)\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"bucketed scans lost their bucketing\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q_cluster_incremental: prior corpus comes from the persisted label table, never re-signed") {

@@ -65,6 +65,42 @@ class IncrementalIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("persisted batch signatures: read == recompute, warm serve stable, rewrite rebuilds (r19)") {
+    // The r19 artifact behind incrementalPairs' batch side: the table
+    // read must be bit-identical to the build pipeline
+    // (newBatchSignatures), stable across warm serves, and a corpus
+    // rewrite (new mtime AND length) must rebuild it — a stale batch
+    // signature table would dedup tomorrow's batch against yesterday's
+    // text.
+    def write(dir: String, n: Int, salt: Int): Unit =
+      (0 until n).map { i =>
+        val id = 350L + i // spans the 400 cutoff: both sides non-empty
+        (id, s"doc s$salt word${i % 7} tail$i end${(i * 31 + salt) % 97}",
+          "xx", "src", 10L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = Files.createTempDirectory("bsigart").toString
+    write(dir, 120, salt = 1)
+    val direct = SimilarityQueries.newBatchSignatures(spark, dir)
+      .as[(Long, Int, String)].collect().toSet
+    assert(direct.nonEmpty && direct.forall(_._1 >= 400L))
+    val art = SimilarityQueries.batchSignatures(spark, dir)
+      .as[(Long, Int, String)].collect().toSet
+    assert(art === direct, "batch-signature artifact diverged from the build pipeline")
+    assert(SimilarityQueries.batchSignatures(spark, dir)
+      .as[(Long, Int, String)].collect().toSet === art,
+      "warm batch-signature serve changed the result")
+    write(dir, 136, salt = 2) // rewrite: new mtime AND length
+    val second = SimilarityQueries.batchSignatures(spark, dir)
+      .as[(Long, Int, String)].collect().toSet
+    val clean = Files.createTempDirectory("bsigart2").toString
+    write(clean, 136, salt = 2)
+    assert(SimilarityQueries.batchSignatures(spark, clean)
+      .as[(Long, Int, String)].collect().toSet === second,
+      "stale batch-signature artifact served after a corpus rewrite")
+  }
+
   test("index lifecycle: tombstone delete + append + compact == full re-sign") {
     // Production sequence: build corpus index -> docs {10,20,30} leave
     // the corpus (tombstones) -> tomorrow's batch appends -> compaction

@@ -1685,7 +1685,7 @@ object SimilarityQueries extends QueryModule {
     */
   /** The 32-bit signature frame (doc_id, simhash) — shared by
     * q_simhash and q_simhash_pairs. */
-  private def simhashDigest(
+  private[similarity] def simhashDigest(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
@@ -1728,6 +1728,62 @@ object SimilarityQueries extends QueryModule {
       SELECT doc_id, simhash FROM sh ORDER BY doc_id""")
   )
 
+  private val docCountCache = new ArtifactCache[Long]("doc-count")
+
+  /** Cached documents row count (the bounded pre-pass every derived
+    * knob pays — the embeddings twin is [[embCount]]). */
+  private[similarity] def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.getOrBuild(
+        ArtifactCache.datasetStamp(s"$dir/documents.parquet"), _ => true) {
+      t(s, dir, "documents").count()
+    }
+
+  /** Corpus-derived simhash BAND width for q_simhash_pairs (r19 — the
+    * constant-collision-rate rule, the q_semantic_dedup precedent
+    * applied to banding): with 8-bit bands a random pair collides on a
+    * given band at 2⁻⁸ regardless of digest width, so raw candidates
+    * grow as n²·4/256 — measured EXACTLY quadratic at the doc tiers
+    * (2.21e9 raw candidates at 500k → 8.83e9 at 1M). 16-bit bands
+    * (over the 64-bit digest) put the per-band collision rate at 2⁻¹⁶:
+    * candidate mass stays pair-structure-bound through the tiers, and
+    * radius-3 recall keeps the pigeonhole guarantee (4 bands, ≤3
+    * flipped bits → ≥1 clean band). Below [[SimhashWideMinDocs]] the
+    * legacy 32-bit/8-bit-band form is bit-identical to r18; the 100×
+    * smoke corpus sits exactly AT the threshold, so the wide path is
+    * hash-verified against the DuckDB twin there. */
+  private[graft] val SimhashWideMinDocs = 50000L
+  private[similarity] def simhashBandBits(n: Long): Int =
+    if (n >= SimhashWideMinDocs) 16 else 8
+
+  /** Per-band simhash digest at width 4×`bandBits`: (doc_id, b0..b3),
+    * band i holding digest bits [i·bandBits, (i+1)·bandBits). Bits
+    * 0-31 vote on the first md5 word, 32-63 on the second — both
+    * halves fit signed 64-bit on both engines, and no full-width
+    * scalar is ever materialized (a 64-bit signature's top bit would
+    * overflow BIGINT sums). For bandBits = 8 the four bands decompose
+    * the [[simhashDigest]] value exactly. */
+  private[similarity] def simhashBands(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      bandBits: Int): DataFrame = {
+    val w = bandBits * 4
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .withColumn("h1", conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h2", conv(substring(md5(col("w")), 9, 8), 16, 10).cast(LongType))
+    val voteCols = (0 until w).map { b =>
+      val (word, bit) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      sum(when(expr(s"shiftright($word, $bit) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id") +: (0 to 3).map { i =>
+        (0 until bandBits).map(j =>
+          when(col(s"v${i * bandBits + j}") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast(LongType).as(s"b$i")
+      }: _*)
+  }
+
   /** SimHash Hamming-radius dedup — the retrieval side of the
     * signature: all pairs within Hamming distance ≤ 3, found WITHOUT
     * an all-pairs scan. Pigeonhole banding: split the 32 bits into 4
@@ -1738,52 +1794,99 @@ object SimilarityQueries extends QueryModule {
     * Shuffle volume is O(docs·bands); in-bucket fan-out is bounded by
     * band-value collisions, never the corpus square.
     *
-    * Width note (ScaleSmoke): the former 16-bit signature saturated
-    * around ~10⁴ docs — random pairs collide within radius 3 at ~1%,
-    * so the TRUE pair set itself grows quadratically; 32 bits keeps
-    * the collision rate flat through the 100× smoke corpus. Beyond
-    * that the same plan runs at 64/128 bits (more vote columns, more
-    * bands, identical shapes).
+    * Width note: the former 16-bit signature saturated around ~10⁴
+    * docs (random pairs collide within radius 3 at ~1%); 32 bits keeps
+    * the TRUE pair set clean through the 100× smoke corpus — but the
+    * r19 tier probe showed the CANDIDATE mass still grows as n²·4/256
+    * with 8-bit bands (2.21e9 raw candidates at 500k → 8.83e9 at 1M,
+    * exactly 4× at 2×). Width and band size are therefore CORPUS
+    * DERIVED ([[simhashBandBits]], SQL twin derives the same rule):
+    * ≥50k docs runs the 64-bit digest with 4×16-bit bands — per-band
+    * collision 2⁻¹⁶, candidates pair-structure-bound, same pigeonhole
+    * recall — and 128-bit/4×32 is the same plan one doubling further.
     */
+  /** The radius-3 banded pair pipeline at an explicit band width —
+    * factored out so SimilaritySpec can pin the 16-bit path's
+    * pigeonhole completeness on a small corpus (the query derives the
+    * width from the corpus, which is 8-bit at every unit-test size). */
+  private[similarity] def simhashPairsAt(
+      s: org.apache.spark.sql.SparkSession, dir: String, bb: Int): DataFrame = {
+    val sh = simhashBands(s, dir, bb).localCheckpoint(true)
+    val bandCols = (0 to 3).map(i => col(s"b$i"))
+    val bands = sh.select(col("doc_id") +: bandCols :+
+        explode(array((0 to 3).map(i => struct(
+          lit(i).as("band"), col(s"b$i").as("bv"))): _*)).as("bd"): _*)
+      .select(col("doc_id") +: bandCols :+
+        col("bd.band").as("band") :+ col("bd.bv").as("bv"): _*)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(Seq(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")) ++
+        (0 to 3).map(i => col(s"x.b$i").as(s"xa$i")) ++
+        (0 to 3).map(i => col(s"y.b$i").as(s"yb$i")): _*)
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (0 to 3).map(i => expr(s"bit_count(xa$i ^ yb$i)"))
+          .reduce(_ + _).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val simhashPairs = Q(
     "q_simhash_pairs",
     (s, dir) => {
-      // The signature frame is doc-count-sized and feeds BOTH sides of
-      // the band self-join — checkpoint so the token explode + 16-vote
-      // aggregation runs once, not once per join side.
-      val sh = simhashDigest(s, dir).localCheckpoint(true)
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 to 3).map(b => struct(
-          lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
-          .as("bd"))
-        .select(col("doc_id"), col("simhash"),
-          col("bd.band").as("band"), col("bd.bv").as("bv"))
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-        .distinct()
-      cand
-        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      // Band width derives from the corpus ([[simhashBandBits]]):
+      // 8-bit bands below 50k docs (bit-identical to the r18 form),
+      // 16-bit above — the constant-collision-rate rule. Hamming is
+      // the SUM of per-band XOR popcounts, so no full-width signature
+      // scalar exists at either width. The signature frame is
+      // doc-count-sized and feeds BOTH sides of the band self-join —
+      // checkpoint so the token explode + vote aggregation runs once.
+      simhashPairsAt(s, dir, simhashBandBits(docCount(s, dir)))
     },
     Some(s"""
-      WITH $simhashSqlCtes,
-      bands AS (
-        SELECT doc_id, simhash, CAST(t.range AS INTEGER) AS band,
-               (simhash >> (CAST(t.range AS INTEGER) * 8)) & 255 AS bv
-        FROM sh, range(4) t),
+      WITH nb AS (
+        SELECT CASE WHEN count(*) >= $SimhashWideMinDocs THEN 16 ELSE 8 END AS bb
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents),
+      th AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) AS h2
+        FROM tok),
+      votes AS (
+        SELECT doc_id, CAST(t.range AS INTEGER) AS b,
+               sum(CASE WHEN (CASE WHEN t.range < 32
+                                   THEN h1 >> CAST(t.range AS INTEGER)
+                                   ELSE h2 >> CAST(t.range - 32 AS INTEGER) END)
+                        % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th, range(64) t
+        WHERE t.range < 4 * (SELECT bb FROM nb)
+        GROUP BY 1, 2),
+      bandv AS (
+        SELECT doc_id, CAST(b // (SELECT bb FROM nb) AS INTEGER) AS band,
+               CAST(sum(CASE WHEN v >= 0
+                             THEN CAST(1 AS BIGINT) << (b % (SELECT bb FROM nb))
+                             ELSE 0 END) AS BIGINT) AS bv
+        FROM votes GROUP BY 1, 2),
       cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               x.simhash AS ha, y.simhash AS hb
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-      ORDER BY doc_a, doc_b""")
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bandv x JOIN bandv y
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(a.bv, b.bv))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bandv a ON a.doc_id = c.doc_a
+        JOIN bandv b ON b.doc_id = c.doc_b AND b.band = a.band
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b""")
   )
 
   /** Deterministic pseudo-random hyperplane weights for sign-LSH:
@@ -4447,8 +4550,8 @@ object SimilarityQueries extends QueryModule {
     * assignment scan + one (m, cell, pos) aggregation per Lloyd round
     * for ALL subspaces together at any K.
     */
-  private val PqM = 8
-  private val PqSub = 8
+  private[similarity] val PqM = 8
+  private[similarity] val PqSub = 8
 
   /** Trained PQ codebooks per (dataset, mtime) — [m][cell][dim] in the
     * ×1e6 fixed-point domain, cached like the IVF centroids so bench
@@ -4459,7 +4562,7 @@ object SimilarityQueries extends QueryModule {
   /** Fixed-point (×1e6 BIGINT) embedding vectors — the shared integer
     * domain both PQ training and encoding run in ([[trainIvfCentroids]]
     * uses the same bridge). */
-  private def fixedVi(s: SparkSession, dir: String): DataFrame =
+  private[similarity] def fixedVi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id"),
       transform(col("embedding"),
@@ -4471,11 +4574,6 @@ object SimilarityQueries extends QueryModule {
     array(cb.map(sub =>
       array(sub.map(ci => array(ci.map(lit(_)): _*)): _*)): _*)
 
-  /** Integer squared euclidean between a sub-vector column and a
-    * codebook entry — the assignment metric on both engines. */
-  private def pqD2(svi: Column, ci: Column): Column =
-    aggregate(zip_with(svi, ci, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
 
   /** PQ codebook training: per-subspace k-means
     * (K = [[pqCodebookSize]], seeds = the K smallest vec_ids'
@@ -4631,18 +4729,37 @@ object SimilarityQueries extends QueryModule {
             .cast(IntegerType)
         }: _*))
         .select(col("vec_id"), col("codes"))
-      val probes = vi.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
-      // ADC: per subspace, one element_at into that subspace's K×sub
-      // literal by the STORED code — M small lookups, summed.
+      // ADC with the PRECOMPUTED per-probe distance table — the shape
+      // the scaladoc names for the real deployment: dtab[q][m][c] =
+      // d2(probe q's m-th sub-vector, codebook[m][c]), computed once
+      // driver-side (5 probes × M·K Long sums — the bounded "k seeds"
+      // driver-collect class) and inlined as literals. The corpus scan
+      // then does M flat element_ats + a sum per row instead of M
+      // fresh 8-dim zip_with folds against the probe vector (r19
+      // probe: the ADC scan was ~80% of the warm query at the 500k
+      // tier). Long arithmetic driver-side is bit-identical to the
+      // codegen'd zip_with, so the oracle replica is untouched.
+      val probeRows = vi.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("vi")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val dtab: Array[Array[Array[Long]]] = probeRows.map { case (_, qvi) =>
+        Array.tabulate(PqM, pqK)((m, c) =>
+          d2(qvi.slice(m * PqSub, m * PqSub + PqSub), cb(m)(c)))
+      }
+      import s.implicits._
+      val probes = probeRows.map(_._1).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }.toSeq.toDF("q_id", "qi")
       val scored = coded
         .join(broadcast(probes), col("vec_id") =!= col("q_id"))
         .withColumn("adc_d2",
           (0 until PqM).map { m =>
-            pqD2(slice(col("qvi"), lit(m * PqSub + 1), lit(PqSub)),
-              element_at(
-                array((0 until pqK).map(c => subLit(m, c)): _*),
-                element_at(col("codes"), m + 1) + 1))
+            val tabM = array(dtab.map(q =>
+              array(q(m).map(lit(_)): _*)): _*) // probes × K literal
+            element_at(element_at(tabM, col("qi")),
+              element_at(col("codes"), m + 1) + 1)
           }.reduce(_ + _))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_d2").asc, col("vec_id"))

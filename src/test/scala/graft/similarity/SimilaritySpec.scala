@@ -194,6 +194,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("q_simhash_pairs wide path (16-bit bands, r19): banding loses NO radius-3 pair") {
+    // The corpus-derived width only goes wide at >=50k docs, so the
+    // unit pin drives the factored pipeline at bb=16 directly and
+    // compares against an all-pairs popcount over the band columns —
+    // same pigeonhole argument (4 bands, <=3 flips -> >=1 clean band),
+    // now at per-band collision 2^-16.
+    val dir = "/root/testdata/sf0.001"
+    val sigs = SimilarityQueries.simhashBands(spark, dir, 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val brute = (for {
+      a <- sigs; b <- sigs
+      if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4) +
+        java.lang.Long.bitCount(a._5 ^ b._5)
+      if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    val banded = SimilarityQueries.simhashPairsAt(spark, dir, 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+    // and the 8-bit factored path is exactly the public query here
+    // (500 docs < 50k -> the derivation picks 8)
+    assert(SimilarityQueries.simhashPairsAt(spark, dir, 8)
+      .as[(Long, Long, Long)].collect().toSet ===
+      SimilarityQueries.simhashPairs.run(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("q_simhash_pairs: planted exact duplicate pairs at Hamming 0") {
     val pairs = SimilarityQueries.simhashPairs.run(spark, docsDir)
       .as[(Long, Long, Long)].collect()

@@ -255,15 +255,23 @@ object Bench {
     * to the smaller corpus's times forever (one forgotten
     * SPARK_GRAFT_SF_DIR would corrupt bench_sf40.json downward, and
     * the ratchet can never recover upward). */
+  /** The `sf` field a bench artifact was recorded at, if readable. */
+  private[graft] def recordedSf(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(src.mkString).map(_.group(1))
+      finally src.close()
+    }
+  }
+
   private def requireSameSf(priorFile: java.io.File, sfDir: String): Unit =
-    if (priorFile.exists) {
-      val text = scala.io.Source.fromFile(priorFile, "UTF-8").mkString
-      """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).foreach { m =>
-        require(m.group(1) == sfDir,
-          s"$priorFile was recorded at sf '${m.group(1)}' but this run is at '$sfDir' — " +
-            "min-merging across scale factors would corrupt the budget; " +
-            "point SPARK_GRAFT_BENCH_OUT elsewhere or fix SPARK_GRAFT_SF_DIR")
-      }
+    recordedSf(priorFile.getPath).foreach { sf =>
+      require(sf == sfDir,
+        s"$priorFile was recorded at sf '$sf' but this run is at '$sfDir' — " +
+          "min-merging across scale factors would corrupt the budget; " +
+          "point SPARK_GRAFT_BENCH_OUT elsewhere or fix SPARK_GRAFT_SF_DIR")
     }
 
   def main(args: Array[String]): Unit = {
@@ -389,9 +397,19 @@ object Bench {
     // Host-speed control pre-pass (r18 verdict #4) — see
     // [[ControlPreference]]. Runs against the same corpus with the same
     // harness, so the factor is committed-budget-relative, not an
-    // absolute clock. min-of-2 regardless of tier iters: controls are
-    // an indicator, not a budget.
-    val hostInfo: Option[(Double, String)] = retryRef.flatMap { ref =>
+    // absolute clock. Only meaningful when the reference artifact was
+    // RECORDED at this run's corpus (r19: an ungated foreign-corpus
+    // stretch run read its 2.5M-doc controls against sf0.1 budgets and
+    // printed a 25× "host" factor — scale, not host); an sf mismatch
+    // skips the pre-pass entirely, which also skips controls whose
+    // tables don't exist in a docs-only corpus.
+    val retryRefPath = baselineEnv.orElse {
+      val f = new java.io.File("bench_local.json")
+      if (f.exists) Some(f.getPath) else None
+    }
+    val controlsApply = retryRefPath.exists(p => recordedSf(p).contains(sfDir))
+    val hostInfo: Option[(Double, String)] = retryRef.filter(_ => controlsApply)
+      .flatMap { ref =>
       val names = ControlPreference
         .filter(n => SparkEntry.queries.contains(n) && ref.get(n).exists(_ > 0))
         .take(3)

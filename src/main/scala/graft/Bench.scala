@@ -219,6 +219,14 @@ object Bench {
       s"unknown SPARK_GRAFT_BENCH_TIER '$other' (known: sf40, sf1, docs1000, docs2000)")
   }
 
+  /** Launch-guard threshold for a run (r19 verdict #2): the env knob
+    * wins everywhere; with no knob, only the sf1 tier (the one whose
+    * full-registry pass costs ~5 min per rejected attempt) gets the
+    * 1.3× default the four rejected r16–r19 windows converged on. */
+  private[graft] def launchGuardLimit(tier: Option[Tier]): Option[Double] =
+    sys.env.get("SPARK_GRAFT_MAX_HOST_FACTOR").map(_.toDouble)
+      .orElse(tier.filter(_.out == "bench_sf1.json").map(_ => 1.3))
+
   /** Resolve the ONLY + FAMILY knobs to a query-name subset (None =
     * bench everything). Both knobs validate loudly — a typo'd or empty
     * value must fail, not silently bench (and gate) nothing — and when
@@ -317,6 +325,10 @@ object Bench {
     // the recipe's first step. An explicit SPARK_GRAFT_SF_DIR is the
     // caller's own corpus; never second-guess it.
     tier.foreach { t =>
+      // heap pre-flight BEFORE corpus build/warm-up (r19 verdict #6) —
+      // a ≥2M-doc tier on the default heap dies mid-stage after
+      // minutes of work; fail in milliseconds naming the knob instead
+      ScaleSmoke.requireHeapFor(t.mult, t.docsOnly)
       if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty &&
           !ScaleSmoke.corpusComplete(t.sfDir, t.docsOnly)) {
         // completeness = every table dir carries _SUCCESS (r15 advice:
@@ -402,12 +414,16 @@ object Bench {
     // stretch run read its 2.5M-doc controls against sf0.1 budgets and
     // printed a 25× "host" factor — scale, not host); an sf mismatch
     // skips the pre-pass entirely, which also skips controls whose
-    // tables don't exist in a docs-only corpus.
+    // tables don't exist in a docs-only corpus. Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY / _FAMILY) skip it too (ADVICE r19): the
+    // factor only gates FULL-run persistence, and 18 extra control
+    // executions on every fast-iteration invocation defeats the knob.
     val retryRefPath = baselineEnv.orElse {
       val f = new java.io.File("bench_local.json")
       if (f.exists) Some(f.getPath) else None
     }
-    val controlsApply = retryRefPath.exists(p => recordedSf(p).contains(sfDir))
+    val controlsApply = only.isEmpty &&
+      retryRefPath.exists(p => recordedSf(p).contains(sfDir))
     val hostInfo: Option[(Double, String)] = retryRef.filter(_ => controlsApply)
       .flatMap { ref =>
       val names = ControlPreference
@@ -445,6 +461,23 @@ object Bench {
       System.err.println(line)
       sys.props.get("graft.census.log").foreach(p =>
         appendLog(p, f"[host-speed] factor $f%.2fx ($detail) sf=$sfDir"))
+      // Control-conditioned launch guard (r19 verdict #2): four sf1
+      // attempts each burned ~5 min to an exit 2 on host factor alone
+      // — an expensive way to learn the window is busy. When the
+      // controls read slower than the tier's guard threshold, refuse
+      // to START the timing pass: exit 4 ("host too slow to measure",
+      // distinct from a regression's exit 2), artifacts untouched.
+      // Default applies only to the full-registry sf1 tier (the short
+      // tiers are cheap enough to just run and reject);
+      // SPARK_GRAFT_MAX_HOST_FACTOR overrides or enables anywhere.
+      launchGuardLimit(tier).filter(f > _).foreach { lim =>
+        System.err.println(
+          f"[bench] LAUNCH GUARD: factor $f%.2fx > $lim%.2fx — refusing to " +
+            "start the gated tier timing pass; re-attempt in a quiet window " +
+            "(override: SPARK_GRAFT_MAX_HOST_FACTOR)")
+        spark.stop()
+        sys.exit(4)
+      }
     }
     val firstPass = selected.map { case (name, fn) =>
       try name -> time(fn)

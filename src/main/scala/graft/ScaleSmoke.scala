@@ -40,6 +40,28 @@ object ScaleSmoke {
       new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists)
   }
 
+  /** Docs-tier driver-heap pre-flight (r19 verdict #6): the 2.5M-doc
+    * stretch died MID-STAGE at the default 8g heap
+    * (`SparkOutOfMemoryError: UNABLE_TO_ACQUIRE_MEMORY`; in local mode
+    * the context then stops and every subsequent query fails) — minutes
+    * of generation and warm-up burned before the crash named the knob.
+    * A docs tier at ≥ 2M docs (mult ≥ 4000) must name
+    * `SPARK_DRIVER_MEM=32g` (the documented build.sbt knob, SCALE.md
+    * §r19) BEFORE any work starts. Threshold 24 GiB, not 32: JVM
+    * `maxMemory` under-reports the -Xmx value (survivor-space
+    * reservation), so an exact compare would false-trip a genuine 32g
+    * JVM. On a real cluster this is per-executor memory sizing — the
+    * check guards only the local[32] harness, where driver = executor. */
+  private[graft] def requireHeapFor(
+      mult: Int, docsOnly: Boolean,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Unit =
+    if (docsOnly && mult >= 4000)
+      require(heapBytes >= (24L << 30),
+        s"docs tier mult=$mult (${mult / 2}k docs) exceeds the default " +
+          "driver heap (2.5M docs OOM'd the 8g default mid-stage, SCALE.md " +
+          "§r19) — re-run with SPARK_DRIVER_MEM=32g (current max " +
+          f"heap ${heapBytes / (1L << 30)}%d GiB)")
+
   def main(args: Array[String]): Unit = {
     // A smoke run IS a scale-audit run: imply the round-census
     // telemetry SCALE.md's workflow records (ADVICE r17 — see
@@ -48,6 +70,8 @@ object ScaleSmoke {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULT", "40").toInt
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    requireHeapFor(mult,
+      docsOnly = sys.env.get("SPARK_GRAFT_SMOKE_DOCS_ONLY").contains("1"))
     val spark = GraftSession.build("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_SMOKE_DOCS_ONLY=1: the document-scaled tier (r13

@@ -3932,6 +3932,10 @@ object AnalyticsQueries extends QueryModule {
           "md5(concat('n:', c_name)) AS name_token",
           "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) * 1000 AS BIGINT) AS bal_band",
           "c_mktsegment")
+        // sort barrier (r20 sort-hazard audit): 0.53 -> 0.45s at
+        // sf0.1 — the md5 projection re-ran in the range sampler's
+        // pass (the q_pii_scrub expensive-map/narrow-output shape)
+        .repartition(col("key_token"))
         .orderBy(col("key_token"))
     },
     Some("""

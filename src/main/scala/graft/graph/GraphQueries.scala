@@ -289,7 +289,13 @@ object GraphQueries extends QueryModule {
           .distinct()
           .join(dist, Seq("n"), "left_anti")
           .withColumn("hops", lit(r.toLong))
-      }.orderBy(col("n"))
+      }
+        // sort barrier (r20 sort-hazard audit): the terminal orderBy's
+        // range sampler re-scans the whole 7-frame checkpoint union as
+        // a separate ~200-task job; one hash exchange of the (n, hops)
+        // rows measured 3.19 -> 2.37s at sf0.1 (SCALE.md §r20)
+        .repartition(col("n"))
+        .orderBy(col("n"))
     },
     Some(s"""
       WITH RECURSIVE $coPurchaseEdgesSql,

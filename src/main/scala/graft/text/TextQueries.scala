@@ -149,6 +149,9 @@ object TextQueries extends QueryModule {
             .cast(LongType).as("n_punct"),
           length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
             .as("n_nonspace"))
+        // sort barrier (r20 audit): 0.54 -> 0.40s at sf0.1, the
+        // q_pii_scrub shape — see that query's note
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
@@ -276,6 +279,9 @@ object TextQueries extends QueryModule {
             lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} ]+"),
             lit(0))).as("n_bpe"),
           lsize(toks(col("text"))).as("n_ws"))
+        // sort barrier (r20 audit): 0.41 -> 0.30s at sf0.1, the
+        // q_pii_scrub shape — see that query's note
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
@@ -498,6 +504,12 @@ object TextQueries extends QueryModule {
           md5(regexp_replace(
             regexp_replace(col("text"), EmailRe, "[EMAIL]"),
             PhoneRe, "[PHONE]")).as("scrub_hash"))
+        // sort barrier (r20 sort-hazard audit): the range sampler
+        // re-ran the 4-regex scan end to end; exchanging the narrow
+        // (id + 3 ints + hash) output instead measured 0.64 -> 0.47s
+        // at sf0.1 (SCALE.md §r20 — the expensive-map/narrow-output
+        // shape, same family as q_text_stats/q_text_bpe/q_embed_quant)
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id,
@@ -1245,7 +1257,12 @@ object TextQueries extends QueryModule {
   private[graft] def bpeTrainPlan(
       s: org.apache.spark.sql.SparkSession, dir: String,
       merges: Int): org.apache.spark.sql.DataFrame =
-    bpeTops(s, dir, merges).reduce(_ unionAll _).orderBy(col("it"))
+    bpeTops(s, dir, merges).reduce(_ unionAll _)
+      // sort barrier (r20 sort-hazard audit): 1.83 -> 1.67s at sf0.1 —
+      // the sampler's extra pass over the checkpointed tops is pure
+      // scheduling overhead for a merges-row frame
+      .repartition(col("it"))
+      .orderBy(col("it"))
 
   val bpeTrain = Q(
     "q_bpe_train",

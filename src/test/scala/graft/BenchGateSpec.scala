@@ -224,6 +224,31 @@ class BenchGateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bench.selection(Some("q_nope"), None))
   }
 
+  test("docs tiers >= 2M docs pre-flight the driver heap, naming the knob (r19 #6)") {
+    // the 2.5M-doc stretch OOM'd the default 8g heap mid-stage; the
+    // pre-flight must refuse in milliseconds with SPARK_DRIVER_MEM
+    // named, and must not trip smaller tiers or genuine 32g heaps
+    val e = intercept[IllegalArgumentException](
+      ScaleSmoke.requireHeapFor(5000, docsOnly = true, heapBytes = 8L << 30))
+    assert(e.getMessage.contains("SPARK_DRIVER_MEM=32g"))
+    // threshold is 24 GiB, not a literal 32: JVM maxMemory
+    // under-reports -Xmx (survivor reservation) — a real 32g JVM
+    // reporting ~30 GiB must pass
+    ScaleSmoke.requireHeapFor(5000, docsOnly = true, heapBytes = 30L << 30)
+    // below the 2M-doc cliff, or non-docs tiers: any heap is fine
+    ScaleSmoke.requireHeapFor(2000, docsOnly = true, heapBytes = 8L << 30)
+    ScaleSmoke.requireHeapFor(5000, docsOnly = false, heapBytes = 8L << 30)
+  }
+
+  test("launch guard defaults to 1.3x for the sf1 tier only; env knob enables anywhere (r19 #2)") {
+    // no env knob in the test JVM — the default path is what's pinned
+    assume(sys.env.get("SPARK_GRAFT_MAX_HOST_FACTOR").isEmpty)
+    assert(Bench.launchGuardLimit(Some(Bench.tierOf("sf1"))).contains(1.3))
+    assert(Bench.launchGuardLimit(Some(Bench.tierOf("sf40"))).isEmpty)
+    assert(Bench.launchGuardLimit(Some(Bench.tierOf("docs1000"))).isEmpty)
+    assert(Bench.launchGuardLimit(None).isEmpty)
+  }
+
   test("the r05 driver tail really is front-truncated — the blind spot uncovered() exists for") {
     // Committed driver artifact: its `tail` lost the alphabetically-first
     // queries (q_ann_ivf etc.). uncovered() must surface that against

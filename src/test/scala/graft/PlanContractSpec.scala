@@ -57,7 +57,7 @@ class PlanContractSpec extends AnyFunSuite {
     */
   private val budgets = Map(
     "q_text_tokens" -> 1,      // pure projection + final sort
-    "q_text_bpe" -> 1,         // pure projection + final sort
+    "q_text_bpe" -> 2,         // projection + r20 sort barrier + final sort
     "q_rolling_hash" -> 1,     // native expression + final sort
     "q_text_normalize" -> 1,   // per-row normalize + final sort
     "q_sample_stratified" -> 1, // scan-side filter + final sort
@@ -83,8 +83,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q_setops" -> 2,           // one flag-OR agg + final sort
     "q_lang_id" -> 2,          // tokenize-once projection + agg + sort
     "q_sample_exact_k" -> 3,   // 2-phase top-k: (lang,sub) + lang + sort
-    "q_pii_scrub" -> 1,        // pure redaction projection + final sort
-    "q_embed_quant" -> 1,      // pure quantize projection + final sort
+    "q_pii_scrub" -> 2,        // redaction projection + r20 sort barrier + final sort
+    "q_embed_quant" -> 2,      // quantize projection + r20 sort barrier + final sort
     "q_repetition" -> 3,       // (doc,w) agg + doc agg + final sort
     "q_contamination" -> 4,    // (g,doc) pair-distinct + per-gram flag window + per-doc agg + sort;
                                // single scan; r07: +1 exchange buys df-bounded window skew (ADVICE r06)
@@ -321,7 +321,7 @@ class PlanContractSpec extends AnyFunSuite {
                                // agg all key on p/(s1,s2); the self-join's two
                                // re-derived distinct+window subtrees reuse at
                                // runtime (AQE), degrees broadcast, TakeOrdered
-    "q_masking" -> 1,          // pure md5/band projection + final sort
+    "q_masking" -> 2,          // md5/band projection + r20 sort barrier + final sort
     "q_stickiness" -> 5,       // ONE (user,day) distinct exchange + broadcast
                                // day-dim fanout + Expand distinct agg (2) +
                                // the day-dim's own distinct + final sort

@@ -63,6 +63,36 @@ class DenseBucketSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "the dense bucket must route to the join form")
   }
 
+  test("public-query fallback engagement: q_embed_dedup routes dense buckets, " +
+      "bit-identical, with the loud census line (r19 #5)") {
+    // The docs5000 probe measured 1.10x headroom to the 32,768 cap —
+    // first production engagement expected ~3M docs. Force it NOW at
+    // unit scale through the real query path (census -> routing ->
+    // join fallback -> union with grouped) so that engagement is a
+    // rehearsed non-event: same rows, one announced log line.
+    val dir = "/root/testdata/sf0.001"
+    val baseline = SimilarityQueries.embedDedup.run(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, bits(r._3))).sorted
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    // 500 docs at width 4 -> ~31-member buckets; cap 8 forces every
+    // bucket onto the join fallback through the PUBLIC query
+    sys.props("graft.test.maxBucketMembers") = "8"
+    val routed =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        try SimilarityQueries.embedDedup.run(spark, dir)
+          .as[(Long, Long, Double)].collect()
+          .map(r => (r._1, r._2, bits(r._3))).sorted
+        finally System.setErr(realErr)
+      } finally sys.props.remove("graft.test.maxBucketMembers"): Unit
+    assert(routed === baseline,
+      "fallback-routed q_embed_dedup diverges from the grouped-path rows")
+    assert(errBuf.toString.contains("GROUPED-PATH FALLBACK ENGAGED"),
+      s"expected the loud engagement line; captured stderr:\n${errBuf.toString.take(2000)}")
+  }
+
   test("threshold pairs: capped routing is bit-identical to all-grouped, dense pairs intact") {
     val thr = 0.5
     val capped = SimilarityQueries.bucketPairsRows(members, thr, cap = 8)

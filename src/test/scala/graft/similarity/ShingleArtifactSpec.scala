@@ -94,12 +94,20 @@ class ShingleArtifactSpec extends AnyFunSuite {
     sys.props("graft.test.maxHotShingles") = "0"
     try {
       val viaFallback = rows(SimilarityQueries.shingles(spark, dir))
-      sys.props.remove("graft.test.maxHotShingles")
-      // fresh threshold, but the overflow verdict was CACHED per
-      // (dataset, cap, session) — a second call must still serve the
-      // anti-join plan without a new census, and stay bit-identical
+      // same ceiling again: the overflow verdict is CACHED per
+      // (dataset, DF cap, CEILING, session) — the second call serves
+      // the anti-join plan from the cached None, bit-identical
       val cachedVerdict = rows(SimilarityQueries.shingles(spark, dir))
       assert(viaFallback === cachedVerdict)
+      sys.props.remove("graft.test.maxHotShingles")
+      // DIFFERENT ceiling (back to the default): the ceiling is key
+      // material (ADVICE r19 — it used to be omitted, so this call
+      // was stale-served the overflow verdict), so this re-censuses
+      // under the roomy cap, takes the literal-filter fast path, and
+      // must still produce the same rows
+      val freshCap = rows(SimilarityQueries.shingles(spark, dir))
+      assert(viaFallback === freshCap,
+        "cap-change re-census diverges from the overflow fallback rows")
       val direct = rows(SimilarityQueries.shinglesOf(
         docsFrame(dir), SimilarityQueries.MaxShingleDf))
       assert(viaFallback === direct,

@@ -215,12 +215,22 @@ class SimilaritySpec extends AnyFunSuite {
     val banded = SimilarityQueries.simhashPairsAt(spark, dir, 16)
       .as[(Long, Long, Long)].collect().toSet
     assert(banded === brute)
-    // and the 8-bit factored path is exactly the public query here
-    // (500 docs < 50k -> the derivation picks 8)
+    // non-circular bb=8 pin (ADVICE r19: asserting simhashPairsAt(8)
+    // == simhashPairs.run was circular — at 500 docs the public query
+    // derives bb=8 and calls simhashPairsAt itself, and the r18
+    // legacy implementation it claimed to match was deleted): drive
+    // the factored 8-bit path directly and compare against the same
+    // all-pairs popcount brute over the scalar 64-bit digest
+    val sigs8 = SimilarityQueries.simhash.run(spark, dir)
+      .as[(Long, Long)].collect()
+    val brute8 = (for {
+      (ida, ha) <- sigs8; (idb, hb) <- sigs8
+      if ida < idb
+      d8 = java.lang.Long.bitCount(ha ^ hb)
+      if d8 <= 3
+    } yield (ida, idb, d8.toLong)).toSet
     assert(SimilarityQueries.simhashPairsAt(spark, dir, 8)
-      .as[(Long, Long, Long)].collect().toSet ===
-      SimilarityQueries.simhashPairs.run(spark, dir)
-        .as[(Long, Long, Long)].collect().toSet)
+      .as[(Long, Long, Long)].collect().toSet === brute8)
   }
 
   test("q_simhash_pairs: planted exact duplicate pairs at Hamming 0") {

@@ -414,20 +414,23 @@ object Bench {
     // stretch run read its 2.5M-doc controls against sf0.1 budgets and
     // printed a 25× "host" factor — scale, not host); an sf mismatch
     // skips the pre-pass entirely, which also skips controls whose
-    // tables don't exist in a docs-only corpus. Subset runs
-    // (SPARK_GRAFT_BENCH_ONLY / _FAMILY) skip it too (ADVICE r19): the
-    // factor only gates FULL-run persistence, and 18 extra control
-    // executions on every fast-iteration invocation defeats the knob.
+    // tables don't exist in a docs-only corpus. Controls must also be
+    // IN the selected set (ADVICE r19, second option): a targeted
+    // SPARK_GRAFT_BENCH_ONLY=q_x iteration run doesn't select any
+    // control, so it pays nothing extra — while the docs/heavy TIER
+    // family runs (which the factor was built for, r18 #4) keep their
+    // pre-pass because the control queries are members of the family.
     val retryRefPath = baselineEnv.orElse {
       val f = new java.io.File("bench_local.json")
       if (f.exists) Some(f.getPath) else None
     }
-    val controlsApply = only.isEmpty &&
+    val controlsApply =
       retryRefPath.exists(p => recordedSf(p).contains(sfDir))
     val hostInfo: Option[(Double, String)] = retryRef.filter(_ => controlsApply)
       .flatMap { ref =>
       val names = ControlPreference
-        .filter(n => SparkEntry.queries.contains(n) && ref.get(n).exists(_ > 0))
+        .filter(n => SparkEntry.queries.contains(n) &&
+          ref.get(n).exists(_ > 0) && only.forall(_.contains(n)))
         .take(3)
       val times = names.map { n =>
         n -> (try {

@@ -63,31 +63,20 @@ object Probe {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import SimilarityQueries._
     System.err.println(s"[probe] ==== embed_dedup @ $dir")
-    timed("cold full q_embed_dedup (artifact builds included)") {
+    timed("cold full q_embed_dedup (pair-artifact build included)") {
       force(embedDedup.run(s, dir))
     }
-    timed("warm full q_embed_dedup") { force(embedDedup.run(s, dir)) }
+    timed("warm full q_embed_dedup (artifact read, r20)") {
+      force(embedDedup.run(s, dir))
+    }
     val planes = embAutoWidth(s, dir)
     System.err.println(s"[probe] planes=$planes")
     val b = embBucketsAt(s, dir, planes)
     timed("stage: bucketed artifact scan only") { force(b) }
-    val dense = denseBucketsCached(
-      s, embStamp(dir, s"planes$planes"), b, MaxBucketMembers)
-    System.err.println(s"[probe] dense buckets: ${dense.size}")
-    val pairs = bucketPairsRows(b, 0.4, denseIds = Some(dense))
-    timed("stage: pair loop (collect_list + graft_bucket_pairs)") {
-      force(pairs)
+    timed("stage: live pair loop (the pre-r20 warm path, embPairsPlan)") {
+      force(embPairsPlan(s, dir))
     }
-    val projected = pairs.select(
-      col("e.id1").as("id1"), col("e.id2").as("id2"),
-      round(col("e.sim"), 6).as("sim_r"))
-    timed("stage: + projection/round") { force(projected) }
-    timed("stage: + repartition barrier") {
-      force(projected.repartition(col("id1")))
-    }
-    timed("warm full again (adds the global orderBy)") {
-      force(embedDedup.run(s, dir))
-    }
+    timed("warm full again") { force(embedDedup.run(s, dir)) }
   }
 
   /** q_pq_adc stage split + simhash candidate growth (r19 — kept as a

@@ -4228,6 +4228,59 @@ object SimilarityQueries extends QueryModule {
       ORDER BY s.cell""")
   )
 
+  /** The embed-dedup similarity threshold — shared by the compute
+    * path, the artifact key and the oracle SQL. */
+  private[similarity] val EmbDedupThr = 0.4
+
+  /** The COMPUTE path of q_embed_dedup's pair set: grouped per-bucket
+    * scoring over the auto-width sign buckets, ≥-threshold (id1, id2,
+    * unrounded sim) rows out. Factored from the query so the artifact
+    * build below and EmbBucketArtifactSpec's bit-identity pin share
+    * one definition. */
+  private[similarity] def embPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val planes = embAutoWidth(s, dir)
+    val b = embBucketsAt(s, dir, planes)
+    bucketPairsRows(b, EmbDedupThr, denseIds = Some(denseBucketsCached(
+        s, embStamp(dir, s"planes$planes"), b, MaxBucketMembers)))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
+        col("e.sim").as("sim"))
+  }
+
+  private val embPairCache = new ArtifactCache[String]("emb-pairs")
+
+  /** THE persisted embed-dedup pair artifact (r20 — the r19 verdict's
+    * #1 via the probe protocol: warm q_embed_dedup at the 500k tier
+    * decomposed to 0.19s bucketed-artifact scan + 10.0s in-bucket pair
+    * loop + ~1.5s projection/sort, i.e. ~85% of warm cost re-scored
+    * the SAME pair set on every invocation even though the pairs are a
+    * pure function of (embeddings file, width, threshold) — exactly
+    * the [[knnEdgesFor]] write-once-read-many shape, and the pair set
+    * is even smaller than the n·k edge rows). Build = one grouped
+    * pair pass over [[embBucketTable]]; warm q_embed_dedup reads the
+    * ≥-threshold (id1, id2, sim) rows back. sim persists UNROUNDED and
+    * doubles round-trip parquet exactly, so artifact-backed results
+    * are bit-identical to the recompute (EmbBucketArtifactSpec).
+    * Staleness/fencing follow the [[knnEdgesFor]] lifecycle: keyed on
+    * dataset stamp + width + threshold + family version, staged fenced
+    * commit, `_SUCCESS`-validated cache hits. */
+  private def embPairsFor(s: SparkSession, dir: String): String = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    require(embFile.exists(), s"embPairsFor: $embFile does not exist")
+    val w = embAutoWidth(s, dir)
+    val dataKey = ArtifactCache.stamp(
+      s"${ArtifactCache.datasetStamp(embFile.getPath)}@planes$w" +
+        s"@thr$EmbDedupThr@embpairs-v1")
+      .take(16)
+    val root = new java.io.File(sigIndexRoot, s"graft_embpairs_$dataKey")
+    embPairCache.getOrBuild(dataKey,
+        r => new java.io.File(r, "_SUCCESS").exists) {
+      stagedArtifactWrite(s, root, "corpus embed-dedup pair artifact") {
+        staging => embPairsPlan(s, dir).write.mode("overwrite").parquet(staging)
+      }
+      root.getPath
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs — dedup over the vector
     * space: LSH-bucket blocking (same 4-plane signs as q_ann_lsh), then
     * cosine within bucket only, pairs above threshold with id1 < id2.
@@ -4253,18 +4306,16 @@ object SimilarityQueries extends QueryModule {
     // no ordered-pair row materialization. Semantics (vec_id < id2,
     // unrounded-sim threshold, ascending-index dot) bit-match the
     // former self-join and the oracle's p CTE.
-    (s, dir) => {
-      val planes = embAutoWidth(s, dir)
-      val b = embBucketsAt(s, dir, planes)
-      bucketPairsRows(b, 0.4, denseIds = Some(denseBucketsCached(
-          s, embStamp(dir, s"planes$planes"), b, MaxBucketMembers)))
-        .select(col("e.id1").as("id1"), col("e.id2").as("id2"),
-          round(col("e.sim"), 6).as("sim_r"))
-        // sort barrier (r17): see knnGraphPlan — without a shuffle
-        // below it, the orderBy's range sampling re-runs the pair loop
-        .repartition(col("id1"))
-        .orderBy(col("id1"), col("id2"))
-    },
+    // warm path reads the persisted pair artifact (r20): the sort's
+    // range sampling re-reads a cheap parquet scan, so the r17
+    // repartition barrier that protected the live pair loop is no
+    // longer needed (the knnGraphPlanAuto precedent; the r20
+    // sort-hazard A/B measured barriers on bare artifact scans as
+    // slightly negative)
+    (s, dir) =>
+      s.read.parquet(embPairsFor(s, dir))
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("id1"), col("id2")),
     Some(s"""
       WITH $normEmbSql,
       $knnBucketSql,

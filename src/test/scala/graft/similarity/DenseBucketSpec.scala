@@ -63,21 +63,35 @@ class DenseBucketSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "the dense bucket must route to the join form")
   }
 
-  test("public-query fallback engagement: q_embed_dedup routes dense buckets, " +
-      "bit-identical, with the loud census line (r19 #5)") {
+  test("public-query fallback engagement: q_embed_dedup's pair-artifact build routes " +
+      "dense buckets, bit-identical, with the loud census line (r19 #5)") {
     // The docs5000 probe measured 1.10x headroom to the 32,768 cap —
     // first production engagement expected ~3M docs. Force it NOW at
     // unit scale through the real query path (census -> routing ->
-    // join fallback -> union with grouped) so that engagement is a
-    // rehearsed non-event: same rows, one announced log line.
-    val dir = "/root/testdata/sf0.001"
-    val baseline = SimilarityQueries.embedDedup.run(spark, dir)
+    // join fallback -> union with grouped, inside the r20 pair-artifact
+    // BUILD — the cap is a physical build-time decision, so the
+    // engagement happens exactly once per corpus) so that engagement
+    // is a rehearsed non-event: same rows, one announced log line.
+    // Fresh corpus: the artifact must not pre-exist, or the routed run
+    // would serve it without ever running the census under the cap.
+    val dir = java.nio.file.Files.createTempDirectory("densepub").toString
+    // 120 vectors over a 13-value lattice -> ~13 distinct vectors,
+    // heavily duplicated: width 4 -> <=16 sign buckets whose
+    // populations dwarf cap 8
+    (0 until 120).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6) / 6.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // baseline = the grouped compute path at the default cap (NOT the
+    // public query — that would build and cache the artifact first)
+    val baseline = SimilarityQueries.embPairsPlan(spark, dir)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2, bits(r._3))).sorted
+    assert(baseline.nonEmpty, "lattice corpus must pair above threshold")
     val errBuf = new java.io.ByteArrayOutputStream()
     val realErr = System.err
-    // 500 docs at width 4 -> ~31-member buckets; cap 8 forces every
-    // bucket onto the join fallback through the PUBLIC query
     sys.props("graft.test.maxBucketMembers") = "8"
     val routed =
       try {

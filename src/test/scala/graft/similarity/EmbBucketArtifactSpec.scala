@@ -79,6 +79,27 @@ class EmbBucketArtifactSpec extends AnyFunSuite {
       rows(viaCompute), "warm artifact serve changed the result")
   }
 
+  test("the persisted embed-dedup pair artifact is bit-identical to the compute path (r20)") {
+    val dir = Files.createTempDirectory("embpairs").toString
+    writeEmb(dir, 600, salt = 9)
+    def rounded(df: org.apache.spark.sql.DataFrame) = rows(
+      df.select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("id1"), col("id2")))
+    val viaCompute = rounded(SimilarityQueries.embPairsPlan(spark, dir))
+    assert(viaCompute.nonEmpty, "lattice corpus must pair above threshold")
+    assert(rows(SimilarityQueries.embedDedup.run(spark, dir)) === viaCompute,
+      "artifact-backed q_embed_dedup diverges from the live pair loop")
+    assert(rows(SimilarityQueries.embedDedup.run(spark, dir)) === viaCompute,
+      "warm artifact serve changed the result")
+    // staleness: a rewritten corpus rebuilds (same rows as a clean dir)
+    writeEmb(dir, 620, salt = 11)
+    val clean = Files.createTempDirectory("embpairs2").toString
+    writeEmb(clean, 620, salt = 11)
+    assert(rows(SimilarityQueries.embedDedup.run(spark, dir)) ===
+      rows(SimilarityQueries.embedDedup.run(spark, clean)),
+      "stale embed-pair artifact served after a corpus rewrite")
+  }
+
   test("rewritten corpus rebuilds; identical corpus in a clean dir serves identical results") {
     val dir = Files.createTempDirectory("embart3").toString
     writeEmb(dir, 500, salt = 3)

@@ -288,22 +288,43 @@ object EventQueries extends QueryModule {
   /** MAD outliers — the robust twin of [[anomaly]]: deviation from the
     * per-type MEDIAN, scaled by the median absolute deviation, so a
     * few extreme values can't drag the cut line the way they drag a
-    * mean/σ. Two percentile aggregates (type-sized, broadcast back)
-    * and the cut tests the ROUNDED score — same engine-parity
+    * mean/σ. The cut tests the ROUNDED score — same engine-parity
     * contracts as q_anomaly and q_percentile.
+    *
+    * Both medians run over the (event_type, value) CENSUS with the
+    * frequency-weighted `percentile(col, p, c)` (r21): the raw form
+    * funnelled each type's full value multiset into one reducer's
+    * OpenHashMap TWICE (med, then mad over the re-derived dev rows)
+    * and scanned events three times. The census is a codegen hash
+    * aggregate whose output is bounded by the VALUE DOMAIN (2-dp
+    * readings — ~18k distinct at sf0.1 and saturating, vs rows
+    * growing without bound), so at 100 TB the percentile buffers hold
+    * domain-sized, not corpus-sized, state. Weighted percentile over
+    * the census is the same multiset, same interpolation — bit-equal
+    * by construction. The lazy localCheckpoint materializes the
+    * census once for both the med and mad passes; med+mad broadcast
+    * back as ONE 5-row table, so the full corpus is scanned exactly
+    * once more (score+filter pass). 3 scans + 2 corpus-sized
+    * percentile buffers → 2 scans + 2 domain-bounded ones
+    * (plans/r21/q_outlier_mad_{before,after}.txt).
     */
   val outlierMad = Q(
     "q_outlier_mad",
     (s, dir) => {
       val ev = events(s, dir)
-      val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5D)").as("med"))
-      val dev = ev.join(broadcast(med), Seq("event_type"))
-        .withColumn("adev", abs(col("value") - col("med")))
-      val madAgg = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(adev, 0.5D)").as("mad"))
-      dev.join(broadcast(madAgg), Seq("event_type"))
-        .withColumn("score_r", round(col("adev") / col("mad"), 6))
+      val byVal = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val med = byVal.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D, c)").as("med"))
+      val stats = byVal.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(abs(value - med), 0.5D, c)").as("mad"),
+          max(col("med")).as("med"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("score_r",
+          round(abs(col("value") - col("med")) / col("mad"), 6))
         .filter(col("score_r") > lit(3.5))
         .select(col("event_id"), col("event_type"), col("value"), col("score_r"))
         .orderBy(col("event_id"))

@@ -38,6 +38,38 @@ class BenchGateSpec extends AnyFunSuite {
     assert(base == Map("q_dedup" -> 0.32, "q_distinct" -> 0.57))
   }
 
+  test("cold field: loadCold reads it, loadBaseline ignores it (r20 verdict #2)") {
+    // One line carrying both objects, cold BEFORE queries (the emit
+    // order Bench uses): the warm budgets must come from "queries"
+    // even though the same names appear in "cold" — loadBaseline's
+    // whole-text scrape keeps the LAST occurrence.
+    val p = tmpJson(
+      """{"metric":"total","value":3.5,"unit":"sec","cold":{"q_a":9.5,"q_b":4.0},"queries":{"q_a":1.25,"q_b":2.25},"sf":"/x","failed":0}""")
+    assert(Bench.loadBaseline(p.toString) == Map("q_a" -> 1.25, "q_b" -> 2.25))
+    assert(Bench.loadCold(p.toString) == Map("q_a" -> 9.5, "q_b" -> 4.0))
+    // files predating the field (every r<=20 artifact) parse to empty
+    val old = tmpJson(
+      """{"metric":"total","value":3.5,"unit":"sec","queries":{"q_a":1.25},"sf":"/x","failed":0}""")
+    assert(Bench.loadCold(old.toString).isEmpty)
+    // escaped driver-tail shape parses too
+    val tail = tmpJson(
+      """{"n":5,"tail":"\"cold\":{\"q_a\":9.5},\"queries\":{\"q_a\":1.2}","parsed":null}""")
+    assert(Bench.loadCold(tail.toString) == Map("q_a" -> 9.5))
+  }
+
+  test("cold gate: a build-path regression >2x above the 2s floor is flagged") {
+    // the same regressions() rule the warm gate uses, at the cold
+    // thresholds — sub-floor colds (plain JIT noise) never flag
+    val coldBase = Map("q_art" -> 5.0, "q_tiny" -> 0.4)
+    val flagged = Bench.regressions(
+      Seq("q_art" -> 11.0, "q_tiny" -> 1.9),
+      coldBase, Bench.ColdFactor, Bench.ColdFloorSec)
+    assert(flagged == Seq(("q_art", 11.0, 5.0)))
+    assert(Bench.regressions(
+      Seq("q_art" -> 9.0), coldBase, Bench.ColdFactor, Bench.ColdFloorSec)
+      .isEmpty, "sub-2x cold drift must not flag")
+  }
+
   test("hostFactor is the median now/committed ratio over usable controls") {
     val base = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.5, "q_dead" -> 0.0)
     // q_fail (negative timing) and q_dead (no positive budget) are

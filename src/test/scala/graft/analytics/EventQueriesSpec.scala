@@ -125,6 +125,26 @@ class EventQueriesSpec extends AnyFunSuite {
     } finally flagged.unpersist()
   }
 
+  test("q_outlier_mad: census-weighted medians equal the full-multiset percentile") {
+    // r21 rewrite: med/mad run over the (event_type, value) census with
+    // percentile(col, p, c) instead of buffering every row. Pin the
+    // weighted form bit-equal to the raw aggregate on the real fixture —
+    // identical multiset, identical interpolation, so == not ≈.
+    val ev = graft.util.Tables.events(spark, dir)
+    val full = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("m"))
+      .as[(String, Double)].collect().toMap
+    val census = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D, c)").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(census.keySet == full.keySet)
+    census.foreach { case (k, m) =>
+      assert(m == full(k), s"weighted median $m != raw ${full(k)} for $k")
+    }
+  }
+
   test("q_abtest: variant means bracket the global mean; z is finite") {
     val row = EventQueries.abtest.run(spark, dir).collect().head
     val (nA, mA, nB, mB, z) = (row.getLong(0), row.getDouble(1),

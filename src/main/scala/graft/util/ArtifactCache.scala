@@ -67,6 +67,25 @@ final class ArtifactCache[V](val name: String) {
 
 object ArtifactCache {
 
+  /** Plan a checkpointed artifact frame with AQE disabled so the
+    * LogicalRDD keeps the child's outputPartitioning/outputOrdering.
+    * Under AQE, `Dataset.localCheckpoint` records UnknownPartitioning
+    * (runtime coalescing may change the layout before the plan is
+    * final), which silently re-adds an Exchange under every keyed
+    * consumer of the artifact — measured empirically on Spark 4.1
+    * (GraphQueriesSpec pins the preserved case). Only the artifact's
+    * own build plan runs non-adaptively; the flag is restored in a
+    * finally, and consumers plan normally. */
+  def planWithStablePartitioning[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.getOption("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => s.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   /** 128-bit hex digest of an artifact descriptor. */
   def stamp(descriptor: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -16,6 +16,20 @@ class GraphQueriesSpec extends AnyFunSuite {
   private def roundAt(x: Double, dp: Int): Double =
     BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("symEdges carries its hash(a) partitioning through the checkpoint (r21)") {
+    // The r21 shared artifact pre-partitions the symmetrized edge list
+    // so source-keyed consumers reuse ONE build-time exchange. That
+    // only works if the LogicalRDD behind localCheckpoint preserves
+    // outputPartitioning — pin it: a groupBy on the partition key must
+    // plan WITHOUT an Exchange (a Spark upgrade that drops the
+    // propagation would silently re-add 8 queries' shuffles).
+    val sym = GraphQueries.symEdges(spark, dir)
+    val plan = sym.groupBy(col("a")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"degree census over symEdges re-exchanged:\n$plan")
+  }
+
   test("q_pagerank: top-25 matches a sequential in-memory replica") {
     // Rebuild the undirected supplier↔part graph and iterate the same
     // damped update with the same per-step rounding, single-threaded.
